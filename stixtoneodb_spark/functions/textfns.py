@@ -1,0 +1,103 @@
+"""Text-normalization / tokenization column expressions.
+
+All JVM-side built-ins (no Python in the hot path).  These feed mention
+detection, dedup shingling, and canonicalization blocking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Keep this regex simple enough to be dialect-portable (Java regex here,
+# RE2-ish in DuckDB oracles): ASCII word runs.
+TOKEN_RE = "[a-z0-9]+"
+
+
+def normalize(text: Column) -> Column:
+    """Canonical text form: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+
+
+def tokens(text: Column) -> Column:
+    """array<string> of lowercase alnum tokens."""
+    return F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != F.lit("")
+    )
+
+
+def canonical_name(surface: Column) -> Column:
+    """Entity-surface canonicalization: lowercase, strip punctuation,
+    collapse whitespace, drop corporate stop-tokens.
+
+    This is the cheap deterministic canonicalizer; MinHash-LSH + connected
+    components (plans/canonicalize.py) handles the residual variants.
+    """
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(surface), r"[^a-z0-9 ]", " "), r"\s+", " "
+        )
+    )
+    toks = F.filter(
+        F.split(cleaned, " "),
+        lambda t: ~t.isin("the", "corp", "corporation", "inc", "group", "ltd", "llc"),
+    )
+    return F.array_join(toks, " ")
+
+
+def shingles(text: Column, k: int = 5) -> Column:
+    """Character k-shingle array (distinct) of the normalized text.
+
+    Built via sequence+transform — stays inside whole-stage codegen, no UDF.
+    """
+    norm = normalize(text)
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: norm.substr(i, F.lit(k))))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Word k-shingle array (distinct) — joins k consecutive tokens."""
+    toks = tokens(text)
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " "))
+    )
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """MinHash signature as array<long>: for each of ``num_hashes`` hash
+    seeds, the min of xxhash64(shingle, seed) over the shingle set.
+
+    Pure DataFrame expression (transform + aggregate) — vectorized JVM-side,
+    deterministic, partition-independent.  Replaces the reference's id-index
+    dedup (README.md:75) with scalable near-dup blocking.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda h: F.aggregate(
+            shingle_arr,
+            F.lit(2**63 - 1).cast("long"),
+            lambda acc, s: F.least(acc, F.xxhash64(s, h + F.lit(seed))),
+        ),
+    )
+
+
+def lsh_band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Column:
+    """Banded LSH keys: array of sha2-hashed signature slices.
+
+    Documents sharing any band key are near-dup candidates; exploding this
+    array and grouping by key gives the candidate blocks.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_bands - 1)),
+        lambda b: F.concat_ws(
+            ":",
+            b.cast("string"),
+            F.sha2(
+                F.concat_ws(",", F.transform(F.slice(signature, b * rows_per_band + 1, rows_per_band), lambda x: x.cast("string"))),
+                256,
+            ),
+        ),
+    )

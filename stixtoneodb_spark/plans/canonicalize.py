@@ -1,0 +1,217 @@
+"""S3 — entity canonicalization: MinHash-LSH blocking + connected components.
+
+Reference correspondence: the reference dedups objects by STIX ``id`` via
+Neo4j's id index + MERGE (README.md:75-76, A9/A15).  Transcript entities
+have no ids — identity must be *derived*: surface variants ("MITRE Corp",
+"The MITRE Corporation", "mitre") must map to one canonical node.  The
+pipeline:
+
+1. normalize surfaces (functions.textfns.canonical_name) — cheap exact tier;
+2. MinHash signatures over char-3 shingles, banded LSH keys — candidate
+   blocking without the O(n^2) cross join;
+3. exact Jaccard/containment verification on candidate pairs only;
+4. connected components over the verified-similar pair graph via
+   alternating large-star / small-star DataFrame iterations (Kiveris et al.,
+   "Connected Components in MapReduce and Beyond") with per-iteration
+   localCheckpoint to truncate lineage;
+5. canonical_id = min name_key in each component (content-derived →
+   deterministic under retries and across runs).
+
+Scale notes: every step is a DataFrame op (shuffles on band-key and node
+id); hot bands (stop-word-like shingles) are capped via a block-size limit —
+the classic LSH skew guard; components converge in O(log n) iterations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from stixtoneodb_spark.functions.textfns import (
+    canonical_name,
+    lsh_band_keys,
+    minhash_signature,
+    shingles,
+)
+
+NUM_HASHES = 16
+NUM_BANDS = 8
+ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
+MAX_BLOCK = 64  # LSH skew guard: drop degenerate mega-blocks
+
+
+def normalize_mentions(mentions: DataFrame) -> DataFrame:
+    """Attach normalized name + content key to each mention."""
+    return mentions.withColumn("name", canonical_name(F.col("surface"))).where(
+        F.length("name") > 0
+    )
+
+
+def candidate_pairs(names: DataFrame, threshold: float = 0.55) -> DataFrame:
+    """Verified similar pairs (name_a, name_b) from LSH blocks.
+
+    ``names``: one row per distinct normalized name, column ``name``.
+    Exact char-3-shingle Jaccard (and containment, which catches
+    short-vs-long variants like "disco team" ⊂ "disco team threat actor")
+    verifies each LSH candidate pair.
+    """
+    with_sh = (
+        names.select("name")
+        .distinct()
+        .withColumn("sh", shingles(F.col("name"), 3))
+        .where(F.size("sh") > 0)
+    )
+    # Two blocking tiers, unioned: (a) MinHash LSH bands — catches
+    # high-Jaccard char-level variants; (b) per-token keys — catches
+    # containment-style variants ("zeus" ⊂ "zeus trojan") whose Jaccard is
+    # too low for the bands to fire reliably.  Both feed the same exact
+    # verification, so extra candidates cost only the verify step.
+    lsh_keys = (
+        with_sh.withColumn("sig", minhash_signature(F.col("sh"), NUM_HASHES))
+        .withColumn("band", F.explode(lsh_band_keys(F.col("sig"), NUM_BANDS, ROWS_PER_BAND)))
+        .select("band", "name", "sh")
+    )
+    token_keys = with_sh.withColumn(
+        "band", F.explode(F.transform(F.split("name", " "), lambda t: F.concat(F.lit("tok:"), t)))
+    ).select("band", "name", "sh")
+    sig = lsh_keys.unionByName(token_keys)
+    # LSH skew guard: a band key shared by too many names is a degenerate
+    # block (stopword-ish); cap membership per block.
+    blocked = sig.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("band").orderBy("name"))
+    ).where(F.col("rn") <= MAX_BLOCK)
+
+    a = blocked.select(
+        F.col("band"), F.col("name").alias("name_a"), F.col("sh").alias("sh_a")
+    )
+    b = blocked.select(
+        F.col("band"), F.col("name").alias("name_b"), F.col("sh").alias("sh_b")
+    )
+    pairs = (
+        a.join(b, "band")
+        .where(F.col("name_a") < F.col("name_b"))
+        .select("name_a", "name_b", "sh_a", "sh_b")
+        .dropDuplicates(["name_a", "name_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    smaller = F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+    token_a = F.split("name_a", " ")
+    token_b = F.split("name_b", " ")
+    tok_contain = F.size(F.array_intersect(token_a, token_b)).cast("double") / F.least(
+        F.size(token_a), F.size(token_b)
+    ).cast("double")
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .withColumn("containment", inter / smaller)
+        .withColumn("tok_containment", tok_contain)
+        .where(
+            (F.col("jaccard") >= threshold)
+            | (F.col("containment") >= 0.85)
+            | (F.col("tok_containment") >= 1.0)
+        )
+        .select("name_a", "name_b")
+    )
+
+
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Alternating large-star / small-star connected components.
+
+    ``edges``: (name_a, name_b) string-keyed undirected edges.
+    Returns (name, component) where component = min name in the component.
+
+    Each round: large-star hangs every larger neighbor off the neighborhood
+    minimum; small-star re-hangs smaller neighbors.  Converges in O(log n)
+    rounds; per-round localCheckpoint(eager) truncates the self-join lineage
+    (without it the plan doubles every iteration).  Driver-side loop is
+    control-flow only — all data movement stays on executors.
+    """
+    e = (
+        edges.select(F.col("name_a").alias("u"), F.col("name_b").alias("v"))
+        .union(edges.select(F.col("name_b").alias("u"), F.col("name_a").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def signature(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count("*").alias("c"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["c"]), int(row["h"])
+
+    prev = signature(e)
+    for _ in range(max_iter):
+        # large-star: for each u, m = min(neighbors ∪ self); emit (v, m) for v > u
+        mins = e.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("u", "mv").alias("m")
+        )
+        large = (
+            e.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star: for each u, m = min(neighbors ∪ self); emit (v, m) for v <= u, plus (u, m)
+        mins2 = large.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("u", "mv").alias("m")
+        )
+        small = (
+            large.join(mins2, "u")
+            .where(F.col("v") <= F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = small.localCheckpoint(eager=True)
+        cur = signature(e)
+        if cur == prev:
+            break
+        prev = cur
+
+    # At convergence e is (node, component-min) star edges; symmetrize to
+    # cover component minimums themselves.
+    comp = e.groupBy("u").agg(F.min("v").alias("component")).select(
+        F.col("u").alias("name"), F.least(F.col("u"), F.col("component")).alias("component")
+    )
+    return comp
+
+
+def canonical_map(
+    mentions: DataFrame,
+    threshold: float = 0.55,
+    alias_edges: DataFrame | None = None,
+) -> DataFrame:
+    """name -> (canonical_id, canonical_label) over all mention surfaces.
+
+    ``alias_edges`` (name_a, name_b): known-alias pairs from a knowledge
+    base / gazetteer — the analog of the reference resolving refs against
+    *known* STIX object ids (A10).  They are simply extra edges in the same
+    component graph; MinHash-LSH supplies the edges for surface variants the
+    KB does not know.  Names that never match anything form singleton
+    components (their own name is the canonical label).
+    """
+    named = normalize_mentions(mentions)
+    names = named.select("name").distinct()
+    pairs = candidate_pairs(names, threshold)
+    if alias_edges is not None:
+        # only keep alias edges whose endpoints actually occur in the corpus
+        occurring = names.withColumnRenamed("name", "n")
+        pairs = pairs.unionByName(
+            alias_edges.join(occurring, alias_edges.name_a == occurring.n, "left_semi")
+            .join(occurring, alias_edges.name_b == occurring.n, "left_semi")
+            .select("name_a", "name_b")
+        )
+    comp = connected_components(pairs)
+    full = names.join(comp, "name", "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col("name"))
+    )
+    return full.select(
+        "name",
+        F.sha2(F.col("component"), 256).alias("canonical_id"),
+        F.col("component").alias("canonical_label"),
+    )

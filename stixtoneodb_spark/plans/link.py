@@ -1,0 +1,78 @@
+"""S4 — triple linking: resolve subj/obj text against the canonical map.
+
+Reference correspondence: ref resolution is the reference's core relational
+content — SRO ``source_ref``/``target_ref`` looked up by id against the
+node index (A10), with dangling refs *skipped, logged, and the load
+continues* (A11; /root/reference/README.md:83-85; golden dangling cases
+testfull.json:3759-3781).  Here the id index becomes two hash joins against
+the canonical map, and the dangling skip becomes a left_anti side output
+that is counted, never fatal.
+
+Scale notes: the canonical map (distinct entity names) is orders of
+magnitude smaller than the triple stream → broadcast it explicitly.  If the
+map outgrows broadcast (10^9 entities), drop the hint and let AQE pick SMJ
+with skew-split; hot canonical ids on the triple side are handled by
+AQE skew join plus optional salting (functions.ids.salt_col).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stixtoneodb_spark.functions.textfns import canonical_name
+
+
+@dataclass
+class LinkResult:
+    linked: DataFrame   # (conv_id, turn_idx, subj_id, pred, obj_id, subj_label, obj_label, confidence)
+    dropped: DataFrame  # triples with >=1 unresolvable endpoint + reason
+
+
+def link_triples(
+    triples: DataFrame, canon: DataFrame, broadcast_map: bool = True
+) -> LinkResult:
+    """Join raw triples to canonical ids on both endpoints.
+
+    ``canon``: (name, canonical_id, canonical_label) from canonicalize.
+    """
+    cmap = F.broadcast(canon) if broadcast_map else canon
+
+    t = triples.withColumn("subj_name", canonical_name(F.col("subj_text"))).withColumn(
+        "obj_name", canonical_name(F.col("obj_text"))
+    )
+    subj_map = cmap.select(
+        F.col("name").alias("subj_name"),
+        F.col("canonical_id").alias("subj_id"),
+        F.col("canonical_label").alias("subj_label"),
+    )
+    obj_map = cmap.select(
+        F.col("name").alias("obj_name"),
+        F.col("canonical_id").alias("obj_id"),
+        F.col("canonical_label").alias("obj_label"),
+    )
+    joined = t.join(subj_map, "subj_name", "left").join(obj_map, "obj_name", "left")
+
+    linked = joined.where(
+        F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()
+    ).select(
+        "conv_id", "turn_idx", "subj_id", "pred", "obj_id", "subj_label", "obj_label", "confidence"
+    )
+    # Dangling side output (A11): reason string mirrors the reference's log
+    # lines ("references to non-existent objects", README.md:84).
+    dropped = joined.where(
+        F.col("subj_id").isNull() | F.col("obj_id").isNull()
+    ).select(
+        "conv_id",
+        "turn_idx",
+        "subj_text",
+        "pred",
+        "obj_text",
+        F.when(F.col("subj_id").isNull() & F.col("obj_id").isNull(), "both_unresolved")
+        .when(F.col("subj_id").isNull(), "subj_unresolved")
+        .otherwise("obj_unresolved")
+        .alias("reason"),
+    )
+    return LinkResult(linked=linked, dropped=dropped)

@@ -1,0 +1,92 @@
+"""S5 — graph materialize: nodes / edges tables + provenance.
+
+Reference correspondence: SDOs become labeled nodes, SROs become typed
+edges, meta objects become nodes with edges to their subjects
+(/root/reference/README.md:15-17); storage is keyed MERGE on id
+(README.md:75).  Here:
+
+- ``nodes``  = canonical entities ∪ conversation provenance nodes
+- ``edges``  = linked triples ∪ provenance edges (mention→conversation)
+- keys are content-derived sha2 (functions.ids), so MERGE is idempotent
+  across reruns and task retries.
+
+Table layout for scale (documented contract; the parquet fallback writes a
+plain layout, Iceberg DDL applies it): nodes bucketed by id (MERGE becomes
+a storage-partitioned join), edges partitioned by bucket(conv_id) so
+provenance queries prune.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from stixtoneodb_spark.functions.ids import edge_id
+
+
+def entity_nodes(linked: DataFrame, mentions_canon: DataFrame) -> DataFrame:
+    """Canonical entity nodes: (id, node_type, label, n_mentions).
+
+    ``mentions_canon``: mentions joined to canonical map —
+    (conv_id, turn_idx, surface, entity_type, canonical_id, canonical_label).
+    Majority entity_type per canonical id becomes the node label (the SDO
+    type analog); ties broken deterministically by type name.
+    """
+    by_type = mentions_canon.groupBy("canonical_id", "canonical_label", "entity_type").agg(
+        F.count("*").alias("cnt")
+    )
+    w_type = F.struct(F.col("cnt"), F.col("entity_type"))
+    top_type = by_type.groupBy("canonical_id", "canonical_label").agg(
+        F.max(w_type).getField("entity_type").alias("node_type"),
+        F.sum("cnt").alias("n_mentions"),
+    )
+    return top_type.select(
+        F.col("canonical_id").alias("id"),
+        F.col("node_type"),
+        F.col("canonical_label").alias("label"),
+        F.col("n_mentions"),
+    )
+
+
+def conversation_nodes(turns: DataFrame) -> DataFrame:
+    """Provenance nodes, one per conversation (the bundle analog)."""
+    return turns.groupBy("conv_id").agg(
+        F.count("*").alias("n_turns"), F.min("ts").alias("started_at")
+    ).select(
+        F.sha2(F.concat_ws("\x1f", F.lit("conversation"), F.col("conv_id")), 256).alias("id"),
+        F.lit("conversation").alias("node_type"),
+        F.col("conv_id").alias("label"),
+        F.col("n_turns").cast("long").alias("n_mentions"),
+    )
+
+
+def triple_edges(linked: DataFrame) -> DataFrame:
+    """Typed edges from linked triples, keyed deterministically on
+    (src, rel_type, dst, provenance) — the SRO identity analog
+    (testfull.json:110)."""
+    prov = F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))
+    return linked.select(
+        edge_id(F.col("subj_id"), F.col("pred"), F.col("obj_id"), prov).alias("id"),
+        F.col("subj_id").alias("src"),
+        F.col("obj_id").alias("dst"),
+        F.col("pred").alias("rel_type"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.col("confidence"),
+    )
+
+
+def mention_edges(mentions_canon: DataFrame) -> DataFrame:
+    """Provenance edges entity --mentioned_in--> conversation (the
+    created_by_ref / object_refs embedded-edge analog, testfull.json:10,:1355)."""
+    conv_node = F.sha2(F.concat_ws("\x1f", F.lit("conversation"), F.col("conv_id")), 256)
+    prov = F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))
+    return mentions_canon.select(
+        edge_id(F.col("canonical_id"), F.lit("mentioned_in"), conv_node, prov).alias("id"),
+        F.col("canonical_id").alias("src"),
+        conv_node.alias("dst"),
+        F.lit("mentioned_in").alias("rel_type"),
+        F.col("conv_id"),
+        F.col("turn_idx"),
+        F.lit(1.0).alias("confidence"),
+    ).dropDuplicates(["id"])

@@ -1,0 +1,155 @@
+"""End-to-end KG construction pipeline S0→S5 with checkpoints + metrics.
+
+The reference lifecycle is: parse → dispatch → project → resolve refs →
+write, single-threaded, with skip-and-continue error tolerance and logged
+counts (/root/reference/StixToNeoDB.scala:32-58, README.md:83-85,
+changes.md:39).  This module is the distributed equivalent: each stage is a
+DataFrame transformation; materialization points double as resumable
+checkpoints with per-stage lineage + metrics rows (north_rule).
+
+Resume contract: every stage writes its output table plus a
+``_checkpoints`` row (run_id, stage, status, rows, wall_s).  ``run()`` with
+the same run_id skips stages whose checkpoint row is 'done' and whose table
+exists — kill-after-S2-and-resume yields byte-identical outputs because all
+keys are content-derived (functions.ids).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stixtoneodb_spark.plans import assemble, canonicalize, extract, link, materialize
+from stixtoneodb_spark.plans.catalog import ParquetMergeCatalog
+
+
+@dataclass
+class PipelineResult:
+    nodes: DataFrame
+    edges: DataFrame
+    dropped_triples: DataFrame
+    metrics: dict[str, float] = field(default_factory=dict)
+
+
+class KgPipeline:
+    def __init__(self, spark: SparkSession, warehouse: str, run_id: str = "run-0"):
+        self.spark = spark
+        self.catalog = ParquetMergeCatalog(spark, warehouse)
+        self.run_id = run_id
+        self.metrics: dict[str, float] = {}
+
+    # -- checkpoint bookkeeping ------------------------------------------
+    def _ckpt_table(self) -> str:
+        return "_checkpoints"
+
+    def _done(self, stage: str) -> bool:
+        if not self.catalog.exists(self._ckpt_table()):
+            return False
+        df = self.catalog.read(self._ckpt_table())
+        n = (
+            df.where(
+                (F.col("run_id") == self.run_id)
+                & (F.col("stage") == stage)
+                & (F.col("status") == "done")
+            ).count()
+        )
+        return n > 0
+
+    def _mark(self, stage: str, rows: int, wall_s: float) -> None:
+        row = self.spark.createDataFrame(
+            [(self.run_id, stage, "done", rows, float(wall_s))],
+            "run_id string, stage string, status string, rows long, wall_s double",
+        )
+        self.catalog.append(self._ckpt_table(), row)
+        self.metrics[f"{stage}_rows"] = rows
+        self.metrics[f"{stage}_wall_s"] = wall_s
+
+    def _stage(self, name: str, df_fn, table: str, key_col: str | None = None) -> DataFrame:
+        """Run one stage with checkpoint/resume: if done, read the table
+        back (resume path); else compute, persist, mark done."""
+        if self._done(name) and self.catalog.exists(table):
+            return self.catalog.read(table)
+        t0 = time.time()
+        df = df_fn()
+        if key_col is not None:
+            self.catalog.merge_upsert(table, df, key_col)
+        else:
+            self.catalog.overwrite(table, df)
+        out = self.catalog.read(table)
+        self._mark(name, out.count(), time.time() - t0)
+        return out
+
+    # -- the pipeline -----------------------------------------------------
+    def run(
+        self, transcripts: DataFrame, alias_edges: DataFrame | None = None
+    ) -> PipelineResult:
+        spark = self.spark
+
+        # S0: normalize + repartition by conv_id — the pipeline's one
+        # deliberate up-front shuffle, reused by the window/groupBy/
+        # applyInPandas stages downstream.
+        turns = self._stage(
+            "s0_ingest",
+            lambda: assemble.normalize_turns(transcripts).repartition("conv_id"),
+            "turns",
+        )
+
+        # S1 is a view over S0 (window/assembly) — validated in tests; the
+        # materialized artifacts the rest of the pipeline needs are the
+        # mention and triple streams.
+
+        # S2: mentions + raw triples (Arrow-vectorized extraction).
+        mentions = self._stage(
+            "s2_mentions", lambda: extract.detect_mentions(turns), "mentions"
+        )
+        triples_raw = self._stage(
+            "s2_triples", lambda: extract.extract_triples(turns), "triples_raw"
+        )
+
+        # S3: canonical map (LSH + connected components).
+        canon = self._stage(
+            "s3_canonical_map",
+            lambda: canonicalize.canonical_map(mentions, alias_edges=alias_edges),
+            "canonical_map",
+        )
+
+        # S4: link triples on both endpoints; dangling side output.
+        def _link():
+            return link.link_triples(triples_raw, canon).linked
+
+        def _dropped():
+            return link.link_triples(triples_raw, canon).dropped
+
+        linked = self._stage("s4_link", _link, "linked_triples")
+        dropped = self._stage("s4_dropped", _dropped, "dropped_triples")
+
+        # S5: materialize nodes/edges with MERGE semantics.
+        mentions_canon = (
+            mentions.withColumn("name", canonicalize.canonical_name(F.col("surface")))
+            .join(F.broadcast(canon), "name", "inner")
+        )
+
+        def _nodes():
+            ent = materialize.entity_nodes(linked, mentions_canon)
+            conv = materialize.conversation_nodes(turns)
+            return ent.unionByName(conv)
+
+        def _edges():
+            return materialize.triple_edges(linked).unionByName(
+                materialize.mention_edges(mentions_canon)
+            )
+
+        nodes = self._stage("s5_nodes", _nodes, "nodes", key_col="id")
+        edges = self._stage("s5_edges", _edges, "edges", key_col="id")
+
+        # metrics table (reference A14: counting + logging)
+        mrows = [(self.run_id, k, float(v)) for k, v in self.metrics.items()]
+        if mrows:
+            self.catalog.append(
+                "_metrics",
+                spark.createDataFrame(mrows, "run_id string, metric string, value double"),
+            )
+        return PipelineResult(nodes=nodes, edges=edges, dropped_triples=dropped, metrics=dict(self.metrics))
