@@ -128,7 +128,6 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     """
     e = (
         edges.select(F.col("name_a").alias("u"), F.col("name_b").alias("v"))
-        .union(edges.select(F.col("name_b").alias("u"), F.col("name_a").alias("v")))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
@@ -143,25 +142,27 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
 
     prev = signature(e)
     for _ in range(max_iter):
-        # large-star: for each u, m = min(neighbors ∪ self); emit (v, m) for v > u
-        mins = e.groupBy("u").agg(F.min("v").alias("mv")).select(
+        # large-star: over the SYMMETRIZED neighborhood, hang every
+        # strictly-larger neighbor off m(u) = min(N(u) ∪ {u}).
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
             "u", F.least("u", "mv").alias("m")
         )
         large = (
-            e.join(mins, "u")
+            sym.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(mins.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        # small-star: for each u, m = min(neighbors ∪ self); emit (v, m) for v <= u, plus (u, m)
-        mins2 = large.groupBy("u").agg(F.min("v").alias("mv")).select(
-            "u", F.least("u", "mv").alias("m")
+        # small-star: orient edges large→small, then connect u and all its
+        # smaller neighbors to m(u) = min of those neighbors.
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
+        mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
         small = (
-            large.join(mins2, "u")
-            .where(F.col("v") <= F.col("u"))
+            oriented.join(mins2, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins2.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
@@ -173,12 +174,17 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             break
         prev = cur
 
-    # At convergence e is (node, component-min) star edges; symmetrize to
-    # cover component minimums themselves.
-    comp = e.groupBy("u").agg(F.min("v").alias("component")).select(
-        F.col("u").alias("name"), F.least(F.col("u"), F.col("component")).alias("component")
+    # At convergence e is (node → component-min) star edges.  Component
+    # roots appear only on the v side, so add their self-mapping, then take
+    # the min per node (handles the degenerate not-fully-converged case).
+    children = e.select(F.col("u").alias("name"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("name"), F.col("v").alias("component")).distinct()
+    return (
+        children.unionByName(roots)
+        .groupBy("name")
+        .agg(F.min("component").alias("component"))
+        .select("name", F.least("name", "component").alias("component"))
     )
-    return comp
 
 
 def canonical_map(

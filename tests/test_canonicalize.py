@@ -1,0 +1,70 @@
+"""S3 — canonicalization unit tests: CC correctness on a known graph,
+LSH blocking merges known surface variants, determinism."""
+
+import pyspark.sql.functions as F
+
+from stixtoneodb_spark.plans.canonicalize import (
+    canonical_map,
+    candidate_pairs,
+    connected_components,
+)
+
+
+def test_connected_components_on_known_graph(spark):
+    # components: {a,b,c,d} (chain), {x,y}, singleton z not in edges
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "name_a string, name_b string",
+    )
+    comp = {r.name: r.component for r in connected_components(edges).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == "a"
+    assert comp["x"] == comp["y"] == "x"
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    # long path graph: worst case for naive propagation; star algorithm
+    # must still converge within max_iter
+    n = 60
+    edges = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)],
+        "name_a string, name_b string",
+    )
+    comp = connected_components(edges, max_iter=20)
+    assert comp.select("component").distinct().count() == 1
+
+
+def test_lsh_merges_surface_variants(spark):
+    names = spark.createDataFrame(
+        [("zeus",), ("zeus trojan",), ("wannacry",), ("wannacry ransomware",), ("metasploit",)],
+        "name string",
+    )
+    pairs = {(r.name_a, r.name_b) for r in candidate_pairs(names).collect()}
+    assert ("zeus", "zeus trojan") in pairs
+    assert ("wannacry", "wannacry ransomware") in pairs
+    # metasploit matches nothing
+    assert not any("metasploit" in p for p in pairs)
+
+
+def test_canonical_map_deterministic_across_runs(spark):
+    mentions = spark.createDataFrame(
+        [("c1", 0, "Zeus", "malware"), ("c1", 1, "zeus trojan", "malware"),
+         ("c2", 0, "MITRE Corp", "identity"), ("c2", 1, "mitre", "identity")],
+        "conv_id string, turn_idx int, surface string, entity_type string",
+    )
+    m1 = {r.name: r.canonical_id for r in canonical_map(mentions).collect()}
+    m2 = {r.name: r.canonical_id for r in canonical_map(mentions).collect()}
+    assert m1 == m2
+    assert m1["zeus"] == m1["zeus trojan"]
+    # "MITRE Corp" and "mitre" both normalize to the single name "mitre"
+    # (corporate stop-token drop) — the cheap exact tier already merged them
+    assert "mitre" in m1 and "mitre corp" not in m1
+
+
+def test_singletons_get_their_own_component(spark):
+    mentions = spark.createDataFrame(
+        [("c1", 0, "completely unique entity xyz", "tool")],
+        "conv_id string, turn_idx int, surface string, entity_type string",
+    )
+    rows = canonical_map(mentions).collect()
+    assert len(rows) == 1
+    assert rows[0].canonical_label == "completely unique entity xyz"
