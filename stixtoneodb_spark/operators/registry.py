@@ -1,0 +1,352 @@
+"""Registry: operator name → (Spark query fn, DuckDB oracle SQL | None).
+
+This is the driver-contract surface (``__spark_entry__.py``): every
+operator claimed in SURVEY §2 has an entry; oracle SQL is ANSI/DuckDB
+dialect over the pre-registered parquet views.  Entries with ``None``
+oracle are genuinely non-SQL-expressible (hash-seeded LSH structures) and
+get the driver's rows-only check.
+
+Oracle-parity rules (mirrored in operators/relational.py):
+- identical aliases both sides;
+- money aggregates: exact DECIMAL(18,2) sums → ROUND(.., 2) on the decimal
+  → cast DOUBLE (bit-stable across engines and partition orders);
+- ranking windows always carry a unique tie-break column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from stixtoneodb_spark.operators import dedup, multimodal, relational, similarity, text
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_STOP = "'the','a','of','and','to','in','is','it'"
+_VOCAB = "'spark','customer','vector','window','stream'"
+
+
+def _lang_scores_sql() -> str:
+    markers = {
+        "de": "'der','die','das','und'",
+        "en": "'the','a','and','of'",
+        "es": "'el','la','los','que'",
+        "fr": "'le','la','les','et'",
+    }
+    score_cols = ",\n  ".join(
+        f"len(list_filter(string_split(lower(text), ' '), x -> x IN ({w}))) AS score_{lang}"
+        for lang, w in markers.items()
+    )
+    langs = sorted(markers)
+    best = "greatest(" + ", ".join(f"score_{la}" for la in langs) + ")"
+    verdict = "CASE "
+    for lang in langs:
+        verdict += f"WHEN score_{lang} = {best} AND {best} > 0 THEN '{lang}' "
+    verdict += "ELSE 'und' END AS lang_pred"
+    return f"""
+SELECT doc_id, score_de, score_en, score_es, score_fr, {verdict}
+FROM (SELECT doc_id,
+  {score_cols}
+FROM documents)
+"""
+
+
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    # ---- scans / projection / filter ----
+    "scan_project_filter": (
+        relational.scan_project_filter,
+        "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag "
+        "FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'",
+    ),
+    "q1_pricing_summary": (
+        relational.q1_pricing_summary,
+        """
+SELECT l_returnflag, l_linestatus,
+  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
+    ),
+    # ---- joins ----
+    "join_inner_orders_customer": (
+        relational.join_inner_orders_customer,
+        """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+""",
+    ),
+    "join_left_customer_orders": (
+        relational.join_left_customer_orders,
+        """
+SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_name
+""",
+    ),
+    "join_semi_customers_with_orders": (
+        relational.join_semi_customers_with_orders,
+        """
+SELECT c_nationkey, COUNT(*) AS n_customers
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey
+""",
+    ),
+    "join_anti_customers_without_orders": (
+        relational.join_anti_customers_without_orders,
+        """
+SELECT c_custkey, c_name, c_nationkey
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+    ),
+    "q3_shipping_priority": (
+        relational.q3_shipping_priority,
+        """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+      * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15'
+  AND l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+    ),
+    "join_salted_skew_demo": (
+        relational.join_salted_skew_demo,
+        """
+SELECT c_nationkey, COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+""",
+    ),
+    # ---- aggregation ----
+    "agg_count_by_type": (
+        relational.agg_count_by_type,
+        """
+SELECT event_type, COUNT(*) AS n_events, COUNT(DISTINCT user_id) AS n_users,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY event_type
+""",
+    ),
+    "agg_rollup_nation_region": (
+        relational.agg_rollup_nation_region,
+        """
+SELECT r_name, n_name, COUNT(*) AS n_customers,
+  CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+""",
+    ),
+    "distinct_users_per_type": (
+        relational.distinct_users_per_type,
+        "SELECT DISTINCT event_type, user_id FROM events",
+    ),
+    # ---- windows ----
+    "window_rank_orders": (
+        relational.window_rank_orders,
+        """
+SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+    ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rk
+  FROM orders) WHERE rk <= 3
+""",
+    ),
+    "window_lag_events": (
+        relational.window_lag_events,
+        """
+SELECT event_id, user_id,
+  ROUND(value - COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 2) AS value_delta
+FROM events
+""",
+    ),
+    "window_running_sum": (
+        relational.window_running_sum,
+        """
+SELECT event_id, user_id,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_value
+FROM events
+""",
+    ),
+    "sessionize_events": (
+        relational.sessionize_events,
+        """
+SELECT user_id, CAST(MAX(session_seq) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+FROM (
+  SELECT user_id,
+    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM (
+    SELECT user_id, ts, event_id,
+      CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+           THEN 1 ELSE 0 END AS new_session
+    FROM events))
+GROUP BY user_id
+""",
+    ),
+    # ---- sorts / top-k / set ops ----
+    "topk_customers_by_balance": (
+        relational.topk_customers_by_balance,
+        "SELECT c_custkey, c_name, c_acctbal FROM customer "
+        "ORDER BY c_acctbal DESC, c_custkey LIMIT 10",
+    ),
+    "set_except_nations": (
+        relational.set_except_nations,
+        "SELECT DISTINCT c_nationkey AS nationkey FROM customer "
+        "EXCEPT SELECT DISTINCT s_nationkey AS nationkey FROM supplier",
+    ),
+    "set_intersect_users": (
+        relational.set_intersect_users,
+        "SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase' "
+        "INTERSECT SELECT DISTINCT user_id FROM events WHERE event_type = 'error'",
+    ),
+    # ---- scalar families ----
+    "scalar_string_funcs": (
+        relational.scalar_string_funcs,
+        """
+SELECT doc_id, CAST(length(text) AS INTEGER) AS text_len,
+  upper(substring(text, 1, 10)) AS prefix_upper,
+  CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens_ws,
+  concat_ws('|', lang, source) AS lang_source
+FROM documents
+""",
+    ),
+    "scalar_date_funcs": (
+        relational.scalar_date_funcs,
+        """
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month, COUNT(*) AS n_orders,
+  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+FROM orders GROUP BY date_trunc('month', o_orderdate)
+""",
+    ),
+    "scalar_case_buckets": (
+        relational.scalar_case_buckets,
+        """
+SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+            WHEN c_acctbal < 5000 THEN 'low'
+            ELSE 'high' END AS balance_bucket,
+  COUNT(*) AS n_customers
+FROM customer GROUP BY 1
+""",
+    ),
+    "json_extract_events": (
+        relational.json_extract_events,
+        # regexp oracle avoids a DuckDB JSON-extension dependency
+        "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INTEGER) AS k_value "
+        "FROM events",
+    ),
+    # ---- dedup tier ----
+    "dedup_exact": (
+        dedup.dedup_exact,
+        "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies "
+        "FROM documents GROUP BY md5(text)",
+    ),
+    "dedup_exact_rows": (
+        dedup.dedup_exact_rows,
+        """
+SELECT doc_id, lang, source FROM documents
+QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+""",
+    ),
+    "dedup_minhash_lsh": (dedup.dedup_minhash_lsh, None),
+    "dedup_simhash": (dedup.dedup_simhash, None),
+    "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, None),
+    # ---- similarity tier ----
+    "ann_cosine_topk": (
+        similarity.ann_cosine_topk,
+        """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC, e.vec_id) AS rank
+  FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10) q,
+       embeddings e
+  WHERE e.vec_id <> q.query_id)
+WHERE rank <= 5
+""",
+    ),
+    "ann_lsh_bucketed": (similarity.ann_lsh_bucketed, None),
+    "embedding_label_centroid_assign": (similarity.embedding_label_centroid_assign, None),
+    # ---- text-analysis tier ----
+    "text_token_count": (
+        text.text_token_count,
+        """
+SELECT doc_id,
+  CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens_ws,
+  CAST(CEIL(length(text) / 4) AS BIGINT) AS n_tokens_bpe_est,
+  CAST(length(text) AS INTEGER) AS n_chars_actual
+FROM documents
+""",
+    ),
+    "text_quality_score": (
+        text.text_quality_score,
+        f"""
+SELECT doc_id,
+  CAST(len(string_split(lower(text), ' ')) AS INTEGER) AS n_tokens,
+  CAST(FLOOR(COALESCE(list_sum(list_transform(string_split(lower(text), ' '), x -> len(x))), 0) * 100
+    / greatest(len(string_split(lower(text), ' ')), 1)) AS BIGINT) AS mean_token_len_x100,
+  CAST(len(list_filter(string_split(lower(text), ' '), x -> x IN ({_STOP}))) AS INTEGER) AS n_stopwords,
+  CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS INTEGER) AS n_alpha_chars
+FROM documents
+""",
+    ),
+    "text_lang_id": (text.text_lang_id, _lang_scores_sql()),
+    "text_fingerprint": (
+        text.text_fingerprint,
+        "SELECT doc_id, md5(lower(text)) AS content_fp, "
+        "md5(substring(lower(text), 1, 64)) AS prefix_fp FROM documents",
+    ),
+    "text_ngram_top": (
+        text.text_ngram_top,
+        """
+SELECT token, COUNT(*) AS freq FROM (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+WHERE length(token) > 0
+GROUP BY token ORDER BY freq DESC, token LIMIT 20
+""",
+    ),
+    "kg_mentions_sql_portable": (
+        text.kg_mentions_sql_portable,
+        f"""
+SELECT doc_id, token AS mention, COUNT(*) AS n_occurrences FROM (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+WHERE token IN ({_VOCAB})
+GROUP BY doc_id, token
+""",
+    ),
+    "kg_cooccurrence": (
+        text.kg_cooccurrence,
+        f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  WHERE token IN ({_VOCAB}))
+SELECT a.token AS mention_a, b.token AS mention_b, COUNT(*) AS n_docs
+FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+GROUP BY a.token, b.token
+""",
+    ),
+    # ---- multimodal plumbing ----
+    "media_metadata": (
+        multimodal.media_metadata_oracle_view,
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "sha256(text) AS digest FROM documents",
+    ),
+}

@@ -1,0 +1,320 @@
+"""Relational operator queries over the driver tables (SURVEY §2 Part B).
+
+Each function takes (spark, sf_dir) and returns a DataFrame; the matching
+ANSI-SQL oracle lives in ``registry.py``.  Conventions for oracle parity:
+
+- every computed column is explicitly aliased, identically in both engines;
+- floating aggregates are computed as EXACT decimal sums first, then
+  round-cast to double — bit-identical across engines regardless of
+  partial-aggregation order;
+- every query's output is deterministic as a multiset (the driver's compare
+  is order-insensitive).
+
+Scale notes are in each docstring: which side broadcasts, where the
+shuffle lands, what AQE handles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from stixtoneodb_spark.sources.tables import load_table
+
+
+def _dec(col: str) -> Column:
+    return F.col(col).cast("decimal(18,2)")
+
+
+# -- scans / projection / filter -------------------------------------------
+
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + tight projection; predicate and column pruning reach the
+    parquet scan (PushedFilters in explain — the reference has no planner at
+    all, Catalyst gives us this for free, SURVEY §4.2)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "R"))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    )
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: the canonical partial+final hash aggregation.
+    Map-side combine makes the shuffle carry one row per (flag, status)
+    per partition — constant regardless of input scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(_dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# -- joins ------------------------------------------------------------------
+
+def join_inner_orders_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi inner join (the reference's ref-resolution A10 analog).
+    customer is the small dim → broadcast hash join, no shuffle of orders."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def join_left_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with no orders (the optional
+    created_by_ref attach analog, SURVEY §2 Part B)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def join_semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: 'endpoint exists' check — exactly the reference's
+    resolvable-ref test (A10)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def join_anti_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: the dangling-ref skip (A11, README.md:83-85) as a
+    standalone relational op — rows whose key resolves to nothing."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + agg + top-k: broadcast the filtered dims, shuffle only
+    lineitem once; TakeOrderedAndProject caps the result."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderdate") < F.lit("1995-03-15"))
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > F.lit("1995-03-15"))
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+def join_salted_skew_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe join: salt the fact side N ways, replicate the dim side
+    with explode(sequence(...)), join on (key, salt) — the north-rule hot
+    entity discipline.  Result is identical to the plain join (oracle
+    proves it)."""
+    n_salt = 8
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    salted_o = o.withColumn("salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(n_salt)).cast("int"))
+    replicated_c = c.withColumn("salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))))
+    return (
+        salted_o.join(replicated_c, (salted_o.o_custkey == replicated_c.c_custkey)
+                      & (salted_o.salt == replicated_c.salt))
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+# -- aggregation ------------------------------------------------------------
+
+def agg_count_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's logged metric — nodes per label (changes.md:39) —
+    over the events stream table."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum(_dec("value")), 2).cast("double").alias("total_value"),
+    )
+
+
+def agg_rollup_nation_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over the region→nation hierarchy: per-nation, per-region
+    subtotals and grand total in one pass (partial agg + grouping sets)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("total_acctbal"),
+    )
+
+
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.select("event_type", "user_id").distinct()
+
+
+# -- windows ----------------------------------------------------------------
+
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by totalprice: ranking window — the
+    latest-version-wins dedup primitive (A15) generalized."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def window_lag_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user previous-event delta: lag window — the prev-turn context
+    primitive of S1 (SURVEY §2 Part B windows)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(
+            (F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0))).cast("double"), 2
+        ).alias("value_delta"),
+    )
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum(_dec("value")).over(w), 2).cast("double").alias("running_value"),
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative sum —
+    the batch mirror of streaming session windows (SURVEY §2 streaming)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sessioned = e.withColumn("session_seq", F.sum(new_session).over(wrun))
+    return sessioned.groupBy("user_id").agg(
+        F.max("session_seq").cast("long").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# -- sorts / top-k / set ops ------------------------------------------------
+
+def topk_customers_by_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Catalyst plans TakeOrderedAndProject — per-partition
+    heap + driver merge, no global sort shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.orderBy(F.desc("c_acctbal"), "c_custkey")
+        .limit(10)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def set_except_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: nations that have customers but no suppliers."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    return c.select(F.col("c_nationkey").alias("nationkey")).distinct().exceptAll(
+        s.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    )
+
+
+def set_intersect_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersection: users who both purchased and erred."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .intersect(e.where(F.col("event_type") == "error").select("user_id").distinct())
+    )
+
+
+# -- scalar function families ----------------------------------------------
+
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family over documents: length/upper/substr/split-count —
+    all JVM-side built-ins (the hot path stays in codegen)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("text_len"),
+        F.upper(F.substring("text", 1, 10)).alias("prefix_upper"),
+        F.size(F.split("text", " ")).alias("n_tokens_ws"),
+        F.concat_ws("|", "lang", "source").alias("lang_source"),
+    )
+
+
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family over orders: trunc/extract → monthly rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.withColumn("order_month", F.date_trunc("month", "o_orderdate"))
+        .groupBy("order_month")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum(_dec("o_totalprice")), 2).cast("double").alias("revenue"),
+        )
+    )
+
+
+def scalar_case_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expression family: CASE WHEN bucketing."""
+    c = load_table(spark, sf_dir, "customer")
+    bucket = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .otherwise("high")
+    )
+    return c.groupBy(bucket.alias("balance_bucket")).agg(
+        F.count("*").alias("n_customers")
+    )
+
+
+def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: extract a field from the raw props JSON column (the
+    reference's whole input is JSON; A5)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+    )

@@ -1,0 +1,136 @@
+"""Text-analysis operators over the documents table: language ID, quality
+scoring, token counting, fingerprinting.  All JVM-side built-ins; counts
+and integer scores (not floats) wherever oracle-compared.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stixtoneodb_spark.sources.tables import load_table
+
+STOPWORDS_EN = ("the", "a", "of", "and", "to", "in", "is", "it")
+MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "das", "und"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "la", "les", "et"),
+}
+
+
+def _ws_tokens(text: Column) -> Column:
+    """Whitespace tokens of lowercased text (portable: identical semantics
+    in DuckDB via string_split)."""
+    return F.split(F.lower(text), " ")
+
+
+def _count_in(toks: Column, words: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (ceil(chars/4) — the standard bytes-per-token heuristic)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(_ws_tokens(F.col("text"))).alias("n_tokens_ws"),
+        F.ceil(F.length("text") / F.lit(4)).cast("long").alias("n_tokens_bpe_est"),
+        F.length("text").alias("n_chars_actual"),
+    )
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality signals: token count, mean token length (x100, integer —
+    float-format-proof), stopword count, alpha-char count."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    n_tok = F.size(toks)
+    total_tok_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (total_tok_len * 100 / F.greatest(n_tok, F.lit(1))).cast("long").alias("mean_token_len_x100"),
+        _count_in(toks, STOPWORDS_EN).alias("n_stopwords"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).alias("n_alpha_chars"),
+    )
+
+
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: marker-stopword counts per language, argmax
+    with deterministic tie-break (marker count desc, then language name).
+    Emits the per-language scores alongside the verdict so the oracle can
+    check both."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    scores = {lang: _count_in(toks, words) for lang, words in MARKERS.items()}
+    scored = d.select(
+        "doc_id", *[scores[lang].alias(f"score_{lang}") for lang in sorted(MARKERS)]
+    )
+    # argmax via greatest + case chain in alphabetical order (ties -> first)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in sorted(MARKERS)])
+    verdict = F.lit("und")
+    for lang in sorted(MARKERS, reverse=True):
+        verdict = F.when((F.col(f"score_{lang}") == best) & (best > 0), lang).otherwise(verdict)
+    return scored.withColumn("lang_pred", verdict)
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: full content hash + a winnowing-style
+    prefix fingerprint (hash of the first 64 chars of lowercase text)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.lower("text")).alias("content_fp"),
+        F.md5(F.substring(F.lower("text"), 1, 64)).alias("prefix_fp"),
+    )
+
+
+def text_ngram_top(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token frequency: explode tokens → count → top 20 —
+    the vocabulary-building primitive."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(_ws_tokens(F.col("text"))).alias("token"))
+        .where(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.desc("freq"), "token")
+        .limit(20)
+    )
+
+
+def kg_mentions_sql_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mention detection, SQL-portable tier: fixed-vocabulary token match
+    over documents (the oracle-checkable mirror of the pandas-UDF gazetteer
+    detector in plans/extract.py)."""
+    vocab = ("spark", "customer", "vector", "window", "stream")
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token"))
+        .where(F.col("token").isin(*vocab))
+        .groupBy("doc_id", F.col("token").alias("mention"))
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+
+
+def kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity co-occurrence pairs (the flagship 'top co-mentioned pairs'
+    shape): self-join of per-doc mention sets, pair-ordered."""
+    vocab = ("spark", "customer", "vector", "window", "stream")
+    d = load_table(spark, sf_dir, "documents")
+    m = (
+        d.select("doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token"))
+        .where(F.col("token").isin(*vocab))
+        .select("doc_id", "token")
+        .distinct()
+    )
+    a = m.select("doc_id", F.col("token").alias("mention_a"))
+    b = m.select("doc_id", F.col("token").alias("mention_b"))
+    return (
+        a.join(b, "doc_id")
+        .where(F.col("mention_a") < F.col("mention_b"))
+        .groupBy("mention_a", "mention_b")
+        .agg(F.count("*").alias("n_docs"))
+    )
