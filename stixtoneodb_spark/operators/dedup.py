@@ -48,6 +48,9 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_BLOCK = 64  # LSH skew guard: cap membership of degenerate mega-blocks
+
+
 def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor: float) -> DataFrame:
     rows_per_band = num_hashes // num_bands
     sig = (
@@ -57,6 +60,12 @@ def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor:
         .withColumn("band", F.explode(lsh_band_keys(F.col("sig"), num_bands, rows_per_band)))
         .select("band", "doc_id", "sh")
     )
+    # A band key shared by thousands of documents is a degenerate block
+    # (boilerplate-like content): candidate pairs would go quadratic.  Cap
+    # block membership — true near-dups still meet in their other bands.
+    sig = sig.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("band").orderBy("doc_id"))
+    ).where(F.col("rn") <= MAX_BLOCK).drop("rn")
     a = sig.select("band", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
     b = sig.select("band", F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
     pairs = (

@@ -24,7 +24,7 @@ the classic LSH skew guard; components converge in O(log n) iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from stixtoneodb_spark.functions.textfns import (
@@ -34,10 +34,13 @@ from stixtoneodb_spark.functions.textfns import (
     shingles,
 )
 
-NUM_HASHES = 16
+# 8 bands × 3 rows: any-band collision ≈ 86% at Jaccard 0.6 (true variants)
+# but only ~6% at Jaccard 0.2 (unrelated short names sharing a prefix) —
+# the token-blocking tier and alias edges cover the low-Jaccard recall tail.
+NUM_HASHES = 24
 NUM_BANDS = 8
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
-MAX_BLOCK = 64  # LSH skew guard: drop degenerate mega-blocks
+MAX_BLOCK = 32  # LSH skew guard: cap degenerate mega-blocks
 
 
 def normalize_mentions(mentions: DataFrame) -> DataFrame:
@@ -47,69 +50,147 @@ def normalize_mentions(mentions: DataFrame) -> DataFrame:
     )
 
 
-def candidate_pairs(names: DataFrame, threshold: float = 0.55) -> DataFrame:
+def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
     """Verified similar pairs (name_a, name_b) from LSH blocks.
 
     ``names``: one row per distinct normalized name, column ``name``.
-    Exact char-3-shingle Jaccard (and containment, which catches
-    short-vs-long variants like "disco team" ⊂ "disco team threat actor")
-    verifies each LSH candidate pair.
+
+    Verification is **idf-weighted shingle Jaccard**: a shingle's weight is
+    ln(1 + N/df), so rare shingles ("z9a" of a malware name) dominate and
+    boilerplate prefixes ("hos","ost" shared by every "host-..." machine
+    name) contribute nothing.  Plain Jaccard cannot separate true variants
+    ("poison ivy" / "poisonivy rat", j≈0.45) from entity families that
+    share a common prefix ("host 0015 89" / "host 0015 ff", j≈0.65) — the
+    weighted form can.  Token containment (=1.0) additionally catches
+    short-in-long variants ("zeus" ⊂ "zeus trojan").
     """
-    with_sh = (
+    # persisted: every downstream branch (LSH keys, token keys, idf attach)
+    # hangs off this frame — without the persist each branch recomputes the
+    # distinct-names chain
+    base = (
         names.select("name")
         .distinct()
         .withColumn("sh", shingles(F.col("name"), 3))
         .where(F.size("sh") > 0)
+        .persist()
+    )
+    n_names = base.count()
+
+    # idf per shingle, then re-attach as an array aligned with sh: the
+    # candidate verify below is then pure array expressions — no join chain
+    # per candidate pair.
+    sh_tbl = base.select("name", F.explode("sh").alias("s"))
+    idf = sh_tbl.groupBy("s").agg(F.count("*").alias("df")).select(
+        "s", F.log(F.lit(1.0) + F.lit(float(n_names)) / F.col("df")).alias("idf")
+    )
+    with_sh = (
+        sh_tbl.join(idf, "s")
+        .groupBy("name")
+        .agg(F.array_sort(F.collect_list(F.struct("s", "idf"))).alias("shw"))
+        .select(
+            "name",
+            F.transform("shw", lambda x: x.getField("s")).alias("sh"),
+            F.transform("shw", lambda x: x.getField("idf")).alias("idfs"),
+            F.aggregate(
+                F.transform("shw", lambda x: x.getField("idf")),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ).alias("w_total"),
+        )
+        .persist()
     )
     # Two blocking tiers, unioned: (a) MinHash LSH bands — catches
     # high-Jaccard char-level variants; (b) per-token keys — catches
     # containment-style variants ("zeus" ⊂ "zeus trojan") whose Jaccard is
     # too low for the bands to fire reliably.  Both feed the same exact
     # verification, so extra candidates cost only the verify step.
+    cols = ["band", "name", "sh", "idfs", "w_total"]
     lsh_keys = (
         with_sh.withColumn("sig", minhash_signature(F.col("sh"), NUM_HASHES))
         .withColumn("band", F.explode(lsh_band_keys(F.col("sig"), NUM_BANDS, ROWS_PER_BAND)))
-        .select("band", "name", "sh")
+        .select(*cols)
     )
     token_keys = with_sh.withColumn(
         "band", F.explode(F.transform(F.split("name", " "), lambda t: F.concat(F.lit("tok:"), t)))
-    ).select("band", "name", "sh")
+    ).select(*cols)
     sig = lsh_keys.unionByName(token_keys)
     # LSH skew guard: a band key shared by too many names is a degenerate
     # block (stopword-ish); cap membership per block.
-    blocked = sig.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("band").orderBy("name"))
-    ).where(F.col("rn") <= MAX_BLOCK)
+    # persist: the a/b self-join branches below would otherwise recompute
+    # the whole signature pipeline twice
+    blocked = (
+        sig.withColumn("rn", F.row_number().over(Window.partitionBy("band").orderBy("name")))
+        .where(F.col("rn") <= MAX_BLOCK)
+        .persist()
+    )
 
     a = blocked.select(
-        F.col("band"), F.col("name").alias("name_a"), F.col("sh").alias("sh_a")
+        "band",
+        F.col("name").alias("name_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("idfs").alias("idfs_a"),
+        F.col("w_total").alias("w_a"),
     )
     b = blocked.select(
-        F.col("band"), F.col("name").alias("name_b"), F.col("sh").alias("sh_b")
+        "band",
+        F.col("name").alias("name_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("w_total").alias("w_b"),
     )
-    pairs = (
+
+    # Identifier-aware rejection FIRST (cheap string ops): no similarity
+    # measure can separate "cve 2014 0160" / "cve 2017 0144" (different
+    # identifiers, wj≈0.44) from "zeus" / "zeus trojan" (true variant,
+    # wj≈0.21).  Tokens bearing >=2 digits or >=6 hex chars are
+    # identifiers; if BOTH names carry identifiers and share none, the
+    # pair dies here — before the weighted-verify joins, because
+    # identifier families (hostnames, CVEs) produce the bulk of LSH
+    # candidates.
+    def id_tokens(tok_col: Column) -> Column:
+        return F.filter(
+            tok_col,
+            lambda t: (F.length(F.regexp_replace(t, "[^0-9]", "")) >= 2)
+            | t.rlike("^[0-9a-f]{6,}$"),
+        )
+
+    ids_a = id_tokens(F.split("name_a", " "))
+    ids_b = id_tokens(F.split("name_b", " "))
+    id_conflict = (
+        (F.size(ids_a) > 0)
+        & (F.size(ids_b) > 0)
+        & (F.size(F.array_intersect(ids_a, ids_b)) == 0)
+    )
+    cand = (
         a.join(b, "band")
         .where(F.col("name_a") < F.col("name_b"))
-        .select("name_a", "name_b", "sh_a", "sh_b")
+        .where(~id_conflict)
         .dropDuplicates(["name_a", "name_b"])
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    smaller = F.least(F.size("sh_a"), F.size("sh_b")).cast("double")
+
+    # --- idf-weighted verification: pure array expressions ---------------
+    # w_inter = sum of idf over shared shingles (idfs_a is aligned with
+    # sh_a); no join chain per candidate — the weights ride along from the
+    # blocked frame.
+    w_inter = F.aggregate(
+        F.zip_with(
+            F.col("sh_a"),
+            F.col("idfs_a"),
+            lambda s, w: F.when(F.array_contains(F.col("sh_b"), s), w).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = cand.withColumn("w_inter", w_inter).withColumn(
+        "wj", F.col("w_inter") / (F.col("w_a") + F.col("w_b") - F.col("w_inter"))
+    )
     token_a = F.split("name_a", " ")
     token_b = F.split("name_b", " ")
     tok_contain = F.size(F.array_intersect(token_a, token_b)).cast("double") / F.least(
         F.size(token_a), F.size(token_b)
     ).cast("double")
     return (
-        pairs.withColumn("jaccard", inter / union)
-        .withColumn("containment", inter / smaller)
-        .withColumn("tok_containment", tok_contain)
-        .where(
-            (F.col("jaccard") >= threshold)
-            | (F.col("containment") >= 0.85)
-            | (F.col("tok_containment") >= 1.0)
-        )
+        scored.withColumn("tok_containment", tok_contain)
+        .where((F.col("wj") >= threshold) | (F.col("tok_containment") >= 1.0))
         .select("name_a", "name_b")
     )
 
@@ -148,12 +229,13 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         mins = sym.groupBy("u").agg(F.min("v").alias("mv")).select(
             "u", F.least("u", "mv").alias("m")
         )
+        # no distinct here: duplicates are bounded by |sym| and the
+        # small-star distinct collapses them — saves one shuffle per round
         large = (
             sym.join(mins, "u")
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
-            .distinct()
         )
         # small-star: orient edges large→small, then connect u and all its
         # smaller neighbors to m(u) = min of those neighbors.
@@ -202,7 +284,7 @@ def canonical_map(
     components (their own name is the canonical label).
     """
     named = normalize_mentions(mentions)
-    names = named.select("name").distinct()
+    names = named.select("name").distinct().persist()
     pairs = candidate_pairs(names, threshold)
     if alias_edges is not None:
         # only keep alias edges whose endpoints actually occur in the corpus

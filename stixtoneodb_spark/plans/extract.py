@@ -67,6 +67,13 @@ def _gazetteer_patterns() -> list[tuple[re.Pattern, str]]:
             re.IGNORECASE,
         )
         out.append((pat, etype))
+    # pattern rules (non-gazetteer entity shapes): infrastructure hostnames
+    out.append(
+        (
+            re.compile(r"(?<![A-Za-z0-9])(host[- ][0-9a-f]{6})(?![A-Za-z0-9])", re.IGNORECASE),
+            "infrastructure",
+        )
+    )
     return out
 
 

@@ -150,6 +150,14 @@ def _gen_conversation(rng: random.Random, i: int, base_ts: datetime) -> Generate
             surface = rng.choice(GAZETTEER[ent][1])
             text = f"{text} note {surface} here"
             mentions.append((conv_id, t, surface, ent))
+        elif rng.random() < 0.25:
+            # conversation-local entity (hostnames etc.): the vocabulary
+            # grows with corpus size, so canonicalization (LSH + CC) is
+            # data-proportional at bench scale, like real transcripts
+            base = f"host-{rng.randrange(16**6):06x}"
+            variant = rng.choice([base, base.upper(), base.replace("-", " ")])
+            text = f"{text} checked {variant} status"
+            mentions.append((conv_id, t, variant, base))
         if rng.random() < 0.005:
             text = ""  # malformed/empty turn: must be skipped, not fatal
         rows.append((conv_id, t, role, text, tool, ts))
