@@ -1,0 +1,204 @@
+"""Structured Streaming demonstrator tests (SURVEY §2 Streaming, §7 M6).
+
+Strategy: feed the file source a bounded set of parquet chunks, run with
+Trigger.AvailableNow (drain-and-stop), and assert the streaming results
+equal the batch results on the same input — the batch/streaming agreement
+guarantee that makes the demonstrator trustworthy.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stixtoneodb_spark.plans import assemble, extract
+from stixtoneodb_spark.sources.transcripts import transcripts_df
+from stixtoneodb_spark.streaming import ingest
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    """Transcript corpus split into 3 parquet chunk-files (arrival order)."""
+    d = tmp_path_factory.mktemp("stream_in")
+    tr = transcripts_df(spark, 60).persist()
+    # chunk by event-time tertiles: file arrival order matches event time,
+    # as a real at-most-slightly-late stream would, so watermark tests see
+    # no artificial lateness
+    with_s = tr.withColumn("_s", F.unix_timestamp("ts"))
+    t1, t2 = with_s.approxQuantile("_s", [0.33, 0.66], 0.0)
+    bounds = [(None, t1), (t1, t2), (t2, None)]
+    for i, (lo, hi) in enumerate(bounds):
+        chunk = with_s
+        if lo is not None:
+            chunk = chunk.where(F.col("_s") > F.lit(lo))
+        if hi is not None:
+            chunk = chunk.where(F.col("_s") <= F.lit(hi))
+        chunk = chunk.drop("_s")
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(d / f"chunk{i}"))
+    # flatten: file source wants a dir of files; stamp strictly increasing
+    # mtimes so the source's modification-time ordering processes chunks in
+    # arrival (= event-time) order — ties break arbitrarily otherwise
+    flat = tmp_path_factory.mktemp("stream_flat")
+    import glob
+    import os
+    import shutil
+    import time
+
+    now = time.time()
+    for i, f in enumerate(sorted(glob.glob(str(d / "chunk*" / "*.parquet")))):
+        dst = str(flat / f"part{i}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+    tr.unpersist()
+    return str(flat)
+
+
+def _drain(query):
+    query.awaitTermination(300)
+    assert not query.isActive
+
+
+def test_streaming_mentions_equal_batch(spark, stream_dir, tmp_path):
+    """The streamed S0→S2 path emits exactly the batch path's mentions."""
+    stream = ingest.read_transcript_stream(spark, stream_dir, max_files_per_trigger=1)
+    out = (
+        ingest.streaming_mentions(stream)
+        .writeStream.format("memory")
+        .queryName("stream_mentions_t1")
+        .option("checkpointLocation", str(tmp_path / "ckpt1"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(out)
+    streamed = spark.table("stream_mentions_t1")
+
+    batch = extract.detect_mentions(
+        assemble.normalize_turns(spark.read.parquet(stream_dir))
+    )
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+
+
+def test_windowed_mention_counts(spark, stream_dir, tmp_path):
+    """Tumbling-window rollup totals match a batch groupBy on the same data."""
+    # multiple micro-batches so the watermark advances between them (append
+    # mode emits a window only after the watermark passes its end); the
+    # corpus spans ~85 minutes, so a 5-minute watermark closes all but the
+    # tail windows by the final batch.
+    stream = ingest.read_transcript_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        ingest.windowed_mention_counts(stream, watermark="5 minutes", window_dur="10 minutes")
+        .writeStream.format("memory")
+        .queryName("win_counts_t2")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final_wm = q.lastProgress["eventTime"]["watermark"]
+    streamed = spark.table("win_counts_t2")
+
+    turns = assemble.normalize_turns(spark.read.parquet(stream_dir))
+    batch = (
+        turns.select("ts", F.explode(extract.detect_mentions_udf(F.col("text"))).alias("m"))
+        .select(F.window("ts", "10 minutes").alias("win"), F.col("m.entity_type").alias("entity_type"))
+        .groupBy(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "entity_type",
+        )
+        .agg(F.count("*").alias("n_mentions"))
+    )
+    # append mode emits exactly the windows the final watermark has closed —
+    # compare against the batch groupBy restricted to those windows.
+    closed = batch.where(
+        F.col("window_end") <= F.to_timestamp(F.lit(final_wm))
+    ).select("window_start", "entity_type", "n_mentions")
+    assert streamed.count() == closed.count() > 0
+    assert streamed.exceptAll(closed).count() == 0
+    assert closed.exceptAll(streamed).count() == 0
+
+
+def test_session_windows(spark, stream_dir, tmp_path):
+    """Session windows: one session per conversation (gap > intra-conv
+    spacing), turn counts match batch per-conv counts."""
+    stream = ingest.read_transcript_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        ingest.session_windowed_conversations(stream, watermark="5 minutes", gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_t3")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    streamed = spark.table("sessions_t3")
+    batch_counts = (
+        assemble.normalize_turns(spark.read.parquet(stream_dir))
+        .groupBy("conv_id")
+        .agg(F.count("*").alias("n_batch"))
+    )
+    # turn gaps are <= 120s and the session gap is 30min, so each closed
+    # conversation appears as exactly one session carrying all its turns
+    j = streamed.groupBy("conv_id").agg(F.sum("n_turns").alias("n_stream")).join(
+        batch_counts, "conv_id"
+    )
+    assert j.where(F.col("n_stream") != F.col("n_batch")).count() == 0
+    assert streamed.count() > 0
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Re-delivered turns (at-least-once source) are dropped by
+    dropDuplicatesWithinWatermark keyed on (conv_id, turn_idx)."""
+    src = tmp_path / "dup_in"
+    tr = transcripts_df(spark, 10)
+    tr.coalesce(1).write.mode("overwrite").parquet(str(src / "a"))
+    tr.coalesce(1).write.mode("overwrite").parquet(str(src / "b"))  # duplicate delivery
+    import glob
+    import shutil
+
+    flat = tmp_path / "dup_flat"
+    flat.mkdir()
+    for i, f in enumerate(sorted(glob.glob(str(src / "*" / "*.parquet")))):
+        shutil.copy(f, str(flat / f"part{i}.parquet"))
+
+    stream = ingest.read_transcript_stream(spark, str(flat))
+    q = (
+        ingest.dedup_turns_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_t4")
+        .option("checkpointLocation", str(tmp_path / "ckpt4"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    out = spark.table("dedup_t4")
+    assert out.count() == tr.count()
+    assert out.groupBy("conv_id", "turn_idx").count().where(F.col("count") > 1).count() == 0
+
+
+def test_foreach_batch_merge_idempotent(spark, stream_dir, tmp_path):
+    """foreachBatch MERGE sink: streaming mentions land in the catalog
+    keyed on content; re-running the whole stream (fresh checkpoint —
+    worst-case full replay) changes nothing."""
+    wh = str(tmp_path / "wh")
+    stream = ingest.read_transcript_stream(spark, stream_dir)
+    _drain(ingest.start_mention_merge_sink(stream, wh, str(tmp_path / "c1")))
+    # snapshot before the re-run: the second merge atomically swaps the
+    # table's files, so the first DataFrame must be materialized now
+    first_rows = sorted(map(tuple, spark.read.parquet(wh + "/stream_mentions").collect()))
+    n1 = len(first_rows)
+
+    stream2 = ingest.read_transcript_stream(spark, stream_dir)
+    _drain(ingest.start_mention_merge_sink(stream2, wh, str(tmp_path / "c2")))
+    second_rows = sorted(map(tuple, spark.read.parquet(wh + "/stream_mentions").collect()))
+    assert second_rows == first_rows
+
+    batch = extract.detect_mentions(
+        assemble.normalize_turns(spark.read.parquet(stream_dir))
+    )
+    assert n1 == batch.count()
