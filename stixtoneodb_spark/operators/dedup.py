@@ -14,8 +14,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stixtoneodb_spark.functions.textfns import (
-    lsh_band_keys,
-    minhash_signature,
+    minhash_band_table,
     tokens,
     word_shingles,
 )
@@ -52,13 +51,17 @@ MAX_BLOCK = 64  # LSH skew guard: cap membership of degenerate mega-blocks
 
 
 def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor: float) -> DataFrame:
-    rows_per_band = num_hashes // num_bands
-    sig = (
+    # shingle arrays computed once, kept OUT of the band shuffle: the
+    # blocking path below carries only (band, doc_id); shingles re-attach
+    # at candidate cardinality for the exact verify.  At 100 TB the band
+    # shuffle carries ~50-byte rows instead of whole shingle sets.
+    docs = (
         d.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
         .where(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature(F.col("sh"), num_hashes))
-        .withColumn("band", F.explode(lsh_band_keys(F.col("sig"), num_bands, rows_per_band)))
-        .select("band", "doc_id", "sh")
+        .persist()
+    )
+    sig = minhash_band_table(docs, "doc_id", "sh", num_hashes, num_bands).select(
+        "band", "doc_id"
     )
     # A band key shared by thousands of documents is a degenerate block
     # (boilerplate-like content): candidate pairs would go quadratic.  Cap
@@ -66,12 +69,14 @@ def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor:
     sig = sig.withColumn(
         "rn", F.row_number().over(Window.partitionBy("band").orderBy("doc_id"))
     ).where(F.col("rn") <= MAX_BLOCK).drop("rn")
-    a = sig.select("band", F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = sig.select("band", F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    a = sig.select("band", F.col("doc_id").alias("id_a"))
+    b = sig.select("band", F.col("doc_id").alias("id_b"))
     pairs = (
         a.join(b, "band")
         .where(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
@@ -101,30 +106,30 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup candidates.  Pure DataFrame: aggregate over bit positions.
     """
     d = load_table(spark, sf_dir, "documents")
-    toks = tokens(F.col("text"))
-    # bit b of simhash = 1 iff sum over tokens of sign(bit b of xxhash64(tok)) > 0
-    # (bit_get takes a column-valued position; shiftleft does not, so the
-    # pack step uses exact powers of two instead)
-    bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(62)),
-        lambda b: F.aggregate(
-            toks,
-            F.lit(0),
-            lambda acc, t: acc + F.when(F.bit_get(F.xxhash64(t), b) == 1, 1).otherwise(-1),
-        ),
+    # bit b of simhash = 1 iff sum over tokens of sign(bit b of xxhash64(tok)) > 0.
+    # Codegen path: explode tokens, 63 plain sum-aggregates (map-side
+    # partial agg), pack bits as a sum of exact powers of two.  The
+    # higher-order-function form (transform+aggregate lambdas) evaluates
+    # interpreted and was ~20x slower.  explode_outer keeps token-less
+    # documents (signature 0), matching the array-form semantics.
+    ex = d.select(
+        "doc_id", F.explode_outer(tokens(F.col("text"))).alias("t")
     )
-    simhash = F.aggregate(
-        F.zip_with(
-            bit_votes,
-            F.sequence(F.lit(0), F.lit(62)),
-            lambda vote, b: F.when(vote > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            ),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseXOR(x),
-    )
-    sigs = d.select("doc_id", simhash.alias("simhash"))
+    h = F.xxhash64("t")
+    vote = F.when(F.col("t").isNull(), F.lit(0))
+    aggs = [
+        F.sum(
+            vote.otherwise(F.when(F.bit_get(h, F.lit(b)) == 1, 1).otherwise(-1))
+        ).alias(f"v{b}")
+        for b in range(63)
+    ]
+    votes = ex.groupBy("doc_id").agg(*aggs)
+    packed = F.lit(0).cast("long")
+    for b in range(63):
+        packed = packed + F.when(
+            F.col(f"v{b}") > 0, F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    sigs = votes.select("doc_id", packed.alias("simhash"))
     # bucket by signature: identical simhash -> near-dup group
     return (
         sigs.groupBy("simhash")
@@ -138,3 +143,34 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify tier run over LSH candidates (not all pairs)."""
     d = load_table(spark, sf_dir, "documents")
     return _minhash_pairs(d, num_hashes=32, num_bands=16, jaccard_floor=0.8)
+
+
+def dedup_embedding_cosine(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: vectors with cosine above the
+    threshold are duplicate candidates.  (Production near-dup uses ~0.99;
+    the synthetic vectors are near-orthogonal, so the registry binds a
+    data-relative 0.45 to keep the oracle check non-vacuous.)
+
+    Exact form (oracle-checkable): the corpus joined to itself with the
+    dot product as a JVM array expression.  Scale path: replace the
+    self-join with the LSH-bucketed variant (similarity.ann_lsh_bucketed)
+    — same verify expression, candidates from hyperplane buckets instead
+    of the cross product.  The self-join here is bounded to id_a < id_b
+    and exists as the correctness baseline, mirroring how dedup_minhash_lsh
+    is the scale path for dedup_ngram_jaccard.
+    """
+    from stixtoneodb_spark.operators.similarity import _dot, _norm  # noqa: PLC0415
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.withColumn(
+            "cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+        )
+        .where(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )

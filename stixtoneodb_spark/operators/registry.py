@@ -268,6 +268,12 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
     "dedup_minhash_lsh": (dedup.dedup_minhash_lsh, None),
     "dedup_simhash": (dedup.dedup_simhash, None),
     "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, None),
+    "dedup_embedding_cosine": (
+        dedup.dedup_embedding_cosine,
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.45",
+    ),
     # ---- similarity tier ----
     "ann_cosine_topk": (
         similarity.ann_cosine_topk,

@@ -29,8 +29,7 @@ from pyspark.sql import functions as F
 
 from stixtoneodb_spark.functions.textfns import (
     canonical_name,
-    lsh_band_keys,
-    minhash_signature,
+    minhash_band_table,
     shingles,
 )
 
@@ -64,9 +63,9 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
     weighted form can.  Token containment (=1.0) additionally catches
     short-in-long variants ("zeus" ⊂ "zeus trojan").
     """
-    # persisted: every downstream branch (LSH keys, token keys, idf attach)
-    # hangs off this frame — without the persist each branch recomputes the
-    # distinct-names chain
+    # persisted: every downstream branch (LSH keys, token keys, candidate
+    # feature fetch) hangs off this frame — without the persist each branch
+    # recomputes the distinct-names chain
     base = (
         names.select("name")
         .distinct()
@@ -76,67 +75,71 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
     )
     n_names = base.count()
 
-    # idf per shingle, then re-attach as an array aligned with sh: the
-    # candidate verify below is then pure array expressions — no join chain
-    # per candidate pair.
+    # Global work is ONLY the shingle document frequencies (one cheap agg
+    # over the exploded shingles); the idf-weighted per-name arrays are
+    # built later for candidate names alone — at corpus scale the global
+    # collect_list/sort of weighted arrays was pure waste for the >99% of
+    # names that never block with anything.
     sh_tbl = base.select("name", F.explode("sh").alias("s"))
     idf = sh_tbl.groupBy("s").agg(F.count("*").alias("df")).select(
         "s", F.log(F.lit(1.0) + F.lit(float(n_names)) / F.col("df")).alias("idf")
     )
-    with_sh = (
-        sh_tbl.join(idf, "s")
-        .groupBy("name")
-        .agg(F.array_sort(F.collect_list(F.struct("s", "idf"))).alias("shw"))
-        .select(
-            "name",
-            F.transform("shw", lambda x: x.getField("s")).alias("sh"),
-            F.transform("shw", lambda x: x.getField("idf")).alias("idfs"),
-            F.aggregate(
-                F.transform("shw", lambda x: x.getField("idf")),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ).alias("w_total"),
+
+    def weighted_features(name_subset: DataFrame) -> DataFrame:
+        """(name, sh, idfs, w_total) for the given names: idf re-attached
+        as an array aligned with sh, so verification is pure array
+        expressions — no join chain per candidate pair."""
+        return (
+            base.join(name_subset, "name", "left_semi")
+            .select("name", F.explode("sh").alias("s"))
+            .join(idf, "s")
+            .groupBy("name")
+            .agg(F.array_sort(F.collect_list(F.struct("s", "idf"))).alias("shw"))
+            .select(
+                "name",
+                F.transform("shw", lambda x: x.getField("s")).alias("sh"),
+                F.transform("shw", lambda x: x.getField("idf")).alias("idfs"),
+                F.aggregate(
+                    F.transform("shw", lambda x: x.getField("idf")),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ).alias("w_total"),
+            )
         )
-        .persist()
-    )
     # Two blocking tiers, unioned: (a) MinHash LSH bands — catches
     # high-Jaccard char-level variants; (b) per-token keys — catches
     # containment-style variants ("zeus" ⊂ "zeus trojan") whose Jaccard is
     # too low for the bands to fire reliably.  Both feed the same exact
     # verification, so extra candidates cost only the verify step.
-    cols = ["band", "name", "sh", "idfs", "w_total"]
-    lsh_keys = (
-        with_sh.withColumn("sig", minhash_signature(F.col("sh"), NUM_HASHES))
-        .withColumn("band", F.explode(lsh_band_keys(F.col("sig"), NUM_BANDS, ROWS_PER_BAND)))
-        .select(*cols)
+    #
+    # The blocking path carries ONLY (band, name): the shingle/idf arrays
+    # stay out of the band shuffle, the skew-guard sort, the self-join, and
+    # the pair dedup — at corpus scale those wide rows were the dominant
+    # pipeline cost (the arrays rejoin below, but only for the few
+    # candidates that survive blocking + identifier rejection).
+    lsh_keys = minhash_band_table(base, "name", "sh", NUM_HASHES, NUM_BANDS).select(
+        "band", "name"
     )
-    token_keys = with_sh.withColumn(
-        "band", F.explode(F.transform(F.split("name", " "), lambda t: F.concat(F.lit("tok:"), t)))
-    ).select(*cols)
-    sig = lsh_keys.unionByName(token_keys)
+    token_keys = base.select(
+        F.explode(
+            F.transform(F.split("name", " "), lambda t: F.concat(F.lit("tok:"), t))
+        ).alias("band"),
+        "name",
+    )
+    blocked = lsh_keys.unionByName(token_keys)
     # LSH skew guard: a band key shared by too many names is a degenerate
     # block (stopword-ish); cap membership per block.
-    # persist: the a/b self-join branches below would otherwise recompute
-    # the whole signature pipeline twice
     blocked = (
-        sig.withColumn("rn", F.row_number().over(Window.partitionBy("band").orderBy("name")))
+        blocked.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("band").orderBy("name"))
+        )
         .where(F.col("rn") <= MAX_BLOCK)
+        .select("band", "name")
         .persist()
     )
 
-    a = blocked.select(
-        "band",
-        F.col("name").alias("name_a"),
-        F.col("sh").alias("sh_a"),
-        F.col("idfs").alias("idfs_a"),
-        F.col("w_total").alias("w_a"),
-    )
-    b = blocked.select(
-        "band",
-        F.col("name").alias("name_b"),
-        F.col("sh").alias("sh_b"),
-        F.col("w_total").alias("w_b"),
-    )
+    a = blocked.select("band", F.col("name").alias("name_a"))
+    b = blocked.select("band", F.col("name").alias("name_b"))
 
     # Identifier-aware rejection FIRST (cheap string ops): no similarity
     # measure can separate "cve 2014 0160" / "cve 2017 0144" (different
@@ -167,10 +170,33 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
         .dropDuplicates(["name_a", "name_b"])
     )
 
+    # Build idf-weighted features for candidate names only and re-attach
+    # (two hash joins at candidate cardinality — orders of magnitude
+    # smaller than the blocked frame).
+    cand = cand.persist()
+    cand_names = (
+        cand.select(F.col("name_a").alias("name"))
+        .unionByName(cand.select(F.col("name_b").alias("name")))
+        .distinct()
+    )
+    feats = weighted_features(cand_names).persist()
+    feat_a = feats.select(
+        F.col("name").alias("name_a"),
+        F.col("sh").alias("sh_a"),
+        F.col("idfs").alias("idfs_a"),
+        F.col("w_total").alias("w_a"),
+    )
+    feat_b = feats.select(
+        F.col("name").alias("name_b"),
+        F.col("sh").alias("sh_b"),
+        F.col("w_total").alias("w_b"),
+    )
+    cand = cand.join(feat_a, "name_a").join(feat_b, "name_b")
+
     # --- idf-weighted verification: pure array expressions ---------------
     # w_inter = sum of idf over shared shingles (idfs_a is aligned with
     # sh_a); no join chain per candidate — the weights ride along from the
-    # blocked frame.
+    # feature frame.
     w_inter = F.aggregate(
         F.zip_with(
             F.col("sh_a"),

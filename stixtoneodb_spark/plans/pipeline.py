@@ -158,6 +158,28 @@ class KgPipeline:
             )
 
 
+def run_volatile_frames(
+    spark: SparkSession, transcripts: DataFrame, alias_edges: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """S0→S5 with no persistence, returning the (nodes, edges) frames —
+    the composable form used by exports and ad-hoc analysis."""
+    turns = assemble.normalize_turns(transcripts).repartition("conv_id")
+    mentions = extract.detect_mentions(turns)
+    triples_raw = extract.extract_triples(turns)
+    canon = canonicalize.canonical_map(mentions, alias_edges=alias_edges)
+    lr = link.link_triples(triples_raw, canon)
+    mentions_canon = mentions.withColumn(
+        "name", canonicalize.canonical_name(F.col("surface"))
+    ).join(F.broadcast(canon), "name", "inner")
+    nodes = materialize.entity_nodes(lr.linked, mentions_canon).unionByName(
+        materialize.conversation_nodes(turns)
+    )
+    edges = materialize.triple_edges(lr.linked).unionByName(
+        materialize.mention_edges(mentions_canon)
+    )
+    return nodes, edges
+
+
 def run_volatile(
     spark: SparkSession, transcripts: DataFrame, alias_edges: DataFrame | None = None
 ) -> dict[str, int]:

@@ -1,0 +1,72 @@
+"""Export writers: CSV / JSONL round-trip and GraphML document validity."""
+
+from __future__ import annotations
+
+import xml.etree.ElementTree as ET
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from stixtoneodb_spark.operators import export
+from stixtoneodb_spark.plans.pipeline import run_volatile_frames
+from stixtoneodb_spark.sources.transcripts import alias_edges_df, transcripts_df
+
+
+@pytest.fixture(scope="module")
+def graph(spark):
+    tr = transcripts_df(spark, 30)
+    nodes, edges = run_volatile_frames(spark, tr, alias_edges=alias_edges_df(spark))
+    return nodes.persist(), edges.persist()
+
+
+def test_csv_round_trip(spark, graph, tmp_path):
+    nodes, edges = graph
+    export.export_csv(nodes, edges, str(tmp_path))
+    back = spark.read.option("header", True).csv(str(tmp_path / "nodes_csv"))
+    assert back.count() == nodes.count()
+    assert set(back.columns) == set(nodes.columns)
+    eback = spark.read.option("header", True).csv(str(tmp_path / "edges_csv"))
+    assert eback.count() == edges.count()
+
+
+def test_jsonl_round_trip(spark, graph, tmp_path):
+    nodes, edges = graph
+    export.export_jsonl(nodes, edges, str(tmp_path))
+    back = spark.read.json(str(tmp_path / "nodes_json"))
+    assert back.count() == nodes.count()
+    # id set preserved exactly
+    assert (
+        back.select("id").exceptAll(nodes.select("id")).count() == 0
+        and nodes.select("id").exceptAll(back.select("id")).count() == 0
+    )
+
+
+def test_graphml_document(spark, graph, tmp_path):
+    nodes, edges = graph
+    out = str(tmp_path / "graph.graphml")
+    export.export_graphml(nodes, edges, out)
+    tree = ET.parse(out)  # well-formed XML or this raises
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    xml_nodes = tree.findall(".//g:node", ns)
+    xml_edges = tree.findall(".//g:edge", ns)
+    assert len(xml_nodes) == nodes.count()
+    assert len(xml_edges) == edges.count()
+    # every edge endpoint must be a declared node id (the reference's
+    # resolve-refs-before-write invariant carried into the export)
+    ids = {n.get("id") for n in xml_nodes}
+    for e in xml_edges:
+        assert e.get("source") in ids and e.get("target") in ids
+
+
+def test_graphml_escapes_special_chars(spark, tmp_path):
+    nodes = spark.createDataFrame(
+        [("n1", "identity", 'A&B <"Corp">')], "id string, node_type string, label string"
+    ).withColumn("n_mentions", F.lit(1).cast("long"))
+    edges = spark.createDataFrame([], "id string, src string, dst string, rel_type string")
+    out = str(tmp_path / "esc.graphml")
+    export.export_graphml(nodes, edges, out)
+    tree = ET.parse(out)
+    ns = {"g": "http://graphml.graphdrawing.org/xmlns"}
+    label = tree.find(".//g:node/g:data", ns).text
+    assert label == 'A&B <"Corp">'
