@@ -62,13 +62,14 @@ def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor:
     )
     sig = minhash_band_table(docs, "doc_id", "sh", num_hashes, num_bands).select(
         "band", "doc_id"
-    )
+    ).persist()
     # A band key shared by thousands of documents is a degenerate block
-    # (boilerplate-like content): candidate pairs would go quadratic.  Cap
-    # block membership — true near-dups still meet in their other bands.
-    sig = sig.withColumn(
-        "rn", F.row_number().over(Window.partitionBy("band").orderBy("doc_id"))
-    ).where(F.col("rn") <= MAX_BLOCK).drop("rn")
+    # (boilerplate-like content): candidate pairs would go quadratic.  Drop
+    # such blocks wholly — true near-dups still meet in their other bands.
+    # Partial-agg count + semi join, not a per-band window: a row_number
+    # over the band key funnels the hottest band into a single task.
+    band_sizes = sig.groupBy("band").agg(F.count("*").alias("bn"))
+    sig = sig.join(band_sizes.where(F.col("bn") <= MAX_BLOCK), "band", "left_semi")
     a = sig.select("band", F.col("doc_id").alias("id_a"))
     b = sig.select("band", F.col("doc_id").alias("id_b"))
     pairs = (

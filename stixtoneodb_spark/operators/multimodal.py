@@ -78,3 +78,82 @@ def media_metadata_oracle_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Oracle-comparable projection of media_metadata (drops the stub-only
     decoded_ok flag)."""
     return media_metadata(spark, sf_dir).select("doc_id", "n_bytes", "digest")
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def media_resize(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Image-resize stage: Arrow-batched ``mapInPandas`` over binary
+    payloads → fixed-size decoded frames.
+
+    The decode+resample body would call PIL/cv2 (`Image.open(BytesIO(b))
+    .resize((w, h))`); those codecs are absent in this container, so the
+    body is a DETERMINISTIC FAKE (sha256-keyed byte tile of exactly
+    width*height*3 bytes) behind the same schema/batching contract — the
+    Spark-side plumbing (binary in, fixed-size binary out, per-batch
+    memory bounded by arrow.maxRecordsPerBatch) is real and tested.
+    """
+    import hashlib  # noqa: PLC0415
+
+    n_out = width * height * 3
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            def fake_decode(b: bytes) -> bytes:
+                # STUB: real impl = PIL decode + resize; fake = repeat the
+                # payload digest to the exact output geometry
+                seed = hashlib.sha256(b).digest()
+                reps = n_out // len(seed) + 1
+                return (seed * reps)[:n_out]
+
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "resized": pdf["payload"].map(fake_decode),
+                }
+            )
+
+    return media.mapInPandas(resize, RESIZED_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def media_frame_sample(media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
+    """Video frame-sampling stage: one input payload → N frame rows.
+
+    Real impl would ffmpeg-seek keyframes; the STUB slices the payload at
+    fixed strides, preserving the real contract that matters to Spark: a
+    row-expanding mapInPandas (one binary in, up to ``max_frames`` rows
+    out), so downstream per-frame operators (resize, embed) see the same
+    shape they would with real video.
+    """
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                # STUB: real impl = ffmpeg keyframe extraction
+                for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * every_n_bytes : (i + 1) * every_n_bytes]))
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
+
+    return media.mapInPandas(sample, FRAME_SCHEMA)

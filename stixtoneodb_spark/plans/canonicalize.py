@@ -24,7 +24,7 @@ the classic LSH skew guard; components converge in O(log n) iterations.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from stixtoneodb_spark.functions.textfns import (
@@ -112,31 +112,49 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
     # too low for the bands to fire reliably.  Both feed the same exact
     # verification, so extra candidates cost only the verify step.
     #
+    # Identifier-bearing names (hostnames, CVEs, hashes — any name with a
+    # >=2-digit or >=6-hex token) are EXCLUDED from MinHash banding: an
+    # identifier family shares its boilerplate shingles ("host …"), so
+    # LSH banding goes pairwise-quadratic across the family, yet the
+    # id-conflict rule below rejects every such pair anyway — two
+    # identifier names are variants only if they share an identifier
+    # token, and the token tier blocks exactly on those.  This keeps
+    # candidate generation linear in the identifier vocabulary, which at
+    # transcript scale is the bulk of all distinct names.
+    #
     # The blocking path carries ONLY (band, name): the shingle/idf arrays
-    # stay out of the band shuffle, the skew-guard sort, the self-join, and
-    # the pair dedup — at corpus scale those wide rows were the dominant
+    # stay out of the band shuffle, the skew guard, the self-join, and the
+    # pair dedup — at corpus scale those wide rows were the dominant
     # pipeline cost (the arrays rejoin below, but only for the few
     # candidates that survive blocking + identifier rejection).
-    lsh_keys = minhash_band_table(base, "name", "sh", NUM_HASHES, NUM_BANDS).select(
-        "band", "name"
+    has_identifier = F.exists(
+        F.split("name", " "),
+        lambda t: (F.length(F.regexp_replace(t, "[^0-9]", "")) >= 2)
+        | t.rlike("^[0-9a-f]{6,}$"),
     )
+    lsh_keys = minhash_band_table(
+        base.where(~has_identifier), "name", "sh", NUM_HASHES, NUM_BANDS
+    ).select("band", "name")
     token_keys = base.select(
         F.explode(
             F.transform(F.split("name", " "), lambda t: F.concat(F.lit("tok:"), t))
         ).alias("band"),
         "name",
     )
-    blocked = lsh_keys.unionByName(token_keys)
+    # persisted: both the band-size agg and the guarded join read this
+    # frame — without the persist the minhash/token key chain runs twice
+    keys = lsh_keys.unionByName(token_keys).persist()
     # LSH skew guard: a band key shared by too many names is a degenerate
-    # block (stopword-ish); cap membership per block.
-    blocked = (
-        blocked.withColumn(
-            "rn", F.row_number().over(Window.partitionBy("band").orderBy("name"))
-        )
-        .where(F.col("rn") <= MAX_BLOCK)
-        .select("band", "name")
-        .persist()
-    )
+    # block (stopword-ish) — DROP it wholly.  Implemented as a partial-agg
+    # count + join, never a per-band window: a row_number over the band
+    # key funnels the hottest band into one task (the guard itself became
+    # the skew); the hash-agg count combines map-side, so hot bands cost
+    # one long per mapper.  Whole-block drop also beats an arbitrary
+    # keep-first-K: K survivors of a degenerate block are junk candidates.
+    band_sizes = keys.groupBy("band").agg(F.count("*").alias("bn"))
+    blocked = keys.join(
+        band_sizes.where(F.col("bn") <= MAX_BLOCK), "band", "left_semi"
+    ).persist()
 
     a = blocked.select("band", F.col("name").alias("name_a"))
     b = blocked.select("band", F.col("name").alias("name_b"))
@@ -233,6 +251,16 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     (without it the plan doubles every iteration).  Driver-side loop is
     control-flow only — all data movement stays on executors.
     """
+    spark = edges.sparkSession
+    # The similarity graph is orders of magnitude smaller than the corpus
+    # (one edge per verified name pair), so the loop's shuffles are tiny —
+    # let AQE coalesce them by size (usually to one task) instead of
+    # holding defaultParallelism partitions: each extra partition is an
+    # extra task launch per stage, and the loop's cost is pure per-stage
+    # latency.  Scoped to the loop; restored after.
+    pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
+    pf_prev = spark.conf.get(pf_key, "true")
+    spark.conf.set(pf_key, "false")
     e = (
         edges.select(F.col("name_a").alias("u"), F.col("name_b").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -247,8 +275,8 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         ).collect()[0]
         return int(row["c"]), int(row["h"])
 
-    prev = signature(e)
-    for _ in range(max_iter):
+    def alternate(e: DataFrame) -> DataFrame:
+        """One large-star + small-star round as a pure transformation."""
         # large-star: over the SYMMETRIZED neighborhood, hang every
         # strictly-larger neighbor off m(u) = min(N(u) ∪ {u}).
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -269,18 +297,28 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
         mins2 = oriented.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        return (
             oriented.join(mins2, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(mins2.select(F.col("u"), F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        e = small.localCheckpoint(eager=True)
-        cur = signature(e)
-        if cur == prev:
-            break
-        prev = cur
+
+    # Two alternation rounds per materialization: the driver-side barrier
+    # (checkpoint + convergence signature) is the loop's fixed cost and
+    # does not shrink with cores, so halving the barrier count halves the
+    # serial fraction; lineage depth stays bounded at two rounds.
+    try:
+        prev = signature(e)
+        for _ in range(max_iter // 2):
+            e = alternate(alternate(e)).localCheckpoint(eager=True)
+            cur = signature(e)
+            if cur == prev:
+                break
+            prev = cur
+    finally:
+        spark.conf.set(pf_key, pf_prev)
 
     # At convergence e is (node → component-min) star edges.  Component
     # roots appear only on the v side, so add their self-mapping, then take

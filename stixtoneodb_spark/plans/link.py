@@ -32,11 +32,17 @@ class LinkResult:
 
 
 def link_triples(
-    triples: DataFrame, canon: DataFrame, broadcast_map: bool = True
+    triples: DataFrame, canon: DataFrame, broadcast_map: bool = False
 ) -> LinkResult:
     """Join raw triples to canonical ids on both endpoints.
 
     ``canon``: (name, canonical_id, canonical_label) from canonicalize.
+
+    Default is NO forced broadcast: the canonical map grows with the
+    corpus (one row per distinct entity name), and pushing it through the
+    driver serializes a cost that a shuffle join spreads across executors
+    — AQE still converts to broadcast at runtime when the map is actually
+    small.  Pass ``broadcast_map=True`` only for fixed, known-tiny maps.
     """
     cmap = F.broadcast(canon) if broadcast_map else canon
 

@@ -129,7 +129,7 @@ class KgPipeline:
         # S5: materialize nodes/edges with MERGE semantics.
         mentions_canon = (
             mentions.withColumn("name", canonicalize.canonical_name(F.col("surface")))
-            .join(F.broadcast(canon), "name", "inner")
+            .join(canon, "name", "inner")
         )
 
         def _nodes():
@@ -170,7 +170,7 @@ def run_volatile_frames(
     lr = link.link_triples(triples_raw, canon)
     mentions_canon = mentions.withColumn(
         "name", canonicalize.canonical_name(F.col("surface"))
-    ).join(F.broadcast(canon), "name", "inner")
+    ).join(canon, "name", "inner")
     nodes = materialize.entity_nodes(lr.linked, mentions_canon).unionByName(
         materialize.conversation_nodes(turns)
     )
@@ -195,26 +195,48 @@ def run_volatile(
     try:
         mentions = extract.detect_mentions(turns)
         mentions.persist()
-        triples_raw = extract.extract_triples(turns)
+        triples_raw = extract.extract_triples(turns).persist()
         canon = canonicalize.canonical_map(mentions, alias_edges=alias_edges)
         canon.persist()
         lr = link.link_triples(triples_raw, canon)
-        mentions_canon = mentions.withColumn(
-            "name", canonicalize.canonical_name(F.col("surface"))
-        ).join(F.broadcast(canon), "name", "inner")
-        nodes = materialize.entity_nodes(lr.linked, mentions_canon).unionByName(
+        # persist the link output and the canonicalized mention stream:
+        # nodes and edges both read them — without the persist the link
+        # joins and the Arrow extraction under them run once per action.
+        linked = lr.linked.persist()
+        mentions_canon = (
+            mentions.withColumn("name", canonicalize.canonical_name(F.col("surface")))
+            .join(canon, "name", "inner")
+            .persist()
+        )
+        nodes = materialize.entity_nodes(linked, mentions_canon).unionByName(
             materialize.conversation_nodes(turns)
         )
-        edges = materialize.triple_edges(lr.linked).unionByName(
+        edges = materialize.triple_edges(linked).unionByName(
             materialize.mention_edges(mentions_canon)
         )
+        # one action for the graph counts: tag-and-union instead of two
+        # counts — every Spark action is a driver barrier, and barriers
+        # are the part of the wall that does not shrink with cores.
+        counted = (
+            nodes.select(F.lit("n").alias("k"))
+            .unionAll(edges.select(F.lit("e").alias("k")))
+            .groupBy("k")
+            .count()
+            .collect()
+        )
+        by_k = {r["k"]: r["count"] for r in counted}
+        n_raw = triples_raw.count()
+        n_linked = linked.count()
         return {
             "n_turns": turns.count(),
-            "n_nodes": nodes.count(),
-            "n_edges": edges.count(),
-            "n_dropped": lr.dropped.count(),
+            "n_nodes": int(by_k.get("n", 0)),
+            "n_edges": int(by_k.get("e", 0)),
+            # every raw triple lands in exactly one of linked/dropped, so
+            # the dangling count is arithmetic — no third join pass
+            "n_dropped": n_raw - n_linked,
         }
     finally:
         turns.unpersist()
         mentions.unpersist()
         canon.unpersist()
+        triples_raw.unpersist()
