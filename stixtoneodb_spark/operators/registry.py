@@ -267,7 +267,32 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
     ),
     "dedup_minhash_lsh": (dedup.dedup_minhash_lsh, None),
     "dedup_simhash": (dedup.dedup_simhash, None),
-    "dedup_ngram_jaccard": (dedup.dedup_ngram_jaccard, None),
+    # exact all-pairs oracle is valid because at J>=0.8 the 16x2 banding's
+    # miss probability is (1-0.64)^16 ~ 1e-7 — LSH recall is effectively 1
+    "dedup_ngram_jaccard": (
+        dedup.dedup_ngram_jaccard,
+        """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)])
+         END AS sh
+  FROM tok WHERE len(toks) > 0
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.8
+""",
+    ),
     "dedup_embedding_cosine": (
         dedup.dedup_embedding_cosine,
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b "

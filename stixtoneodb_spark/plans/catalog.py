@@ -87,6 +87,32 @@ class ParquetMergeCatalog:
     def append(self, table: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(self._path(table))
 
+    def overwrite_partition(self, table: str, partition: str, df: DataFrame) -> None:
+        """Write one hive-style partition dir (e.g. ``bucket=3``) atomically;
+        other partitions untouched — the parquet stand-in for Iceberg's
+        partition-scoped overwrite."""
+        final = os.path.join(self._path(table), partition)
+        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        df.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(final):
+            old = final + ".old-" + uuid.uuid4().hex[:8]
+            os.rename(final, old)
+            os.rename(tmp, final)
+            shutil.rmtree(old, ignore_errors=True)
+        else:
+            os.makedirs(os.path.dirname(final), exist_ok=True)
+            os.rename(tmp, final)
+
+    def partition_exists(self, table: str, partition: str) -> bool:
+        return os.path.exists(os.path.join(self._path(table), partition, "_SUCCESS"))
+
+    def read_partitioned(self, table: str) -> DataFrame:
+        """Read a table written via overwrite_partition (partition discovery
+        on; no table-level _SUCCESS marker)."""
+        return self.spark.read.option("basePath", self._path(table)).parquet(
+            self._path(table) + "/*"
+        )
+
     def _atomic_write(self, table: str, df: DataFrame) -> None:
         final = self._path(table)
         tmp = final + ".tmp-" + uuid.uuid4().hex[:8]

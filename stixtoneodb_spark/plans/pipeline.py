@@ -35,17 +35,35 @@ class PipelineResult:
 
 
 class KgPipeline:
-    def __init__(self, spark: SparkSession, warehouse: str, run_id: str = "run-0"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        warehouse: str,
+        run_id: str = "run-0",
+        ingest_buckets: int | None = None,
+    ):
+        """``ingest_buckets``: when set, S0 ingests conv_id-hash buckets one
+        at a time, each with its own checkpoint row (run_id, stage, part) —
+        the north-rule per-partition lineage: a killed run resumes at the
+        first incomplete bucket instead of redoing the stage.  On Iceberg
+        the per-bucket scan prunes to one storage partition
+        (``bucket(N, conv_id)``); the parquet fallback re-scans with a
+        pushed filter."""
         self.spark = spark
         self.catalog = ParquetMergeCatalog(spark, warehouse)
         self.run_id = run_id
+        self.ingest_buckets = ingest_buckets
         self.metrics: dict[str, float] = {}
 
     # -- checkpoint bookkeeping ------------------------------------------
     def _ckpt_table(self) -> str:
         return "_checkpoints"
 
-    def _done(self, stage: str) -> bool:
+    CKPT_SCHEMA = (
+        "run_id string, stage string, part long, status string, rows long, wall_s double"
+    )
+
+    def _done(self, stage: str, part: int = -1) -> bool:
         if not self.catalog.exists(self._ckpt_table()):
             return False
         df = self.catalog.read(self._ckpt_table())
@@ -53,19 +71,46 @@ class KgPipeline:
             df.where(
                 (F.col("run_id") == self.run_id)
                 & (F.col("stage") == stage)
+                & (F.col("part") == part)
                 & (F.col("status") == "done")
             ).count()
         )
         return n > 0
 
-    def _mark(self, stage: str, rows: int, wall_s: float) -> None:
+    def _mark(self, stage: str, rows: int, wall_s: float, part: int = -1) -> None:
         row = self.spark.createDataFrame(
-            [(self.run_id, stage, "done", rows, float(wall_s))],
-            "run_id string, stage string, status string, rows long, wall_s double",
+            [(self.run_id, stage, part, "done", rows, float(wall_s))], self.CKPT_SCHEMA
         )
         self.catalog.append(self._ckpt_table(), row)
-        self.metrics[f"{stage}_rows"] = rows
-        self.metrics[f"{stage}_wall_s"] = wall_s
+        suffix = f"_p{part}" if part >= 0 else ""
+        self.metrics[f"{stage}{suffix}_rows"] = rows
+        self.metrics[f"{stage}{suffix}_wall_s"] = wall_s
+
+    # -- per-partition (conv_id-bucket) ingest ----------------------------
+    def ingest_partitioned(
+        self, transcripts: DataFrame, max_buckets: int | None = None
+    ) -> DataFrame:
+        """S0 with per-bucket checkpoints.  ``max_buckets`` (tests/kill
+        simulation) stops after that many buckets — a subsequent call with
+        the same run_id resumes at the first incomplete bucket."""
+        nb = self.ingest_buckets or 1
+        name, table = "s0_ingest", "turns"
+        norm = assemble.normalize_turns(transcripts)
+        todo = range(nb) if max_buckets is None else range(min(nb, max_buckets))
+        for b in todo:
+            part_dir = f"bucket={b}"
+            if self._done(name, part=b) and self.catalog.partition_exists(table, part_dir):
+                continue
+            t0 = time.time()
+            chunk = norm.where(
+                F.pmod(F.xxhash64("conv_id"), F.lit(nb)) == b
+            ).repartition("conv_id")
+            self.catalog.overwrite_partition(table, part_dir, chunk)
+            rows = self.spark.read.parquet(
+                self.catalog._path(table) + "/" + part_dir
+            ).count()
+            self._mark(name, rows, time.time() - t0, part=b)
+        return self.catalog.read_partitioned(table).drop("bucket")
 
     def _stage(self, name: str, df_fn, table: str, key_col: str | None = None) -> DataFrame:
         """Run one stage with checkpoint/resume: if done, read the table
@@ -90,12 +135,16 @@ class KgPipeline:
 
         # S0: normalize + repartition by conv_id — the pipeline's one
         # deliberate up-front shuffle, reused by the window/groupBy/
-        # applyInPandas stages downstream.
-        turns = self._stage(
-            "s0_ingest",
-            lambda: assemble.normalize_turns(transcripts).repartition("conv_id"),
-            "turns",
-        )
+        # applyInPandas stages downstream.  With ingest_buckets set, the
+        # stage checkpoints per conv_id-hash bucket (north-rule lineage).
+        if self.ingest_buckets:
+            turns = self.ingest_partitioned(transcripts)
+        else:
+            turns = self._stage(
+                "s0_ingest",
+                lambda: assemble.normalize_turns(transcripts).repartition("conv_id"),
+                "turns",
+            )
 
         # S1 is a view over S0 (window/assembly) — validated in tests; the
         # materialized artifacts the rest of the pipeline needs are the

@@ -63,7 +63,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Keep broadcast autodetect on; dims in this pipeline are small.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # Local mode runs executors inside the driver JVM: the heap must
+        # hold the persisted stage outputs AND every concurrent task's
+        # working set, or GC becomes a shared bottleneck that caps scaling
+        # (more cores → more concurrent allocation → more GC of the same
+        # heap).  On a real cluster this is per-executor memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "56g"))
         # Shuffle/spill files on tmpfs when available: a cluster gives every
         # executor node its own local NVMe, so per-node shuffle bandwidth
         # scales with the cluster; a single box's root disk does not — it
