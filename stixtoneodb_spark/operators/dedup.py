@@ -47,7 +47,7 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MAX_BLOCK = 64  # LSH skew guard: cap membership of degenerate mega-blocks
+MAX_BLOCK = 256  # LSH skew guard: cap membership of degenerate mega-blocks
 
 
 def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor: float) -> DataFrame:
@@ -55,17 +55,41 @@ def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor:
     # blocking path below carries only (band, doc_id); shingles re-attach
     # at candidate cardinality for the exact verify.  At 100 TB the band
     # shuffle carries ~50-byte rows instead of whole shingle sets.
+    #
+    # Token-less documents (no alnum token at all) are excluded — their
+    # shingle set would be the [""] sentinel, pairing any two of them at
+    # jaccard 1.0, which is not a dedup signal (and disagrees with the
+    # len(toks)>0 population the oracle uses).
+    docs_all = (
+        d.where(F.size(tokens(F.col("text"))) > 0)
+        .select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
+    )
+    # Exact-duplicate pre-collapse: documents with IDENTICAL shingle sets
+    # (byte-identical or punctuation-only variants — the primary cause of
+    # mega near-dup families) are collapsed to one representative BEFORE
+    # banding.  A family of 10k identical docs would otherwise share all
+    # its bands, trip the MAX_BLOCK guard, and silently lose every pair;
+    # collapsed, the family costs one representative in the LSH and its
+    # pairs are reconstructed arithmetically below.
+    fp = docs_all.withColumn(
+        "fp", F.sha2(F.concat_ws("", F.array_sort("sh")), 256)
+    )
+    members = fp.join(
+        fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id")), "fp"
+    ).select("doc_id", "rep_id").persist()
     docs = (
-        d.select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
-        .where(F.size("sh") > 0)
+        fp.join(members.where(F.col("doc_id") == F.col("rep_id")), "doc_id", "left_semi")
+        .select("doc_id", "sh")
         .persist()
     )
     sig = minhash_band_table(docs, "doc_id", "sh", num_hashes, num_bands).select(
         "band", "doc_id"
-    ).persist()
-    # A band key shared by thousands of documents is a degenerate block
-    # (boilerplate-like content): candidate pairs would go quadratic.  Drop
-    # such blocks wholly — true near-dups still meet in their other bands.
+    )
+    # A band key shared by thousands of distinct-content documents is a
+    # degenerate block (boilerplate-like content): candidate pairs would go
+    # quadratic.  Drop such blocks wholly — true near-dups still meet in
+    # their other bands (and exact-dup families are already collapsed
+    # above, so a dropped band can no longer hide a whole family).
     # Partial-agg count + semi join, not a per-band window: a row_number
     # over the band key funnels the hottest band into a single task.
     band_sizes = sig.groupBy("band").agg(F.count("*").alias("bn"))
@@ -81,11 +105,36 @@ def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor:
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (
+    rep_pairs = (
         pairs.withColumn("jaccard", F.round(inter / union, 6))
         .where(F.col("jaccard") >= jaccard_floor)
         .select("id_a", "id_b", "jaccard")
     )
+    # Expand representative pairs back to member pairs.  Cross-group: the
+    # jaccard of (member_a, member_b) equals the representative pair's
+    # (identical shingle sets); within-group: jaccard is exactly 1.0.
+    m_a = members.select(F.col("rep_id").alias("id_a"), F.col("doc_id").alias("mem_a"))
+    m_b = members.select(F.col("rep_id").alias("id_b"), F.col("doc_id").alias("mem_b"))
+    cross = (
+        rep_pairs.join(m_a, "id_a")
+        .join(m_b, "id_b")
+        .select(
+            F.least("mem_a", "mem_b").alias("id_a"),
+            F.greatest("mem_a", "mem_b").alias("id_b"),
+            "jaccard",
+        )
+    )
+    within = (
+        members.alias("x")
+        .join(members.alias("y"), F.col("x.rep_id") == F.col("y.rep_id"))
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("id_a"),
+            F.col("y.doc_id").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,33 +149,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup buckets: 64-bit signature from token hashes.
+    """SimHash near-dup buckets: 32-bit signature from md5 token hashes.
 
     Each token votes its hash bits weighted ±1; the sign vector packs into
     a long.  Documents sharing the full signature (or a band of it) are
-    near-dup candidates.  Pure DataFrame: aggregate over bit positions.
+    near-dup candidates.  Pure DataFrame: aggregate over bit positions,
+    hash family chosen to be cross-engine portable (oracle-checkable).
     """
     d = load_table(spark, sf_dir, "documents")
-    # bit b of simhash = 1 iff sum over tokens of sign(bit b of xxhash64(tok)) > 0.
-    # Codegen path: explode tokens, 63 plain sum-aggregates (map-side
+    # bit b of simhash = 1 iff sum over tokens of sign(bit b of hash(tok)) > 0.
+    # The token hash is the first 32 bits of md5 — a PORTABLE hash (Spark
+    # conv(substr(md5)), DuckDB hex-cast), so the DuckDB oracle reproduces
+    # the signature bit-for-bit; round 1 used xxhash64, which no other
+    # engine can replay, leaving this operator oracle-less.
+    # Codegen path: explode tokens, 32 plain sum-aggregates (map-side
     # partial agg), pack bits as a sum of exact powers of two.  The
     # higher-order-function form (transform+aggregate lambdas) evaluates
-    # interpreted and was ~20x slower.  explode_outer keeps token-less
-    # documents (signature 0), matching the array-form semantics.
-    ex = d.select(
-        "doc_id", F.explode_outer(tokens(F.col("text"))).alias("t")
+    # interpreted and was ~20x slower.  Token-less documents are excluded
+    # (no content signal), matching the dedup-tier population filter.
+    ex = d.where(F.size(tokens(F.col("text"))) > 0).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
     )
-    h = F.xxhash64("t")
-    vote = F.when(F.col("t").isNull(), F.lit(0))
+    n_bits = 32
+    h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
     aggs = [
         F.sum(
-            vote.otherwise(F.when(F.bit_get(h, F.lit(b)) == 1, 1).otherwise(-1))
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{b}")
-        for b in range(63)
+        for b in range(n_bits)
     ]
     votes = ex.groupBy("doc_id").agg(*aggs)
     packed = F.lit(0).cast("long")
-    for b in range(63):
+    for b in range(n_bits):
         packed = packed + F.when(
             F.col(f"v{b}") > 0, F.lit(2**b).cast("long")
         ).otherwise(F.lit(0).cast("long"))
@@ -146,32 +200,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(d, num_hashes=32, num_bands=16, jaccard_floor=0.8)
 
 
+N_GEMM_BLOCKS = 4  # block-pair tiles; scale O(sqrt(cluster)) with corpus
+
+
 def dedup_embedding_cosine(
     spark: SparkSession, sf_dir: str, threshold: float = 0.45
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: vectors with cosine above the
-    threshold are duplicate candidates.  (Production near-dup uses ~0.99;
-    the synthetic vectors are near-orthogonal, so the registry binds a
-    data-relative 0.45 to keep the oracle check non-vacuous.)
+    """Exact embedding-cosine pairs via DISTRIBUTED BLOCKED MATMUL.
 
-    Exact form (oracle-checkable): the corpus joined to itself with the
-    dot product as a JVM array expression.  Scale path: replace the
-    self-join with the LSH-bucketed variant (similarity.ann_lsh_bucketed)
-    — same verify expression, candidates from hyperplane buckets instead
-    of the cross product.  The self-join here is bounded to id_a < id_b
-    and exists as the correctness baseline, mirroring how dedup_minhash_lsh
-    is the scale path for dedup_ngram_jaccard.
+    Exact all-pairs similarity is inherently O(n²) flops, but round 1
+    executed it as an O(n²)-ROW Spark cross join with an interpreted
+    higher-order dot per row — a driver-of-record scale-killer.  This
+    form is the standard blocked-GEMM decomposition: vectors are hashed
+    into B blocks, each unordered block PAIR (p<=q) becomes one task that
+    computes its (n/B x n/B) tile with one float64 BLAS matmul and emits
+    only the above-threshold pairs.  Shuffle volume is O(n·B) vector
+    replications (each vector joins B block-pairs), per-task memory is
+    O((n/B)·dim + (n/B)²) — both tunable via B — and the quadratic flops
+    run inside numpy at memory bandwidth, distributed over B(B+1)/2
+    independent tasks.  For high thresholds (true near-dup, cosine >=
+    0.9) ``similarity.ann_lsh_bucketed`` prunes candidates first; this
+    operator is the exact tier and the oracle anchor.
+
+    (Production near-dup uses ~0.99; the synthetic vectors are
+    near-orthogonal, so the registry binds a data-relative 0.45 to keep
+    the oracle check non-vacuous.)
     """
-    from stixtoneodb_spark.operators.similarity import _dot, _norm  # noqa: PLC0415
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    return (
-        pairs.withColumn(
-            "cosine", _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
-        )
-        .where(F.col("cosine") >= threshold)
-        .select("id_a", "id_b")
+    nb = N_GEMM_BLOCKS
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    blocks = emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(nb)).cast("int"))
+    bpairs = spark.createDataFrame(
+        [(p, q) for p in range(nb) for q in range(p, nb)], "bp int, bq int"
     )
+    rep = blocks.join(
+        F.broadcast(bpairs), (F.col("blk") == F.col("bp")) | (F.col("blk") == F.col("bq"))
+    )
+
+    empty = pd.DataFrame({"id_a": np.array([], dtype=np.int64), "id_b": np.array([], dtype=np.int64)})
+
+    def gemm_tile(key, pdf):
+        p, q = int(key[0]), int(key[1])
+        left = pdf[pdf["blk"] == p].sort_values("vec_id")
+        if len(left) == 0 or (p != q and (pdf["blk"] == q).sum() == 0):
+            return empty
+        ids_l = left["vec_id"].to_numpy()
+        vl = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        vl /= np.maximum(np.linalg.norm(vl, axis=1, keepdims=True), 1e-30)
+        if p == q:
+            scores = vl @ vl.T
+            ii, jj = np.nonzero(np.triu(scores >= threshold, k=1))
+            return pd.DataFrame({"id_a": ids_l[ii], "id_b": ids_l[jj]})
+        right = pdf[pdf["blk"] == q].sort_values("vec_id")
+        ids_r = right["vec_id"].to_numpy()
+        vr = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        vr /= np.maximum(np.linalg.norm(vr, axis=1, keepdims=True), 1e-30)
+        ii, jj = np.nonzero((vl @ vr.T) >= threshold)
+        la, rb = ids_l[ii], ids_r[jj]
+        return pd.DataFrame({"id_a": np.minimum(la, rb), "id_b": np.maximum(la, rb)})
+
+    return rep.groupBy("bp", "bq").applyInPandas(gemm_tile, "id_a long, id_b long")

@@ -156,6 +156,13 @@ GROUP BY ROLLUP (r_name, n_name)
         relational.distinct_users_per_type,
         "SELECT DISTINCT event_type, user_id FROM events",
     ),
+    # the HLL estimate is engine-specific; the contract checked is
+    # "estimate within ±5% of exact" (rsd=0.02), emitted as a boolean
+    "approx_distinct_users": (
+        relational.approx_distinct_users,
+        "SELECT event_type, COUNT(DISTINCT user_id) AS exact_users, "
+        "TRUE AS approx_within_5pct FROM events GROUP BY event_type",
+    ),
     # ---- windows ----
     "window_rank_orders": (
         relational.window_rank_orders,
@@ -265,8 +272,63 @@ SELECT doc_id, lang, source FROM documents
 QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 """,
     ),
-    "dedup_minhash_lsh": (dedup.dedup_minhash_lsh, None),
-    "dedup_simhash": (dedup.dedup_simhash, None),
+    # exact all-pairs oracle is valid at floor 0.5 because every actual
+    # pair in the corpus sits at J>=0.9 with the next pair down at J=0.067
+    # (measured): banding miss probability at J>=0.9 with 16 bands x 2
+    # rows is (1-0.81)^16 ~ 3e-12, so LSH recall is exactly 1 here, and no
+    # pair lies near the 0.5 boundary to flip on rounding.
+    "dedup_minhash_lsh": (
+        dedup.dedup_minhash_lsh,
+        """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)])
+         END AS sh
+  FROM tok WHERE len(toks) > 0
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+WHERE jaccard >= 0.5
+""",
+    ),
+    # portable-hash simhash: the oracle replays the identical md5-based
+    # signature (DuckDB hex-cast of the first 8 md5 hex chars == Spark
+    # conv(substr(md5,1,8),16,10)), so the check is full value equality
+    "dedup_simhash": (
+        dedup.dedup_simhash,
+        f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(toks) AS t FROM tok WHERE len(toks) > 0
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM ex
+), votes AS (
+  SELECT doc_id,
+  {", ".join(f"SUM(CASE WHEN ((hv >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(32))}
+  FROM h GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id,
+  ({" + ".join(f"CASE WHEN v{b} > 0 THEN {2**b}::BIGINT ELSE 0::BIGINT END" for b in range(32))}) AS simhash
+  FROM votes
+)
+SELECT simhash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_id
+FROM sigs GROUP BY simhash HAVING COUNT(*) > 1
+""",
+    ),
     # exact all-pairs oracle is valid because at J>=0.8 the 16x2 banding's
     # miss probability is (1-0.64)^16 ~ 1e-7 — LSH recall is effectively 1
     "dedup_ngram_jaccard": (
@@ -313,8 +375,71 @@ SELECT query_id, neighbor_id, rank FROM (
 WHERE rank <= 5
 """,
     ),
-    "ann_lsh_bucketed": (similarity.ann_lsh_bucketed, None),
-    "embedding_label_centroid_assign": (similarity.embedding_label_centroid_assign, None),
+    # same-spec cross-engine oracle: hyperplane signs derive from md5
+    # nibbles (portable), so DuckDB re-runs the ENTIRE LSH — identical
+    # planes, buckets, banding and exact verify — independently.  On the
+    # near-orthogonal synthetic vectors the 32x8 banding recovers ~64% of
+    # the cosine>=0.45 pairs (p(0.45)^8 per band, OR over 32 bands) —
+    # non-vacuous — and both engines recover the SAME subset by
+    # construction; at the production near-dup regime (cosine>=0.9) the
+    # identical parameters give recall ~1-2e-5 (tests/test_similarity.py
+    # plants such pairs and asserts full recall).
+    "ann_lsh_bucketed": (
+        similarity.ann_lsh_bucketed,
+        f"""
+WITH planes AS (
+  SELECT d.range AS dim, p.range AS plane,
+         CASE WHEN (strpos('0123456789abcdef',
+                           substr(md5('hp:' || d.range || ':' || p.range), 1, 1)) - 1) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM range(64) d, range({similarity.N_BANDS * similarity.BITS_PER_BAND}) p
+), dims AS (
+  SELECT vec_id, unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) - 1 AS dim
+  FROM embeddings
+), dots AS (
+  SELECT vec_id, plane, SUM(val * s) AS dot
+  FROM dims JOIN planes USING (dim) GROUP BY vec_id, plane
+), buckets AS (
+  SELECT vec_id, plane // {similarity.BITS_PER_BAND} AS band,
+         string_agg(CASE WHEN dot > 0 THEN '1' ELSE '0' END, ''
+                    ORDER BY plane % {similarity.BITS_PER_BAND}) AS bucket
+  FROM dots GROUP BY vec_id, plane // {similarity.BITS_PER_BAND}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b FROM cand
+JOIN embeddings ea ON ea.vec_id = cand.id_a
+JOIN embeddings eb ON eb.vec_id = cand.id_b
+WHERE list_cosine_similarity(ea.embedding, eb.embedding) >= {similarity.COSINE_FLOOR}
+""",
+    ),
+    "embedding_label_centroid_assign": (
+        similarity.embedding_label_centroid_assign,
+        """
+WITH dims AS (
+  SELECT vec_id, label, unnest(embedding) AS val,
+         generate_subscripts(embedding, 1) AS dim
+  FROM embeddings
+), cent AS (
+  SELECT label AS centroid_label, dim, avg(val) AS cval
+  FROM dims GROUP BY label, dim
+), cvec AS (
+  SELECT centroid_label, list(cval ORDER BY dim) AS centroid
+  FROM cent GROUP BY centroid_label
+), scored AS (
+  SELECT e.vec_id, e.label AS true_label, c.centroid_label,
+         list_cosine_similarity(e.embedding, c.centroid) AS cosine
+  FROM embeddings e, cvec c
+)
+SELECT vec_id, true_label, assigned_label FROM (
+  SELECT vec_id, true_label, centroid_label AS assigned_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, centroid_label) AS rk
+  FROM scored) WHERE rk = 1
+""",
+    ),
     # ---- text-analysis tier ----
     "text_token_count": (
         text.text_token_count,

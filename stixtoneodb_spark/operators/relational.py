@@ -179,6 +179,34 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("event_type", "user_id").distinct()
 
 
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user estimate per event type — the
+    monitoring-tier aggregate for the 10^12-turn variant (SURVEY §2 Part B
+    names approx_count_distinct): the sketch shuffles O(registers) per
+    group instead of O(distinct keys), the difference between a metrics
+    query and a full shuffle at corpus scale.
+
+    Oracle contract: the estimate itself is engine-specific, so the query
+    emits the EXACT count plus a boolean asserting the estimate landed
+    within ±5% of it (rsd=0.02 → well inside); the oracle predicts
+    (exact, TRUE).  HLL++ is deterministic for fixed input, so the check
+    is stable.
+    """
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.col("exact_users") * F.lit(0.05)
+        ).alias("approx_within_5pct"),
+    )
+
+
 # -- windows ----------------------------------------------------------------
 
 def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,99 @@
+"""Embedding/ANN tier tests.
+
+The registry oracles (tools/check_oracles.py, driver CORRECTNESS) prove
+cross-engine value equality on the driver tables; these tests prove the
+properties the oracles cannot see:
+
+- LSH recall at the production near-dup regime: planted pairs at cosine
+  >= 0.95 MUST all be recovered by the 32x8 banding (miss probability
+  ~(1-0.899^8)^32 < 1e-7 per pair — a miss here is a real bug, not bad
+  luck).
+- exact operators (blocked-GEMM pair enumeration, top-k) agree with a
+  brute-force numpy reference on the same vectors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from stixtoneodb_spark.operators import dedup, similarity
+
+N_BASE = 30
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    """An embeddings.parquet with 30 random unit vectors + 30 near-dups
+    (cosine >= 0.95 with their base), shaped like the driver table."""
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal((N_BASE, DIM))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = rng.standard_normal((N_BASE, DIM)) * 0.05
+    near = base + noise
+    near /= np.linalg.norm(near, axis=1, keepdims=True)
+    vecs = np.concatenate([base, near]).astype(np.float32)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(2 * N_BASE, dtype=np.int64),
+            "embedding": [v for v in vecs],
+            "label": np.zeros(2 * N_BASE, dtype=np.int32),
+        }
+    )
+    d = tmp_path_factory.mktemp("planted")
+    pdf.to_parquet(d / "embeddings.parquet")
+    # ground truth pairs at the operators' 0.45 floor, in float64
+    v64 = vecs.astype(np.float64)
+    v64 /= np.linalg.norm(v64, axis=1, keepdims=True)
+    scores = v64 @ v64.T
+    ii, jj = np.nonzero(np.triu(scores >= 0.45, k=1))
+    truth = {(int(a), int(b)) for a, b in zip(ii, jj)}
+    planted = {(i, i + N_BASE) for i in range(N_BASE)}
+    assert planted <= truth  # the noise kept every planted pair above floor
+    return str(d), truth, planted, v64
+
+
+def test_lsh_recall_at_near_dup_regime(spark, planted_dir):
+    d, _truth, planted, _v = planted_dir
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in similarity.ann_lsh_bucketed(spark, d).collect()
+    }
+    missed = planted - got
+    assert not missed, f"LSH missed planted near-dup pairs: {sorted(missed)[:5]}"
+    # everything LSH emits must be a true >=0.45 pair (exact verify tier)
+    assert got <= _truth
+
+
+def test_blocked_gemm_equals_bruteforce(spark, planted_dir):
+    d, truth, _planted, _v = planted_dir
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.dedup_embedding_cosine(spark, d).collect()
+    }
+    assert got == truth
+
+
+def test_ann_topk_equals_bruteforce(spark, planted_dir):
+    d, _truth, _planted, v64 = planted_dir
+    scores = v64 @ v64.T
+    np.fill_diagonal(scores, -np.inf)
+    want = {}
+    for q in range(similarity.N_QUERIES):
+        order = np.lexsort((np.arange(len(v64)), -scores[q]))[: similarity.TOP_K]
+        want.update({(q, int(n)): r + 1 for r, n in enumerate(order)})
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in similarity.ann_cosine_topk(spark, d).collect()
+    }
+    assert got == want
+
+
+def test_centroid_assign_shapes(spark, planted_dir):
+    d, *_ = planted_dir
+    rows = similarity.embedding_label_centroid_assign(spark, d).collect()
+    assert len(rows) == 2 * N_BASE
+    # single label corpus: every vector must be assigned to it
+    assert {r["assigned_label"] for r in rows} == {0}
