@@ -90,6 +90,8 @@ def worker_pipeline(cores: int) -> None:
     warm = transcripts_df_distributed(spark, 500, slices=8)
     run_volatile(spark, warm, alias_edges=aliases)
 
+    spark.catalog.clearCache()
+
     tr = spark.read.parquet(_corpus_path())
     walls = []
     n_turns = 0
@@ -98,6 +100,10 @@ def worker_pipeline(cores: int) -> None:
         stats = run_volatile(spark, tr, alias_edges=aliases)
         walls.append(time.time() - t0)
         n_turns = stats["n_turns"]
+        # release any operator-internal persists so run k+1 starts from
+        # the same executor-memory state as run k (cache accumulation
+        # across repeated invocations skews min-of-N timings)
+        spark.catalog.clearCache()
     print(json.dumps({"cores": cores, "walls": walls, "n_turns": n_turns, "stats": stats}))
 
 
@@ -109,9 +115,11 @@ def worker_queries() -> None:
     for name in HEADLINE_QUERIES:
         fn, _ = REGISTRY[name]
         fn(spark, SF_DIR).count()  # warm-up
+        spark.catalog.clearCache()
         t0 = time.time()
         fn(spark, SF_DIR).count()
         qtimes[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()  # operator-internal persists must not leak into the next query's timing
     print(json.dumps({"queries": qtimes}))
 
 
@@ -189,9 +197,10 @@ def _write_bench_md(r: dict) -> None:
         "because at local[32] executor threads contend with the JVM's own",
         "service threads on the 32-thread host — a real 4N cluster adds memory",
         "bandwidth with nodes; a saturated single box does not.  A taskset-",
-        "pinned variant (whole process tree confined to N cores) was also",
-        "measured: it slows the high level ~7% and leaves the low level",
-        "unchanged (pinned efficiency 0.72 vs unpinned 0.77 at 9.3M turns).",
+        "pinned variant (whole process tree confined to N cores) exists as",
+        "`_run_worker(pin_cores=...)`; the pinned-vs-unpinned sensitivity for",
+        "a given host/scale is a one-off measurement, recorded in BASELINE.md",
+        "prose rather than restated here.",
         "",
         "| measurement | value |",
         "|---|---|",

@@ -45,6 +45,25 @@ class ParquetMergeCatalog:
     def _path(self, table: str) -> str:
         return os.path.join(self.warehouse, table)
 
+    def _staging(self, *parts: str) -> str:
+        """All tmp/old dirs live under ``<warehouse>/_staging`` — OUTSIDE
+        every table dir and behind a ``_`` prefix, so neither partition
+        discovery nor a ``table/*`` glob can ever read a half-written or
+        superseded copy.  (Round 1 staged ``bucket=N.tmp-xxxx`` INSIDE the
+        table dir: a kill mid-write left dirs that Hive partition
+        discovery happily parsed as ``bucket='N.tmp-xxxx'`` — a resumed
+        run silently read duplicated/stale rows.)"""
+        p = os.path.join(self.warehouse, "_staging", *parts)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        return p
+
+    def sweep_staging(self) -> None:
+        """Drop leftovers of killed writers.  Safe at the start of any
+        resumed run: staging holds only (a) writes that never got renamed
+        into place — their checkpoint row was never marked done, so the
+        stage re-runs — and (b) superseded old copies awaiting delete."""
+        shutil.rmtree(os.path.join(self.warehouse, "_staging"), ignore_errors=True)
+
     def exists(self, table: str) -> bool:
         return os.path.exists(os.path.join(self._path(table), "_SUCCESS"))
 
@@ -87,20 +106,83 @@ class ParquetMergeCatalog:
     def append(self, table: str, df: DataFrame) -> None:
         df.write.mode("append").parquet(self._path(table))
 
+    def merge_upsert_bucketed(
+        self,
+        table: str,
+        source: DataFrame,
+        key_col: str,
+        n_buckets: int = 16,
+        version_col: str | None = None,
+    ) -> None:
+        """MERGE with BOUNDED I/O: the table lives as ``bucket=K`` hash
+        partitions of the key; a merge rewrites only the buckets the
+        source batch touches.  This is the parquet stand-in for Iceberg's
+        partition-pruned MERGE INTO on a ``bucket(N, key)`` spec — the
+        plain ``merge_upsert`` re-reads and rewrites the WHOLE table per
+        call, which under a streaming foreachBatch sink (one merge per
+        micro-batch) is quadratic total I/O over the stream's life.
+
+        Touched-bucket discovery is a distinct over the small bucket-id
+        domain (≤ n_buckets rows collected); each touched bucket then
+        merges and swaps independently via overwrite_partition.
+        """
+        src = source.dropDuplicates([key_col]).withColumn(
+            "_bucket", F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).cast("int")
+        )
+        src.persist()
+        try:
+            touched = sorted(
+                r["_bucket"] for r in src.select("_bucket").distinct().collect()
+            )
+            for b in touched:
+                part = f"bucket={b}"
+                batch = src.where(F.col("_bucket") == b).drop("_bucket")
+                if self.partition_exists(table, part):
+                    existing = self.spark.read.parquet(
+                        os.path.join(self._path(table), part)
+                    )
+                    tagged = existing.withColumn("_prio", F.lit(0)).unionByName(
+                        batch.withColumn("_prio", F.lit(1))
+                    )
+                    if version_col is not None:
+                        order = [F.col(version_col).desc(), F.col("_prio").asc()]
+                    else:
+                        order = [F.col("_prio").asc()]
+                    w = Window.partitionBy(key_col).orderBy(*order)
+                    merged = (
+                        tagged.withColumn("_rn", F.row_number().over(w))
+                        .where(F.col("_rn") == 1)
+                        .drop("_rn", "_prio")
+                    )
+                else:
+                    merged = batch
+                self.overwrite_partition(table, part, merged)
+        finally:
+            src.unpersist()
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        """Read a table maintained by merge_upsert_bucketed (drops the
+        physical bucket column)."""
+        return self.read_partitioned(table).drop("bucket")
+
     def overwrite_partition(self, table: str, partition: str, df: DataFrame) -> None:
         """Write one hive-style partition dir (e.g. ``bucket=3``) atomically;
         other partitions untouched — the parquet stand-in for Iceberg's
-        partition-scoped overwrite."""
+        partition-scoped overwrite.  Staged outside the table dir (see
+        ``_staging``) so a kill at any point leaves the table readable:
+        either the old partition intact, or — in the instant between the
+        two renames — the partition absent, which the checkpoint layer
+        treats as not-done and re-runs."""
         final = os.path.join(self._path(table), partition)
-        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        tmp = self._staging(table, partition + ".tmp-" + uuid.uuid4().hex[:8])
         df.write.mode("overwrite").parquet(tmp)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
         if os.path.exists(final):
-            old = final + ".old-" + uuid.uuid4().hex[:8]
+            old = tmp + ".old"
             os.rename(final, old)
             os.rename(tmp, final)
             shutil.rmtree(old, ignore_errors=True)
         else:
-            os.makedirs(os.path.dirname(final), exist_ok=True)
             os.rename(tmp, final)
 
     def partition_exists(self, table: str, partition: str) -> bool:
@@ -115,10 +197,10 @@ class ParquetMergeCatalog:
 
     def _atomic_write(self, table: str, df: DataFrame) -> None:
         final = self._path(table)
-        tmp = final + ".tmp-" + uuid.uuid4().hex[:8]
+        tmp = self._staging(table + ".tmp-" + uuid.uuid4().hex[:8])
         df.write.mode("overwrite").parquet(tmp)
         if os.path.exists(final):
-            old = final + ".old-" + uuid.uuid4().hex[:8]
+            old = tmp + ".old"
             os.rename(final, old)
             os.rename(tmp, final)
             shutil.rmtree(old, ignore_errors=True)

@@ -120,10 +120,18 @@ def start_mention_merge_sink(
     warehouse: str,
     checkpoint_dir: str,
     table: str = "stream_mentions",
+    n_buckets: int = 16,
 ):
     """foreachBatch sink: MERGE each micro-batch's mentions into the
     catalog, exactly as batch S5 does (idempotent on the content key, so
     micro-batch replay after failure cannot duplicate rows).
+
+    The merge is BUCKETED (``merge_upsert_bucketed``): each micro-batch
+    rewrites only the key-hash buckets it touches, so the sink's I/O per
+    batch is proportional to the batch, not to the accumulated table —
+    the full-table read-merge-overwrite form was quadratic total I/O
+    over a long stream's life.  Read the table back with
+    ``catalog.read_bucketed(table)``.
 
     Returns the StreamingQuery; caller awaits termination.  Uses
     ``Trigger.AvailableNow`` so the query drains the available input and
@@ -141,7 +149,7 @@ def start_mention_merge_sink(
                 256,
             ),
         )
-        catalog.merge_upsert(table, keyed, key_col="id")
+        catalog.merge_upsert_bucketed(table, keyed, key_col="id", n_buckets=n_buckets)
 
     mentions = streaming_mentions(stream)
     return (

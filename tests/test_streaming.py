@@ -185,17 +185,20 @@ def test_foreach_batch_merge_idempotent(spark, stream_dir, tmp_path):
     """foreachBatch MERGE sink: streaming mentions land in the catalog
     keyed on content; re-running the whole stream (fresh checkpoint —
     worst-case full replay) changes nothing."""
+    from stixtoneodb_spark.plans.catalog import ParquetMergeCatalog
+
     wh = str(tmp_path / "wh")
+    catalog = ParquetMergeCatalog(spark, wh)
     stream = ingest.read_transcript_stream(spark, stream_dir)
     _drain(ingest.start_mention_merge_sink(stream, wh, str(tmp_path / "c1")))
     # snapshot before the re-run: the second merge atomically swaps the
-    # table's files, so the first DataFrame must be materialized now
-    first_rows = sorted(map(tuple, spark.read.parquet(wh + "/stream_mentions").collect()))
+    # touched buckets, so the first DataFrame must be materialized now
+    first_rows = sorted(map(tuple, catalog.read_bucketed("stream_mentions").collect()))
     n1 = len(first_rows)
 
     stream2 = ingest.read_transcript_stream(spark, stream_dir)
     _drain(ingest.start_mention_merge_sink(stream2, wh, str(tmp_path / "c2")))
-    second_rows = sorted(map(tuple, spark.read.parquet(wh + "/stream_mentions").collect()))
+    second_rows = sorted(map(tuple, catalog.read_bucketed("stream_mentions").collect()))
     assert second_rows == first_rows
 
     batch = extract.detect_mentions(
