@@ -38,6 +38,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     p.add_argument("--master", default=None, help="override master (dev only; spark-submit sets it)")
     p.add_argument("--export-graphml", default=None, metavar="PATH", help="also export GraphML document")
+    p.add_argument("--export-cypher", default=None, metavar="PATH", help="also export Cypher statements")
     args = p.parse_args(argv)
 
     from stixtoneodb_spark.session import get_spark
@@ -66,6 +67,10 @@ def main(argv: list[str] | None = None) -> int:
         from stixtoneodb_spark.operators.export import export_graphml
 
         export_graphml(result.nodes, result.edges, args.export_graphml)
+    if args.export_cypher:
+        from stixtoneodb_spark.operators.export import export_cypher
+
+        export_cypher(result.nodes, result.edges, args.export_cypher)
     print(json.dumps({"mode": "batch", "run_id": args.run_id, "metrics": result.metrics}))
     return 0
 

@@ -83,6 +83,78 @@ def export_jsonl(nodes: DataFrame, edges: DataFrame, out_dir: str) -> None:
     edges.write.mode("overwrite").json(os.path.join(out_dir, "edges_json"))
 
 
+def _cypher_escape(col):
+    """Escape a value for a single-quoted Cypher string literal."""
+    return F.replace(
+        F.replace(col, F.lit("\\"), F.lit("\\\\")), F.lit("'"), F.lit("\\'")
+    )
+
+
+def _cypher_ident(col):
+    """Legal Neo4j label / relationship-type identifier: the reference's
+    loader maps STIX type names onto Neo4j labels, which cannot carry
+    ``-`` (how-2-convert.md targets Neo4j; e.g. ``attack-pattern`` →
+    ``attack_pattern``)."""
+    return F.translate(col, "-", "_")
+
+
+def cypher_node_statements(nodes: DataFrame) -> DataFrame:
+    """One ``MERGE (:Label {id: ...})`` statement per node — distributed
+    string building, MERGE for the reference's append-to-existing-db
+    semantics (README.md:75)."""
+    return nodes.select(
+        F.concat(
+            F.lit("MERGE (n:"),
+            _cypher_ident(F.col("node_type")),
+            F.lit(" {id: '"),
+            _cypher_escape(F.col("id")),
+            F.lit("'}) SET n.label = '"),
+            _cypher_escape(F.coalesce(F.col("label"), F.lit(""))),
+            F.lit("';"),
+        ).alias("stmt")
+    )
+
+
+def cypher_edge_statements(edges: DataFrame) -> DataFrame:
+    """One ``MATCH ... MERGE (a)-[:REL]->(b)`` statement per edge."""
+    return edges.select(
+        F.concat(
+            F.lit("MATCH (a {id: '"),
+            _cypher_escape(F.col("src")),
+            F.lit("'}), (b {id: '"),
+            _cypher_escape(F.col("dst")),
+            F.lit("'}) MERGE (a)-[:"),
+            _cypher_ident(F.col("rel_type")),
+            F.lit(" {id: '"),
+            _cypher_escape(F.col("id")),
+            F.lit("'}]->(b);"),
+        ).alias("stmt")
+    )
+
+
+def export_cypher(nodes: DataFrame, edges: DataFrame, out_path: str) -> None:
+    """Cypher-statement export (how-2-convert.md:41 "To export your data
+    as Cypher statements"): node MERGEs first, then edge MATCH..MERGEs —
+    the file replays into any Neo4j in one pass because every endpoint
+    exists before its edges (the A13 two-pass barrier, re-expressed as
+    statement order).  Statement strings are built by executors; the
+    driver only streams part files into one .cypher document."""
+    tmp_nodes = out_path + ".nodes.tmp"
+    tmp_edges = out_path + ".edges.tmp"
+    cypher_node_statements(nodes).write.mode("overwrite").text(tmp_nodes)
+    cypher_edge_statements(edges).write.mode("overwrite").text(tmp_edges)
+    with open(out_path, "w", encoding="utf-8") as out:
+        for d in (tmp_nodes, tmp_edges):
+            for part in sorted(glob.glob(os.path.join(d, "part-*"))):
+                with open(part, encoding="utf-8") as f:
+                    for line in f:
+                        out.write(line)
+    import shutil
+
+    shutil.rmtree(tmp_nodes, ignore_errors=True)
+    shutil.rmtree(tmp_edges, ignore_errors=True)
+
+
 def export_graphml(nodes: DataFrame, edges: DataFrame, out_path: str) -> None:
     """Single-document GraphML export.
 

@@ -41,6 +41,89 @@ from stixtoneodb_spark.functions.ids import child_id
 
 EDGE_KINDS = ("relationship", "sighting")  # object types that become edges, not nodes
 
+# Explicit union schema over every STIX 2.x spec field observed in the
+# golden corpus (SURVEY §1.2/§1.3: "never schema inference in production" —
+# inference is non-deterministic under partial data).  String-keyed spec
+# maps (observables `objects`, language `contents`, `hashes`) are REAL
+# MapType here, where inference had frozen the corpus's particular keys
+# ("0"/"1", "de"/"fr", "MD1"...) into struct fields.  Ids and timestamps
+# stay strings: the reference loads malformed ids verbatim
+# (testfull.json:67) and round-trips variable-precision RFC-3339.
+# Custom `x_*` properties (changes.md:40-43) are open-tail by design:
+# extend this DDL per deployment; the NDJSON reader additionally retains
+# the raw line in ``props`` so unknown fields are never lost.
+STIX_OBJECT_SCHEMA_DDL = """
+    aliases array<string>,
+    contact_information string,
+    contents map<string,map<string,string>>,
+    count bigint,
+    created string,
+    created_by_ref string,
+    definition map<string,string>,
+    definition_type string,
+    description string,
+    external_references array<struct<description:string,external_id:string,hashes:map<string,string>,source_name:string,url:string>>,
+    first_observed string,
+    first_seen string,
+    goals array<string>,
+    granular_markings array<struct<marking_ref:string,selectors:array<string>>>,
+    id string,
+    identity_class string,
+    kill_chain_phases array<struct<kill_chain_name:string,phase_name:string>>,
+    labels array<string>,
+    last_observed string,
+    last_seen string,
+    modified string,
+    name string,
+    number_observed bigint,
+    object_marking_refs array<string>,
+    object_modified string,
+    object_ref string,
+    object_refs array<string>,
+    objective string,
+    objects map<string,struct<hashes:map<string,string>,mime_type:string,name:string,name_enc:string,payload_bin:string,type:string>>,
+    pattern string,
+    primary_motivation string,
+    published string,
+    relationship_type string,
+    resource_level string,
+    roles array<string>,
+    secondary_motivations array<string>,
+    sectors array<string>,
+    sighting_of_ref string,
+    sophistication string,
+    source_ref string,
+    target_ref string,
+    type string,
+    valid_from string,
+    where_sighted_refs array<string>
+"""
+
+# Per-type spec fields materialized as typed node columns (A7 depth —
+# the reference's NodesMaker projects these per type [LIB]; a wide
+# nullable projection is the columnar equivalent: property-level queries
+# hit real columns instead of parsing ``props`` JSON per row).
+TYPED_NODE_FIELDS = (
+    "description",        # most SDOs
+    "pattern",            # indicator
+    "valid_from",         # indicator
+    "identity_class",     # identity
+    "contact_information",  # identity
+    "sectors",            # identity
+    "labels",             # malware / tool / indicator / threat-actor
+    "aliases",            # threat-actor / intrusion-set / campaign
+    "roles",              # threat-actor
+    "goals",              # threat-actor / intrusion-set
+    "sophistication",     # threat-actor
+    "primary_motivation",  # threat-actor / intrusion-set
+    "resource_level",     # threat-actor / intrusion-set
+    "first_seen",         # campaign / intrusion-set
+    "last_seen",          # campaign / intrusion-set
+    "objective",          # campaign
+    "published",          # report
+    "definition_type",    # marking-definition
+)
+
 EMBEDDED_REF_FIELDS: dict[str, bool] = {
     # field -> is_array
     "created_by_ref": False,
@@ -50,24 +133,55 @@ EMBEDDED_REF_FIELDS: dict[str, bool] = {
 }
 
 
+def object_schema() -> "T.StructType":
+    """The frozen union object schema as a StructType."""
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    return T.StructType.fromDDL(STIX_OBJECT_SCHEMA_DDL)
+
+
 def read_bundle(spark: SparkSession, path: str) -> DataFrame:
     """Whole-document bundle parse → one row per STIX object.
 
-    The object struct schema is the inferred union over all types (dev-scale
-    corpus; production NDJSON uses explicit schemas).  ``props`` retains the
-    full object as JSON for lossless round-trip.
+    Explicit schema (no inference — SURVEY §1.3): the bundle envelope
+    wraps the frozen union object schema.  ``props`` retains the typed
+    object re-serialized as JSON; spec-core fields round-trip losslessly
+    (unknown custom fields need either a schema extension or the NDJSON
+    path, which keeps the raw line).
     """
-    bundle = spark.read.option("multiLine", True).json(path)
+    import pyspark.sql.types as T  # noqa: PLC0415
+
+    bundle_schema = T.StructType(
+        [
+            T.StructField("type", T.StringType()),
+            T.StructField("id", T.StringType()),
+            T.StructField("spec_version", T.StringType()),
+            T.StructField("objects", T.ArrayType(object_schema())),
+        ]
+    )
+    bundle = spark.read.schema(bundle_schema).option("multiLine", True).json(path)
     objects = bundle.select(F.explode("objects").alias("obj"))
     return objects.select("obj.*", F.to_json("obj").alias("props"))
 
 
 def read_ndjson(spark: SparkSession, path: str) -> DataFrame:
-    """`-x` line mode: one STIX object per line — spark.read.json native
-    NDJSON, record-at-a-time and constant-memory like the reference's
-    loadLargeTextFile, but parallel."""
-    df = spark.read.json(path)
-    return df.withColumn("props", F.to_json(F.struct(*df.columns)))
+    """`-x` line mode: one STIX object per line — record-at-a-time and
+    constant-memory like the reference's loadLargeTextFile
+    (StixToNeoDB.scala:54-55), but parallel.
+
+    Lossless + explicit-schema: the raw line is read as text and parsed
+    with ``from_json`` against the frozen union schema, so (a) no
+    inference anywhere, (b) ``props`` keeps the ORIGINAL bytes — custom
+    ``x_*`` properties survive even though the typed columns don't model
+    them, and (c) malformed lines yield a null ``id`` and are counted by
+    the A5 validity gate instead of aborting the load (README.md:83-85
+    skip-and-continue)."""
+    raw = spark.read.text(path).where(F.length(F.trim("value")) > 0)
+    parsed = raw.select(
+        F.from_json("value", object_schema()).alias("obj"),
+        F.col("value").alias("props"),
+    )
+    return parsed.select("obj.*", "props")
 
 
 def read_zip(spark: SparkSession, path: str, staging_dir: str) -> DataFrame:
@@ -108,13 +222,17 @@ def build_graph(objects: DataFrame) -> StixGraph:
     # -- id universe for ref resolution (broadcast: ids are tiny vs refs) --
     id_universe = objects.select(F.col("id").alias("ref_target"))
 
-    # -- nodes: everything that is not an edge-kind object (A6 dispatch) --
+    # -- nodes: everything that is not an edge-kind object (A6 dispatch),
+    # with the per-type spec fields as REAL typed columns (A7: the
+    # NodesMaker-style projection — property queries need no JSON parse) --
+    typed = [F.col(f) for f in TYPED_NODE_FIELDS if f in cols]
     nodes = objects.where(~F.col("type").isin(*EDGE_KINDS)).select(
         "id",
         F.col("type").alias("node_type"),
         (F.col("name") if "name" in cols else F.lit(None).cast("string")).alias("label"),
         (F.col("created") if "created" in cols else F.lit(None).cast("string")).alias("created"),
         (F.col("modified") if "modified" in cols else F.lit(None).cast("string")).alias("modified"),
+        *typed,
         "props",
     )
 

@@ -59,6 +59,43 @@ def test_graphml_document(spark, graph, tmp_path):
         assert e.get("source") in ids and e.get("target") in ids
 
 
+def test_cypher_round_trip(spark, graph, tmp_path):
+    """Cypher export (how-2-convert.md:41): one MERGE per node, one
+    MATCH..MERGE per edge, nodes strictly before edges so the script
+    replays against an empty Neo4j in one pass."""
+    nodes, edges = graph
+    out = str(tmp_path / "graph.cypher")
+    export.export_cypher(nodes, edges, out)
+    lines = [ln for ln in open(out).read().splitlines() if ln]
+    node_stmts = [ln for ln in lines if ln.startswith("MERGE (n:")]
+    edge_stmts = [ln for ln in lines if ln.startswith("MATCH (a {id:")]
+    assert len(node_stmts) == nodes.count()
+    assert len(edge_stmts) == edges.count()
+    assert len(lines) == len(node_stmts) + len(edge_stmts)
+    # statement order: every node MERGE precedes the first edge statement
+    first_edge = lines.index(edge_stmts[0])
+    assert all(ln.startswith("MERGE (n:") for ln in lines[:first_edge])
+    assert all(ln.endswith(";") for ln in lines)
+
+
+def test_cypher_escapes_and_sanitizes(spark, tmp_path):
+    nodes = spark.createDataFrame(
+        [("n'1", "attack-pattern", "O'Neil \\ co")],
+        "id string, node_type string, label string",
+    )
+    edges = spark.createDataFrame(
+        [("e1", "n'1", "n'1", "attributed-to")],
+        "id string, src string, dst string, rel_type string",
+    )
+    out = str(tmp_path / "esc.cypher")
+    export.export_cypher(nodes, edges, out)
+    text = open(out).read()
+    # labels/rel types made Neo4j-legal; quotes and backslashes escaped
+    assert "MERGE (n:attack_pattern {id: 'n\\'1'})" in text
+    assert "[:attributed_to" in text
+    assert "O\\'Neil \\\\ co" in text
+
+
 def test_graphml_escapes_special_chars(spark, tmp_path):
     nodes = spark.createDataFrame(
         [("n1", "identity", 'A&B <"Corp">')], "id string, node_type string, label string"
