@@ -50,6 +50,9 @@ HEADLINE_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_exact",
     "ann_cosine_topk",
+    "ann_lsh_bucketed",
+    "dedup_embedding_cosine",
+    "range_join_event_context",
     "text_quality_score",
     "kg_cooccurrence",
 ]

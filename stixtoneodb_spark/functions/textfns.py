@@ -86,31 +86,51 @@ def minhash_signature(shingle_arr: Column, num_hashes: int = 64, seed: int = 42)
     )
 
 
-def minhash_band_table(
-    df,
-    key_col: str,
-    shingle_col: str,
-    num_hashes: int,
-    num_bands: int,
-    seed: int = 42,
-):
-    """(key, band) LSH rows via the codegen path: explode shingles, one
-    ``min(xxhash64(s, seed+h))`` aggregate per hash (whole-stage codegen,
-    map-side partial agg), then band keys as plain sha2 projections.
+def word_shingle_rows(df, key_col: str, text: Column, k: int = 3):
+    """Word k-shingles as ROWS ``(key, sh)`` — the all-codegen form.
 
-    Equivalent semantics to ``minhash_signature`` + ``lsh_band_keys``
-    (identical hash family and banding), but every expression stays inside
-    codegen — the HOF-lambda interpreter overhead of the array form made
-    MinHash the dominant cost of both dedup and canonicalization blocking.
-    Rows out: one per (key, band); duplicates impossible (bands indexed).
+    Tokenization is posexplode + a plain WHERE (no HOF filter); k-grams
+    come from ``lead`` windows over the per-key token sequence; per-key
+    dedup is a row_number window on (key, sh).  Every window and every
+    downstream groupBy(key) rides ONE hash partitioning on the key
+    (ClusteredDistribution(key, sh) is satisfied by hash(key)), so the
+    whole shingle→signature→fingerprint chain costs a single shuffle.
+    Matches ``word_shingles``'s array semantics exactly: full k-grams
+    only, whole-token-string fallback for keys with fewer than k tokens
+    (concat_ws skips the null leads), token-less keys vanish (explode of
+    an empty array emits nothing), duplicates dropped.
+
+    This replaced the array form in the dedup hot path: the interpreted
+    ``transform`` lambda plus caching wide shingle arrays cost ~4x the
+    entire rest of the LSH pipeline at sf0.1.
     """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    toks = df.select(
+        F.col(key_col), F.posexplode(F.split(F.lower(text), r"[^a-z0-9]+")).alias("pos", "t")
+    ).where(F.col("t") != "")
+    w = Window.partitionBy(key_col).orderBy("pos")
+    wp = Window.partitionBy(key_col)
+    leads = [F.lead("t", i).over(w) for i in range(1, k)]
+    grams = toks.select(
+        F.col(key_col),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wp).alias("n"),
+        F.concat_ws(" ", F.col("t"), *leads).alias("sh"),
+    )
+    keep = (F.col("rn") <= F.col("n") - k + 1) | ((F.col("n") < k) & (F.col("rn") == 1))
+    wdup = Window.partitionBy(key_col, "sh").orderBy("rn")
+    return (
+        grams.where(keep)
+        .withColumn("_dup", F.row_number().over(wdup))
+        .where(F.col("_dup") == 1)
+        .select(key_col, "sh")
+    )
+
+
+def _band_table_from_sigs(sigs, key_col: str, num_hashes: int, num_bands: int):
+    """Shared banding tail: signature columns _h0.._hN → (key, band) rows."""
     rows_per_band = num_hashes // num_bands
-    ex = df.select(F.col(key_col), F.explode(shingle_col).alias("_s"))
-    aggs = [
-        F.min(F.xxhash64(F.col("_s"), F.lit(seed + h))).alias(f"_h{h}")
-        for h in range(num_hashes)
-    ]
-    sigs = ex.groupBy(key_col).agg(*aggs)
     bands = F.array(
         *[
             F.concat_ws(
@@ -131,6 +151,50 @@ def minhash_band_table(
         ]
     )
     return sigs.select(F.col(key_col), F.explode(bands).alias("band"))
+
+
+def minhash_band_table(
+    df,
+    key_col: str,
+    shingle_col: str,
+    num_hashes: int,
+    num_bands: int,
+    seed: int = 42,
+):
+    """(key, band) LSH rows via the codegen path: explode shingles, one
+    ``min(xxhash64(s, seed+h))`` aggregate per hash (whole-stage codegen,
+    map-side partial agg), then band keys as plain sha2 projections.
+
+    Equivalent semantics to ``minhash_signature`` + ``lsh_band_keys``
+    (identical hash family and banding), but every expression stays inside
+    codegen — the HOF-lambda interpreter overhead of the array form made
+    MinHash the dominant cost of both dedup and canonicalization blocking.
+    Rows out: one per (key, band); duplicates impossible (bands indexed).
+    """
+    ex = df.select(F.col(key_col), F.explode(shingle_col).alias("_s"))
+    return minhash_band_table_rows(
+        ex.withColumnRenamed("_s", "sh"), key_col, num_hashes, num_bands, seed
+    )
+
+
+def minhash_band_table_rows(
+    rows,
+    key_col: str,
+    num_hashes: int,
+    num_bands: int,
+    seed: int = 42,
+):
+    """(key, band) LSH rows from a shingle-ROWS frame ``(key, sh)`` —
+    same hash family and banding as ``minhash_band_table`` but with no
+    array column anywhere: pairs with ``word_shingle_rows`` so signatures
+    aggregate directly on the exploded representation (map-side partial
+    min-aggregates; the groupBy reuses the shingle frame's key
+    partitioning)."""
+    aggs = [
+        F.min(F.xxhash64(F.col("sh"), F.lit(seed + h))).alias(f"_h{h}")
+        for h in range(num_hashes)
+    ]
+    return _band_table_from_sigs(rows.groupBy(key_col).agg(*aggs), key_col, num_hashes, num_bands)
 
 
 def lsh_band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Column:

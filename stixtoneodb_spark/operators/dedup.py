@@ -14,9 +14,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stixtoneodb_spark.functions.textfns import (
-    minhash_band_table,
+    minhash_band_table_rows,
     tokens,
-    word_shingles,
+    word_shingle_rows,
 )
 from stixtoneodb_spark.sources.tables import load_table
 
@@ -51,43 +51,37 @@ MAX_BLOCK = 256  # LSH skew guard: cap membership of degenerate mega-blocks
 
 
 def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor: float) -> DataFrame:
-    # shingle arrays computed once, kept OUT of the band shuffle: the
-    # blocking path below carries only (band, doc_id); shingles re-attach
-    # at candidate cardinality for the exact verify.  At 100 TB the band
-    # shuffle carries ~50-byte rows instead of whole shingle sets.
-    #
-    # Token-less documents (no alnum token at all) are excluded — their
-    # shingle set would be the [""] sentinel, pairing any two of them at
-    # jaccard 1.0, which is not a dedup signal (and disagrees with the
-    # len(toks)>0 population the oracle uses).
-    docs_all = (
-        d.where(F.size(tokens(F.col("text"))) > 0)
-        .select("doc_id", word_shingles(F.col("text"), 3).alias("sh"))
-    )
+    # The whole path works on shingle ROWS (doc_id, sh) - the all-codegen
+    # representation (functions.textfns.word_shingle_rows): tokenize/
+    # k-gram via explode + lead windows, signatures / fingerprints /
+    # set sizes as plain groupBy(doc_id) aggregates that all ride the one
+    # hash partitioning the window already established.  No interpreted
+    # array lambdas, no wide array columns in any shuffle or cache.
+    # Token-less documents vanish naturally (no rows), matching the
+    # len(toks)>0 population the oracle uses.
+    rows = word_shingle_rows(d, "doc_id", F.col("text"), 3).persist()
     # Exact-duplicate pre-collapse: documents with IDENTICAL shingle sets
-    # (byte-identical or punctuation-only variants — the primary cause of
+    # (byte-identical or punctuation-only variants - the primary cause of
     # mega near-dup families) are collapsed to one representative BEFORE
     # banding.  A family of 10k identical docs would otherwise share all
     # its bands, trip the MAX_BLOCK guard, and silently lose every pair;
     # collapsed, the family costs one representative in the LSH and its
     # pairs are reconstructed arithmetically below.
-    fp = docs_all.withColumn(
-        "fp", F.sha2(F.concat_ws("", F.array_sort("sh")), 256)
+    fpn = rows.groupBy("doc_id").agg(
+        F.sha2(F.concat_ws("\x01", F.sort_array(F.collect_list("sh"))), 256).alias("fp")
     )
-    members = fp.join(
-        fp.groupBy("fp").agg(F.min("doc_id").alias("rep_id")), "fp"
+    members = fpn.join(
+        fpn.groupBy("fp").agg(F.min("doc_id").alias("rep_id")), "fp"
     ).select("doc_id", "rep_id").persist()
-    docs = (
-        fp.join(members.where(F.col("doc_id") == F.col("rep_id")), "doc_id", "left_semi")
-        .select("doc_id", "sh")
-        .persist()
-    )
-    sig = minhash_band_table(docs, "doc_id", "sh", num_hashes, num_bands).select(
-        "band", "doc_id"
-    )
+    rep_rows = rows.join(
+        members.where(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    ).persist()
+    sig = minhash_band_table_rows(rep_rows, "doc_id", num_hashes, num_bands).persist()
     # A band key shared by thousands of distinct-content documents is a
     # degenerate block (boilerplate-like content): candidate pairs would go
-    # quadratic.  Drop such blocks wholly — true near-dups still meet in
+    # quadratic.  Drop such blocks wholly - true near-dups still meet in
     # their other bands (and exact-dup families are already collapsed
     # above, so a dropped band can no longer hide a whole family).
     # Partial-agg count + semi join, not a per-band window: a row_number
@@ -96,17 +90,33 @@ def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor:
     sig = sig.join(band_sizes.where(F.col("bn") <= MAX_BLOCK), "band", "left_semi")
     a = sig.select("band", F.col("doc_id").alias("id_a"))
     b = sig.select("band", F.col("doc_id").alias("id_b"))
-    pairs = (
+    cand = (
         a.join(b, "band")
         .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
-        .join(docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
-        .join(docs.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    # Exact verify at candidate cardinality, still on rows: the shared-
+    # shingle count is a join + count, set sizes re-attach as two tiny
+    # aggregates - exactly |A intersect B| and |A|+|B|-inter over DISTINCT
+    # shingles, the oracle's definition.
+    sizes = rep_rows.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+    ra = rep_rows.select(F.col("doc_id").alias("id_a"), "sh")
+    rb = rep_rows.select(F.col("doc_id").alias("id_b"), "sh")
+    inter = (
+        cand.join(ra, "id_a")
+        .join(rb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    scored = inter.join(
+        sizes.select(F.col("doc_id").alias("id_a"), F.col("nsh").alias("na")), "id_a"
+    ).join(sizes.select(F.col("doc_id").alias("id_b"), F.col("nsh").alias("nb")), "id_b")
     rep_pairs = (
-        pairs.withColumn("jaccard", F.round(inter / union, 6))
+        scored.withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
+        )
         .where(F.col("jaccard") >= jaccard_floor)
         .select("id_a", "id_b", "jaccard")
     )

@@ -123,6 +123,18 @@ ORDER BY revenue DESC, l_orderkey
 LIMIT 10
 """,
     ),
+    # the oracle is the naive theta join; the Spark side is the bucketized
+    # equi-join form (probe exploded to ±1 epoch bins) — same result set
+    "range_join_event_context": (
+        relational.range_join_event_context,
+        """
+SELECT a.event_id, COUNT(*) - 1 AS n_neighbors_5min
+FROM events a JOIN events b
+  ON a.user_id = b.user_id
+ AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= 300000000
+GROUP BY a.event_id
+""",
+    ),
     "join_salted_skew_demo": (
         relational.join_salted_skew_demo,
         """

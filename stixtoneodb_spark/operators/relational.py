@@ -346,3 +346,48 @@ def json_extract_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.get_json_object("props", "$.k").cast("int").alias("k_value"),
     )
+
+
+def range_join_event_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded range join — the turn-context join of S1 (SURVEY §2 Part B
+    "theta/range joins") in its SCALE-CORRECT form: per event, the count
+    of same-user events within ±5 minutes.
+
+    A naive ``ON a.user = b.user`` join followed by a time filter
+    shuffles the full per-user cross product (quadratic on hot users).
+    Here both sides are bucketized into 5-minute epoch bins; the probe
+    side explodes each row to its bin and the two adjacent bins, the
+    join is pure equi on (user_id, bin) — Catalyst picks a plain
+    shuffled hash join — and the exact |Δt| ≤ 5 min predicate then runs
+    at candidate cardinality (bounded: each row pairs only with rows in
+    ±1 bin).  A (row, neighbor) pair meets exactly once because the
+    build side keeps its single true bin.  Timestamps compare as exact
+    integer microseconds (``unix_micros`` / DuckDB ``epoch_us``) so the
+    oracle has no boundary ambiguity.  Every event pairs with itself
+    (Δt = 0), so neighbors = count - 1 and zero-neighbor events emit
+    naturally.
+    """
+    bin_us = 300 * 1_000_000
+    e = load_table(spark, sf_dir, "events")
+    # ts is TIMESTAMP_NTZ in the parquet; cast to TIMESTAMP for unix_micros
+    # — the (fixed) session-zone offset cancels in every Δt
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    probe = e.select(
+        "user_id",
+        F.col("event_id").alias("eid_a"),
+        us.alias("us_a"),
+        F.explode(
+            F.array(*[(F.floor(us / bin_us) + d).cast("long") for d in (-1, 0, 1)])
+        ).alias("bin"),
+    )
+    build = e.select(
+        "user_id",
+        us.alias("us_b"),
+        F.floor(us / bin_us).cast("long").alias("bin"),
+    )
+    pairs = probe.join(build, ["user_id", "bin"]).where(
+        F.abs(F.col("us_a") - F.col("us_b")) <= bin_us
+    )
+    return pairs.groupBy("eid_a").agg(
+        (F.count("*") - F.lit(1)).alias("n_neighbors_5min")
+    ).select(F.col("eid_a").alias("event_id"), "n_neighbors_5min")

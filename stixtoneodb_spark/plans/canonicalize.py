@@ -65,24 +65,32 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
     """
     # persisted: every downstream branch (LSH keys, token keys, candidate
     # feature fetch) hangs off this frame — without the persist each branch
-    # recomputes the distinct-names chain
+    # recomputes the shingle chain.  ``names`` arrives already distinct
+    # (canonical_map dedups the surface universe); re-distincting here was
+    # a full extra shuffle of the name strings.  Duplicate inputs would
+    # still be CORRECT (cand dropDuplicates + feats groupBy absorb them),
+    # just slower.
     base = (
         names.select("name")
-        .distinct()
         .withColumn("sh", shingles(F.col("name"), 3))
         .where(F.size("sh") > 0)
         .persist()
     )
-    n_names = base.count()
 
     # Global work is ONLY the shingle document frequencies (one cheap agg
     # over the exploded shingles); the idf-weighted per-name arrays are
     # built later for candidate names alone — at corpus scale the global
     # collect_list/sort of weighted arrays was pure waste for the >99% of
-    # names that never block with anything.
+    # names that never block with anything.  The name-universe size rides
+    # the plan as a broadcast 1-row aggregate instead of a driver-side
+    # count(): one fewer barrier in the pipeline's serial fraction.
+    total = base.agg(F.count("*").alias("_n"))
     sh_tbl = base.select("name", F.explode("sh").alias("s"))
-    idf = sh_tbl.groupBy("s").agg(F.count("*").alias("df")).select(
-        "s", F.log(F.lit(1.0) + F.lit(float(n_names)) / F.col("df")).alias("idf")
+    idf = (
+        sh_tbl.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .crossJoin(F.broadcast(total))
+        .select("s", F.log(F.lit(1.0) + F.col("_n") / F.col("df")).alias("idf"))
     )
 
     def weighted_features(name_subset: DataFrame) -> DataFrame:
@@ -261,12 +269,24 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     pf_key = "spark.sql.adaptive.coalescePartitions.parallelismFirst"
     pf_prev = spark.conf.get(pf_key, "true")
     spark.conf.set(pf_key, "false")
+    sp_key = "spark.sql.shuffle.partitions"
+    sp_prev = spark.conf.get(sp_key)
     e = (
         edges.select(F.col("name_a").alias("u"), F.col("name_b").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Stage-latency guard: the similarity graph is usually orders of
+    # magnitude smaller than the corpus (one edge per verified name pair).
+    # When it is tiny, every loop stage at N shuffle partitions costs N
+    # task launches for microseconds of work — measured as CC getting
+    # SLOWER with more cores.  Collapse small graphs to one partition and
+    # run the loop's shuffles at parallelism 1; big graphs keep the full
+    # width.  The count is free: e was just checkpoint-materialized.
+    if e.count() < 200_000:
+        e = e.coalesce(1).localCheckpoint(eager=True)
+        spark.conf.set(sp_key, "1")
 
     def signature(df: DataFrame) -> tuple[int, int]:
         row = df.agg(
@@ -319,6 +339,7 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
             prev = cur
     finally:
         spark.conf.set(pf_key, pf_prev)
+        spark.conf.set(sp_key, sp_prev)
 
     # At convergence e is (node → component-min) star edges.  Component
     # roots appear only on the v side, so add their self-mapping, then take

@@ -55,6 +55,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Coalesce post-shuffle partitions by SIZE, not defaultParallelism:
+        # with parallelismFirst (the default) every tiny intermediate stage
+        # still gets core-count partitions, so stage latency GROWS with
+        # cores — measured as anti-scaling on the small S3/S4 frames
+        # (candidate pairs, CC graph).  Size-based coalescing gives tiny
+        # stages one task while big scans stay fully partitioned; this is
+        # also the setting Spark's own docs recommend for real clusters.
+        # 8m advisory: tiny stages (KBs) still collapse to one task, while
+        # medium stages (tens of MB) keep enough partitions to fill a
+        # low-core executor — 32m was measured to under-parallelize
+        # local[4] on the mid-size S3/S4 frames.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow transfer for every pandas UDF / applyInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
