@@ -31,10 +31,13 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# ~9.3M turns: large enough that executor-side work dominates the fixed
+# ~18.6M turns: large enough that executor-side work dominates the fixed
 # driver/barrier costs — the scaling-efficiency measurement needs the
-# parallel fraction to be the story (BASELINE.md bench scale).
-N_CONV = int(os.environ.get("SPARK_GRAFT_BENCH_CONV", "432000"))
+# parallel fraction to be the story (BASELINE.md bench scale).  Doubled
+# from round 1's 432k conversations: the round-2 vectorized extractor
+# halved the parallel work per turn, so the corpus must grow to keep
+# compute (not fixed stage latency) as the measured quantity.
+N_CONV = int(os.environ.get("SPARK_GRAFT_BENCH_CONV", "1296000"))
 LOW = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "4"))
 HIGH = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", "16"))
 N_TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
@@ -96,6 +99,7 @@ def worker_pipeline(cores: int) -> None:
     spark.catalog.clearCache()
 
     tr = spark.read.parquet(_corpus_path())
+    tr.count()  # page-cache touch: run 1 must not pay a one-off disk-cold read
     walls = []
     n_turns = 0
     for _ in range(N_TIMED_RUNS):
@@ -193,6 +197,13 @@ def _write_bench_md(r: dict) -> None:
         f"generator, data-proportional entity vocabulary); operator queries at `{r['sf']}`.",
         f"Each parallelism level: fresh subprocess, warm-up run, min of {N_TIMED_RUNS} timed runs",
         "(min is the noise-robust estimator on a shared box).",
+        "",
+        "TIMING POLICY (changed in round 2): caches are cleared between timed",
+        "runs and between queries, so every number measures the FULL cold",
+        "computation.  Round-1 numbers reused the warm-up run's persisted",
+        "frames via Spark's plan-matching cache (e.g. dedup_minhash_lsh timed",
+        "only its final join at 1.9s; the honest cold number is ~5-7s), so",
+        "per-query values are NOT comparable across that boundary.",
         "",
         f"Cluster-size pair: local[{LOW}] vs local[{HIGH}] — N and 4N cores,",
         "symmetric unpinned policy (both JVMs keep full GC/service-thread",

@@ -26,22 +26,47 @@ def tokens(text: Column) -> Column:
     )
 
 
+STOP_TOKENS = ("the", "corp", "corporation", "inc", "group", "ltd", "llc")
+
+
 def canonical_name(surface: Column) -> Column:
     """Entity-surface canonicalization: lowercase, strip punctuation,
     collapse whitespace, drop corporate stop-tokens.
 
     This is the cheap deterministic canonicalizer; MinHash-LSH + connected
     components (plans/canonicalize.py) handles the residual variants.
+
+    All regexp (whole-stage codegen).  The first cut dropped stop-tokens
+    with an array ``filter`` lambda — interpreted, ~54µs/row plus per-row
+    array garbage; applied to every mention in S3/S4/S5 it was both the
+    single biggest CPU line AND the allocation pressure that made those
+    stages anti-scale at high core counts.  The regex replaces whole
+    space-delimited tokens only (tokens are [a-z0-9]+ after cleaning, so
+    ``\\b`` anchors exactly at token edges) — equality with the array
+    form is asserted by tests/test_canonicalize.py.
     """
     cleaned = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(surface), r"[^a-z0-9 ]", " "), r"\s+", " "
         )
     )
-    toks = F.filter(
-        F.split(cleaned, " "),
-        lambda t: ~t.isin("the", "corp", "corporation", "inc", "group", "ltd", "llc"),
+    stop = "|".join(STOP_TOKENS)
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(cleaned, rf"\b({stop})\b", " "), r"\s+", " "
+        )
     )
+
+
+def canonical_name_hof(surface: Column) -> Column:
+    """The original array-filter form — kept as the equality oracle for
+    the regex rewrite above."""
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(surface), r"[^a-z0-9 ]", " "), r"\s+", " "
+        )
+    )
+    toks = F.filter(F.split(cleaned, " "), lambda t: ~t.isin(*STOP_TOKENS))
     return F.array_join(toks, " ")
 
 

@@ -168,6 +168,24 @@ GROUP BY ROLLUP (r_name, n_name)
         relational.distinct_users_per_type,
         "SELECT DISTINCT event_type, user_id FROM events",
     ),
+    "agg_cube_type_tool": (
+        relational.agg_cube_type_tool,
+        """
+SELECT event_type, CAST(user_id % 4 AS INTEGER) AS user_bucket,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY CUBE (event_type, user_id % 4)
+""",
+    ),
+    "agg_value_quantiles": (
+        relational.agg_value_quantiles,
+        """
+SELECT event_type,
+  ROUND(quantile_cont(value, 0.5), 4) AS p50,
+  ROUND(quantile_cont(value, 0.9), 4) AS p90
+FROM events GROUP BY event_type
+""",
+    ),
     # the HLL estimate is engine-specific; the contract checked is
     # "estimate within ±5% of exact" (rsd=0.02), emitted as a boolean
     "approx_distinct_users": (

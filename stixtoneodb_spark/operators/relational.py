@@ -391,3 +391,26 @@ def range_join_event_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("eid_a").agg(
         (F.count("*") - F.lit(1)).alias("n_neighbors_5min")
     ).select(F.col("eid_a").alias("event_id"), "n_neighbors_5min")
+
+
+def agg_cube_type_tool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, user bucket): all four grouping-set combos in
+    one pass — same partial-agg machinery as rollup, denser lattice."""
+    e = load_table(spark, sf_dir, "events")
+    bucketed = e.withColumn("user_bucket", F.pmod(F.col("user_id"), F.lit(4)).cast("int"))
+    return bucketed.cube("event_type", "user_bucket").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(_dec("value")), 2).cast("double").alias("total_value"),
+    )
+
+
+def agg_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per event type (sort-based within group).  The
+    approximate sketch tier is approx_distinct_users; this is the exact
+    tier — at 100 TB swap in percentile_approx (t-digest, mergeable,
+    one pass) and keep this as the small-partition oracle."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
+    )

@@ -369,7 +369,21 @@ def canonical_map(
     components (their own name is the canonical label).
     """
     named = normalize_mentions(mentions)
-    names = named.select("name").distinct().persist()
+    names = named.select("name").distinct()
+    return canonical_map_from_names(names, threshold, alias_edges)
+
+
+def canonical_map_from_names(
+    names: DataFrame,
+    threshold: float = 0.55,
+    alias_edges: DataFrame | None = None,
+) -> DataFrame:
+    """``canonical_map`` taking the distinct-name universe directly —
+    callers that already materialized normalized mentions (run_volatile
+    shares one canonicalizer pass between S3 and the S5 mention join)
+    feed their names frame here instead of paying a second
+    normalize+distinct over the full mention stream."""
+    names = names.persist()
     pairs = candidate_pairs(names, threshold)
     if alias_edges is not None:
         # only keep alias edges whose endpoints actually occur in the corpus

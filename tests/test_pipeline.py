@@ -105,3 +105,39 @@ def test_metrics_recorded_per_stage(spark, result):
     pipe, res = result
     stages = {r.stage for r in pipe.catalog.read("_checkpoints").collect()}
     assert {"s0_ingest", "s2_mentions", "s2_triples", "s3_canonical_map", "s4_link", "s5_nodes", "s5_edges"} <= stages
+
+
+def test_vectorized_triples_equal_grouped_map(spark):
+    """The batch-vectorized extractor (mapInPandas + extractall) must emit
+    exactly the grouped-map extractor's triples — the equality that lets
+    the pipeline skip 1-frame-per-conversation overhead by default."""
+    from stixtoneodb_spark.plans import assemble, extract
+    from stixtoneodb_spark.sources.transcripts import transcripts_df
+
+    turns = assemble.normalize_turns(transcripts_df(spark, 80)).repartition("conv_id")
+    fast = extract.extract_triples(turns)
+    slow = extract.extract_triples_grouped(turns)
+    assert fast.count() == slow.count() > 0
+    assert fast.exceptAll(slow).count() == 0
+    assert slow.exceptAll(fast).count() == 0
+
+
+def test_combined_mention_pass_equals_per_type(spark):
+    """The single-pass combined gazetteer regex must emit exactly the
+    per-type multi-pass mentions (surfaces are disjoint across types)."""
+    from pyspark.sql import functions as F
+
+    from stixtoneodb_spark.plans import assemble, extract
+    from stixtoneodb_spark.sources.transcripts import transcripts_df
+
+    turns = assemble.normalize_turns(transcripts_df(spark, 120))
+    combined = turns.select(
+        "conv_id", "turn_idx", F.explode(extract.detect_mentions_udf(F.col("text"))).alias("m")
+    ).select("conv_id", "turn_idx", "m.surface", "m.entity_type", "m.start")
+    per_type = turns.select(
+        "conv_id", "turn_idx",
+        F.explode(extract.detect_mentions_per_type_udf(F.col("text"))).alias("m"),
+    ).select("conv_id", "turn_idx", "m.surface", "m.entity_type", "m.start")
+    assert combined.count() == per_type.count() > 0
+    assert combined.exceptAll(per_type).count() == 0
+    assert per_type.exceptAll(combined).count() == 0

@@ -205,3 +205,35 @@ def test_foreach_batch_merge_idempotent(spark, stream_dir, tmp_path):
         assemble.normalize_turns(spark.read.parquet(stream_dir))
     )
     assert n1 == batch.count()
+
+
+def test_custom_stateful_progress_operator(spark, stream_dir, tmp_path):
+    """applyInPandasWithState: per-conversation state must accumulate
+    ACROSS micro-batches (one file per trigger => 3 batches), and the
+    final cumulative count per conversation must equal the batch count."""
+    stream = ingest.read_transcript_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        ingest.conversation_progress_stream(stream)
+        .writeStream.format("memory")
+        .queryName("progress_t6")
+        .option("checkpointLocation", str(tmp_path / "ckpt6"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    out = spark.table("progress_t6")
+    assert out.where(F.col("closed")).count() == 0  # drain ends before any timeout
+
+    # cumulative totals: last progress row per conversation == batch truth
+    batch = spark.read.parquet(stream_dir).groupBy("conv_id").count()
+    last = (
+        out.groupBy("conv_id")
+        .agg(F.max("n_turns_total").alias("n_turns_total"), F.sum("n_turns_batch").alias("sum_batches"))
+    )
+    j = last.join(batch, "conv_id")
+    assert j.where(F.col("n_turns_total") != F.col("count")).count() == 0
+    # per-batch increments must add up to the same total (state really
+    # accumulated per micro-batch rather than recomputing)
+    assert j.where(F.col("sum_batches") != F.col("count")).count() == 0
+    # at least one conversation spans multiple micro-batches
+    assert out.groupBy("conv_id").count().where(F.col("count") > 1).count() > 0
