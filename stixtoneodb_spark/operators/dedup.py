@@ -48,59 +48,19 @@ def dedup_exact_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MAX_BLOCK = 256  # LSH skew guard: cap membership of degenerate mega-blocks
+# Representatives sampled from each oversized band: candidates become
+# O(REPS · block) instead of O(block²); the co-member expansion below
+# restores the quadratic OUTPUT only for members that actually verified.
+BIG_BAND_REPS = 8
 
 
-def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor: float) -> DataFrame:
-    # The whole path works on shingle ROWS (doc_id, sh) - the all-codegen
-    # representation (functions.textfns.word_shingle_rows): tokenize/
-    # k-gram via explode + lead windows, signatures / fingerprints /
-    # set sizes as plain groupBy(doc_id) aggregates that all ride the one
-    # hash partitioning the window already established.  No interpreted
-    # array lambdas, no wide array columns in any shuffle or cache.
-    # Token-less documents vanish naturally (no rows), matching the
-    # len(toks)>0 population the oracle uses.
-    rows = word_shingle_rows(d, "doc_id", F.col("text"), 3).persist()
-    # Exact-duplicate pre-collapse: documents with IDENTICAL shingle sets
-    # (byte-identical or punctuation-only variants - the primary cause of
-    # mega near-dup families) are collapsed to one representative BEFORE
-    # banding.  A family of 10k identical docs would otherwise share all
-    # its bands, trip the MAX_BLOCK guard, and silently lose every pair;
-    # collapsed, the family costs one representative in the LSH and its
-    # pairs are reconstructed arithmetically below.
-    fpn = rows.groupBy("doc_id").agg(
-        F.sha2(F.concat_ws("\x01", F.sort_array(F.collect_list("sh"))), 256).alias("fp")
-    )
-    members = fpn.join(
-        fpn.groupBy("fp").agg(F.min("doc_id").alias("rep_id")), "fp"
-    ).select("doc_id", "rep_id").persist()
-    rep_rows = rows.join(
-        members.where(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
-        "doc_id",
-        "left_semi",
-    ).persist()
-    sig = minhash_band_table_rows(rep_rows, "doc_id", num_hashes, num_bands).persist()
-    # A band key shared by thousands of distinct-content documents is a
-    # degenerate block (boilerplate-like content): candidate pairs would go
-    # quadratic.  Drop such blocks wholly - true near-dups still meet in
-    # their other bands (and exact-dup families are already collapsed
-    # above, so a dropped band can no longer hide a whole family).
-    # Partial-agg count + semi join, not a per-band window: a row_number
-    # over the band key funnels the hottest band into a single task.
-    band_sizes = sig.groupBy("band").agg(F.count("*").alias("bn"))
-    sig = sig.join(band_sizes.where(F.col("bn") <= MAX_BLOCK), "band", "left_semi")
-    a = sig.select("band", F.col("doc_id").alias("id_a"))
-    b = sig.select("band", F.col("doc_id").alias("id_b"))
-    cand = (
-        a.join(b, "band")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # Exact verify at candidate cardinality, still on rows: the shared-
-    # shingle count is a join + count, set sizes re-attach as two tiny
-    # aggregates - exactly |A intersect B| and |A|+|B|-inter over DISTINCT
-    # shingles, the oracle's definition.
-    sizes = rep_rows.groupBy("doc_id").agg(F.count("*").alias("nsh"))
+def _verify_jaccard(
+    cand: DataFrame, rep_rows: DataFrame, sizes: DataFrame, jaccard_floor: float
+) -> DataFrame:
+    """Exact Jaccard verification at candidate cardinality, on shingle
+    ROWS: shared-shingle count is a join + count; distinct-set sizes
+    re-attach as two tiny aggregates — exactly |A∩B| and |A|+|B|-inter
+    over DISTINCT shingles, the oracle's definition."""
     ra = rep_rows.select(F.col("doc_id").alias("id_a"), "sh")
     rb = rep_rows.select(F.col("doc_id").alias("id_b"), "sh")
     inter = (
@@ -112,7 +72,7 @@ def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor:
     scored = inter.join(
         sizes.select(F.col("doc_id").alias("id_a"), F.col("nsh").alias("na")), "id_a"
     ).join(sizes.select(F.col("doc_id").alias("id_b"), F.col("nsh").alias("nb")), "id_b")
-    rep_pairs = (
+    return (
         scored.withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6),
@@ -120,6 +80,113 @@ def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor:
         .where(F.col("jaccard") >= jaccard_floor)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor: float) -> DataFrame:
+    # The whole path works on shingle ROWS (doc_id, sh) - the all-codegen
+    # representation (functions.textfns.word_shingle_rows): tokenize/
+    # k-gram via explode + lead windows, signatures / fingerprints /
+    # set sizes as plain groupBy(doc_id) aggregates that all ride the one
+    # hash partitioning the window already established.  No interpreted
+    # array lambdas, no wide array columns in any shuffle or cache.
+    # Token-less documents vanish naturally (no rows), matching the
+    # len(toks)>0 population the oracle uses.
+    spark = d.sparkSession
+    cached: list[DataFrame] = []
+
+    def _persist(df: DataFrame) -> DataFrame:
+        cached.append(df.persist())
+        return df
+
+    rows = _persist(word_shingle_rows(d, "doc_id", F.col("text"), 3))
+    # Exact-duplicate pre-collapse: documents with IDENTICAL shingle sets
+    # (byte-identical or punctuation-only variants - the primary cause of
+    # mega near-dup families) are collapsed to one representative BEFORE
+    # banding.  A family of 10k identical docs would otherwise share all
+    # its bands, trip the MAX_BLOCK guard, and silently lose every pair;
+    # collapsed, the family costs one representative in the LSH and its
+    # pairs are reconstructed arithmetically below.
+    fpn = rows.groupBy("doc_id").agg(
+        F.sha2(F.concat_ws("\x01", F.sort_array(F.collect_list("sh"))), 256).alias("fp")
+    )
+    members = _persist(
+        fpn.join(fpn.groupBy("fp").agg(F.min("doc_id").alias("rep_id")), "fp").select(
+            "doc_id", "rep_id"
+        )
+    )
+    rep_rows = _persist(
+        rows.join(
+            members.where(F.col("doc_id") == F.col("rep_id")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+    )
+    sig = _persist(minhash_band_table_rows(rep_rows, "doc_id", num_hashes, num_bands))
+    # A band key shared by thousands of distinct-content documents is a
+    # degenerate block: all-pairs candidate generation would go quadratic.
+    # Small bands (bn <= MAX_BLOCK) self-join as usual.  OVERSIZED bands
+    # are no longer dropped wholly (that silently lost every pair of a
+    # >MAX_BLOCK family of non-identical near-dups — boilerplate with
+    # timestamps, the primary web-corpus dedup target): instead each
+    # oversized band contributes only (representative × member) candidates
+    # for its BIG_BAND_REPS smallest doc_ids — linear in band size — and
+    # the co-member expansion below restores member-member pairs for the
+    # candidates that actually verified.  Junk bands (pairs that fail the
+    # exact verify) thus cost O(REPS·block) and produce nothing.
+    # Partial-agg count + semi join, not a per-band window: a row_number
+    # over the band key funnels the hottest band into a single task.
+    band_sizes = _persist(sig.groupBy("band").agg(F.count("*").alias("bn")))
+    small_sig = sig.join(band_sizes.where(F.col("bn") <= MAX_BLOCK), "band", "left_semi")
+    a = small_sig.select("band", F.col("doc_id").alias("id_a"))
+    b = small_sig.select("band", F.col("doc_id").alias("id_b"))
+    cand_small = a.join(b, "band").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+
+    big_sig = sig.join(band_sizes.where(F.col("bn") > MAX_BLOCK), "band", "left_semi")
+    # K smallest doc_ids per oversized band: bounded-output agg (sorted
+    # slice), deterministic, no per-band window.
+    band_reps = big_sig.groupBy("band").agg(
+        F.slice(F.sort_array(F.collect_list("doc_id")), 1, BIG_BAND_REPS).alias("reps")
+    )
+    rep_ids = _persist(
+        band_reps.select(F.explode("reps").alias("rep_id_big")).distinct()
+    )
+    cand_big = (
+        big_sig.join(band_reps, "band")
+        .select(F.explode("reps").alias("r"), "doc_id")
+        .where(F.col("r") != F.col("doc_id"))
+        .select(
+            F.least("r", "doc_id").alias("id_a"), F.greatest("r", "doc_id").alias("id_b")
+        )
+    )
+    cand1 = _persist(
+        cand_small.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
+    )
+    sizes = _persist(rep_rows.groupBy("doc_id").agg(F.count("*").alias("nsh")))
+    v1 = _persist(_verify_jaccard(cand1, rep_rows, sizes, jaccard_floor))
+
+    # Co-member expansion (round 2): members of an oversized band only met
+    # a representative in round 1; any two docs verified against a COMMON
+    # oversized-band representative are candidate pairs themselves.  The
+    # quadratic cost is now proportional to the verified family, not the
+    # junk band.
+    star_a = v1.join(
+        rep_ids, v1.id_a == rep_ids.rep_id_big, "inner"
+    ).select(F.col("rep_id_big").alias("r"), F.col("id_b").alias("m"))
+    star_b = v1.join(
+        rep_ids, v1.id_b == rep_ids.rep_id_big, "inner"
+    ).select(F.col("rep_id_big").alias("r"), F.col("id_a").alias("m"))
+    star = star_a.unionByName(star_b)
+    cand2 = (
+        star.alias("x")
+        .join(star.alias("y"), "r")
+        .where(F.col("x.m") < F.col("y.m"))
+        .select(F.col("x.m").alias("id_a"), F.col("y.m").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .join(cand1, ["id_a", "id_b"], "left_anti")
+    )
+    v2 = _verify_jaccard(cand2, rep_rows, sizes, jaccard_floor)
+    rep_pairs = v1.unionByName(v2)
+
     # Expand representative pairs back to member pairs.  Cross-group: the
     # jaccard of (member_a, member_b) equals the representative pair's
     # (identical shingle sets); within-group: jaccard is exactly 1.0.
@@ -144,7 +211,15 @@ def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor:
             F.lit(1.0).alias("jaccard"),
         )
     )
-    return cross.unionByName(within)
+    # Materialize eagerly (executor-local checkpoint) so every persisted
+    # intermediate can be released HERE: library callers previously
+    # accumulated four cached frames per invocation (round-2 advice);
+    # the result frame is the only thing that outlives the call.
+    try:
+        return cross.unionByName(within).localCheckpoint(eager=True)
+    finally:
+        for df in cached:
+            df.unpersist()
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -210,11 +285,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(d, num_hashes=32, num_bands=16, jaccard_floor=0.8)
 
 
-N_GEMM_BLOCKS = 4  # block-pair tiles; scale O(sqrt(cluster)) with corpus
+# Per-block row target: a tile is at most (TARGET × TARGET) float64 scores
+# = 32 MB plus two (TARGET × dim) operand panels — bounded per task
+# regardless of corpus size, because the block count B is DERIVED from the
+# row count (B = ceil(n / TARGET)): per-task memory stays O(TARGET² +
+# TARGET·dim) while task count grows as B(B+1)/2 — the scaling dimension a
+# cluster absorbs.  (Round 2 fixed B=4, so per-task memory grew O((n/4)²)
+# with the corpus — OOM, not slowdown, at 100×.)
+GEMM_BLOCK_TARGET_ROWS = 2048
 
 
 def dedup_embedding_cosine(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.45
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.45,
+    n_blocks: int | None = None,
 ) -> DataFrame:
     """Exact embedding-cosine pairs via DISTRIBUTED BLOCKED MATMUL.
 
@@ -236,11 +321,17 @@ def dedup_embedding_cosine(
     near-orthogonal, so the registry binds a data-relative 0.45 to keep
     the oracle check non-vacuous.)
     """
+    import math  # noqa: PLC0415
+
     import numpy as np  # noqa: PLC0415
     import pandas as pd  # noqa: PLC0415
 
-    nb = N_GEMM_BLOCKS
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # one cheap count (parquet row-group metadata) sizes the decomposition;
+    # callers may pin n_blocks for tests / known corpora
+    nb = n_blocks if n_blocks is not None else max(
+        1, math.ceil(emb.count() / GEMM_BLOCK_TARGET_ROWS)
+    )
     blocks = emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(nb)).cast("int"))
     bpairs = spark.createDataFrame(
         [(p, q) for p in range(nb) for q in range(p, nb)], "bp int, bq int"

@@ -94,8 +94,23 @@ def _cypher_ident(col):
     """Legal Neo4j label / relationship-type identifier: the reference's
     loader maps STIX type names onto Neo4j labels, which cannot carry
     ``-`` (how-2-convert.md targets Neo4j; e.g. ``attack-pattern`` →
-    ``attack_pattern``)."""
-    return F.translate(col, "-", "_")
+    ``attack_pattern``).
+
+    These fields sit in IDENTIFIER position and arrive verbatim from
+    untrusted STIX input (read_ndjson deliberately keeps malformed
+    objects), so '-'-translation alone was a Cypher-injection hole: a
+    crafted relationship_type could break out of the identifier and smuggle
+    arbitrary clauses into the replay script.  Anything that does not match
+    the bare-identifier whitelist after translation is backtick-quoted with
+    backtick doubling — the Cypher escaped-identifier form — so hostile
+    text stays an identifier."""
+    translated = F.translate(col, "-", "_")
+    quoted = F.concat(
+        F.lit("`"), F.replace(translated, F.lit("`"), F.lit("``")), F.lit("`")
+    )
+    return F.when(
+        translated.rlike("^[A-Za-z_][A-Za-z0-9_]*$"), translated
+    ).otherwise(quoted)
 
 
 def cypher_node_statements(nodes: DataFrame) -> DataFrame:

@@ -417,12 +417,15 @@ WHERE rank <= 5
     "ann_lsh_bucketed": (
         similarity.ann_lsh_bucketed,
         f"""
-WITH planes AS (
-  SELECT d.range AS dim, p.range AS plane,
+WITH dimvals AS (
+  -- plane width follows the DATA's dimensionality, same as the operator
+  SELECT DISTINCT generate_subscripts(embedding, 1) - 1 AS dim FROM embeddings
+), planes AS (
+  SELECT d.dim AS dim, p.range AS plane,
          CASE WHEN (strpos('0123456789abcdef',
-                           substr(md5('hp:' || d.range || ':' || p.range), 1, 1)) - 1) % 2 = 0
+                           substr(md5('hp:' || d.dim || ':' || p.range), 1, 1)) - 1) % 2 = 0
               THEN 1.0 ELSE -1.0 END AS s
-  FROM range(64) d, range({similarity.N_BANDS * similarity.BITS_PER_BAND}) p
+  FROM dimvals d, range({similarity.N_BANDS * similarity.BITS_PER_BAND}) p
 ), dims AS (
   SELECT vec_id, unnest(embedding) AS val,
          generate_subscripts(embedding, 1) - 1 AS dim

@@ -183,7 +183,12 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     path in operators/dedup.py.
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = 64
+    # dim comes from the DATA (one first() on the size — parquet footer
+    # cheap), not a constant: a corpus at another dimensionality would
+    # otherwise shape-error in the V @ S matmul at runtime while the
+    # DuckDB oracle silently kept the old width (round-2 advice).  The
+    # oracle SQL derives the same width with len(embedding).
+    dim = emb.select(F.size("embedding")).first()[0]
     keys = emb.select(
         "vec_id", F.explode(lsh_band_keys_udf(dim)(F.col("embedding"))).alias("bkey")
     )

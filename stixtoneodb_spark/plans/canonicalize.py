@@ -41,6 +41,13 @@ NUM_BANDS = 8
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 MAX_BLOCK = 32  # LSH skew guard: cap degenerate mega-blocks
 
+# Optional profiling sink (tools/profile_pipeline.py): when set to a dict,
+# connected_components records sub-stage walls into it — candidate-pair
+# materialization vs the CC loop is exactly the attribution the scaling
+# gate needs, and it is invisible from outside (the eager loop runs at
+# canonical_map call time).
+PROFILE: dict | None = None
+
 
 def normalize_mentions(mentions: DataFrame) -> DataFrame:
     """Attach normalized name + content key to each mention."""
@@ -259,6 +266,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     (without it the plan doubles every iteration).  Driver-side loop is
     control-flow only — all data movement stays on executors.
     """
+    import time as _time  # noqa: PLC0415
+
+    t0 = _time.time()
     spark = edges.sparkSession
     # The similarity graph is orders of magnitude smaller than the corpus
     # (one edge per verified name pair), so the loop's shuffles are tiny —
@@ -284,7 +294,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # SLOWER with more cores.  Collapse small graphs to one partition and
     # run the loop's shuffles at parallelism 1; big graphs keep the full
     # width.  The count is free: e was just checkpoint-materialized.
-    if e.count() < 200_000:
+    n_edges = e.count()
+    if PROFILE is not None:
+        PROFILE["cc_edges_materialize_s"] = round(_time.time() - t0, 2)
+        PROFILE["cc_n_edges"] = n_edges
+    t0 = _time.time()
+    if n_edges < 200_000:
         e = e.coalesce(1).localCheckpoint(eager=True)
         spark.conf.set(sp_key, "1")
 
@@ -331,8 +346,10 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     # serial fraction; lineage depth stays bounded at two rounds.
     try:
         prev = signature(e)
+        n_rounds = 0
         for _ in range(max_iter // 2):
             e = alternate(alternate(e)).localCheckpoint(eager=True)
+            n_rounds += 1
             cur = signature(e)
             if cur == prev:
                 break
@@ -340,6 +357,9 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     finally:
         spark.conf.set(pf_key, pf_prev)
         spark.conf.set(sp_key, sp_prev)
+    if PROFILE is not None:
+        PROFILE["cc_loop_s"] = round(_time.time() - t0, 2)
+        PROFILE["cc_rounds"] = n_rounds
 
     # At convergence e is (node → component-min) star edges.  Component
     # roots appear only on the v side, so add their self-mapping, then take

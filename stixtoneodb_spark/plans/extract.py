@@ -83,6 +83,29 @@ def _triple_pattern() -> re.Pattern:
     return re.compile(rf"we saw (.+?) ({preds}) (.+?) yesterday", re.IGNORECASE)
 
 
+def _assert_cross_type_nonoverlap(by_type: dict[str, list[str]]) -> None:
+    """PRECONDITION of the single-pass combined regex: ``finditer``
+    consumes matched spans globally, so if one type's surface were a
+    (boundary-)prefix of another type's surface, the per-type passes
+    would emit both mentions while the combined pass emits only the first
+    alternation's — silently, and only for texts containing the longer
+    surface.  Enforced STATICALLY at pattern-build time (round-2 advice):
+    a future gazetteer addition that violates it fails immediately, not
+    via a drifting corpus test.  Within-type prefixes are fine
+    (longest-first alternation keeps maximal-match preference)."""
+    surfs = [
+        (etype, s.lower()) for etype, ss in by_type.items() for s in set(ss)
+    ]
+    for ta, sa in surfs:
+        for tb, sb in surfs:
+            if ta != tb and sa.startswith(sb):
+                raise AssertionError(
+                    f"gazetteer cross-type overlap: {tb!r} surface {sb!r} is a "
+                    f"prefix of {ta!r} surface {sa!r}; the combined single-pass "
+                    "regex is not equivalent to per-type passes under overlap"
+                )
+
+
 @lru_cache(maxsize=1)
 def _combined_gazetteer_pattern() -> tuple[re.Pattern, dict[str, str]]:
     """ONE alternation over every type's surfaces, one named group per
@@ -96,6 +119,7 @@ def _combined_gazetteer_pattern() -> tuple[re.Pattern, dict[str, str]]:
     by_type: dict[str, list[str]] = {}
     for _canon, (etype, surfaces) in GAZETTEER.items():
         by_type.setdefault(etype, []).extend(surfaces)
+    _assert_cross_type_nonoverlap(by_type)
     parts: list[str] = []
     group_types: dict[str, str] = {}
     for i, (etype, surfaces) in enumerate(sorted(by_type.items())):

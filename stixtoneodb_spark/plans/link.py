@@ -31,8 +31,47 @@ class LinkResult:
     dropped: DataFrame  # triples with >=1 unresolvable endpoint + reason
 
 
+def hot_cold_join(
+    stream: DataFrame,
+    mapdf: DataFrame,
+    key: str,
+    hot_keys: DataFrame,
+    how: str = "left",
+) -> DataFrame:
+    """Skew-safe stream ⋈ dictionary join on a hot-key-prone column.
+
+    The north rule demands explicit handling of hot entities: a plain
+    shuffle join on entity name puts every mention of a popular entity
+    into one task (AQE's skew split does not fire below its byte
+    thresholds, so mid-sized skew silently serializes).  Standard split:
+
+    - ``hot_keys`` (names above a corpus-relative frequency floor) is
+      BOUNDED by construction (≤ total/floor rows), so the hot slice of
+      the dictionary broadcasts; hot stream rows join map-side with no
+      shuffle at all — the skew never reaches an exchange.
+    - cold rows shuffle-join the cold dictionary slice; every cold key
+      is below the floor, so no partition can be dominated by one key.
+
+    Routing uses one broadcast membership probe (hot_keys is tiny); hot
+    rows can only match hot dictionary rows and vice versa, so the union
+    preserves exact ``how`` semantics for disjoint key slices.
+    """
+    flag = F.broadcast(hot_keys.select(F.col("name").alias(key), F.lit(True).alias("_hot")))
+    hot_map = F.broadcast(
+        mapdf.join(hot_keys.select(F.col("name").alias(key)), key, "left_semi")
+    )
+    cold_map = mapdf.join(hot_keys.select(F.col("name").alias(key)), key, "left_anti")
+    s = stream.join(flag, key, "left")
+    hot_rows = s.where(F.col("_hot").isNotNull()).drop("_hot").join(hot_map, key, how)
+    cold_rows = s.where(F.col("_hot").isNull()).drop("_hot").join(cold_map, key, how)
+    return hot_rows.unionByName(cold_rows)
+
+
 def link_triples(
-    triples: DataFrame, canon: DataFrame, broadcast_map: bool = False
+    triples: DataFrame,
+    canon: DataFrame,
+    broadcast_map: bool = False,
+    hot_names: DataFrame | None = None,
 ) -> LinkResult:
     """Join raw triples to canonical ids on both endpoints.
 
@@ -43,6 +82,15 @@ def link_triples(
     driver serializes a cost that a shuffle join spreads across executors
     — AQE still converts to broadcast at runtime when the map is actually
     small.  Pass ``broadcast_map=True`` only for fixed, known-tiny maps.
+
+    ``hot_names``: optional (name) frame of corpus-hot entity names (the
+    pipeline derives it from mention frequencies).  When given, both
+    endpoint joins run through ``hot_cold_join``: popular entities — the
+    overwhelming majority of triple endpoints, since triples are about
+    the entities people talk about — resolve via a broadcast of the hot
+    dictionary slice with no shuffle, and only the long tail (rare +
+    dangling endpoints) pays a shuffle join, with no per-key hotspot by
+    construction.
     """
     cmap = F.broadcast(canon) if broadcast_map else canon
 
@@ -59,7 +107,16 @@ def link_triples(
         F.col("canonical_id").alias("obj_id"),
         F.col("canonical_label").alias("obj_label"),
     )
-    joined = t.join(subj_map, "subj_name", "left").join(obj_map, "obj_name", "left")
+    if hot_names is not None:
+        joined = hot_cold_join(
+            hot_cold_join(t, subj_map, "subj_name", hot_names, "left"),
+            obj_map,
+            "obj_name",
+            hot_names,
+            "left",
+        )
+    else:
+        joined = t.join(subj_map, "subj_name", "left").join(obj_map, "obj_name", "left")
 
     linked = joined.where(
         F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()

@@ -35,8 +35,21 @@ def entity_nodes(linked: DataFrame, mentions_canon: DataFrame) -> DataFrame:
     by_type = mentions_canon.groupBy("canonical_id", "canonical_label", "entity_type").agg(
         F.count("*").alias("cnt")
     )
+    return entity_nodes_from_type_counts(by_type)
+
+
+def entity_nodes_from_type_counts(type_counts: DataFrame) -> DataFrame:
+    """``entity_nodes`` from pre-aggregated
+    (canonical_id, canonical_label, entity_type, cnt) rows.
+
+    The aggregate form is the scale path: the pipeline counts mentions by
+    (name, entity_type) FIRST — a partial aggregation whose map-side
+    combine absorbs hot-entity skew — and joins the canonical map at
+    vocabulary cardinality, so node materialization never shuffles the
+    full mention stream on the skewed name key.
+    """
     w_type = F.struct(F.col("cnt"), F.col("entity_type"))
-    top_type = by_type.groupBy("canonical_id", "canonical_label").agg(
+    top_type = type_counts.groupBy("canonical_id", "canonical_label").agg(
         F.max(w_type).getField("entity_type").alias("node_type"),
         F.sum("cnt").alias("n_mentions"),
     )

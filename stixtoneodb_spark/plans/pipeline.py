@@ -212,6 +212,85 @@ class KgPipeline:
             )
 
 
+# Hot-entity dictionary bound: a name is HOT when it carries at least
+# 1/HOT_NAME_TARGET of all mentions (floor 1000), so the broadcast hot
+# slice holds ≤ HOT_NAME_TARGET rows REGARDLESS of corpus size, and every
+# cold key stays under the same per-key row bound — the explicit
+# hot-entity handling the north rule requires (a plain name-keyed shuffle
+# join serializes each popular entity into one task; AQE's skew split
+# does not fire below its byte thresholds).
+HOT_NAME_TARGET = 100_000
+HOT_NAME_FLOOR = 1000
+
+
+def _graph_frames(
+    turns: DataFrame,
+    mentions: DataFrame,
+    triples_raw: DataFrame,
+    alias_edges: DataFrame | None,
+    persist,
+    stage_walls: dict[str, float] | None = None,
+) -> dict[str, DataFrame]:
+    """Shared S3→S5 dataflow (run_volatile / run_volatile_frames).
+
+    Scale shape: the mention stream is touched exactly twice after S2 —
+    one partial aggregation to (name, entity_type) counts (map-side
+    combine absorbs hot-name skew; the shuffle carries vocabulary-sized
+    rows) and one dedup + hot/cold dictionary join for provenance edges.
+    Everything else (canonicalization, node materialization, the triple
+    link maps) runs at vocabulary cardinality.  The round-2 design
+    instead repartition()ed the full stream on the skewed name key and
+    cached it: measured 53s at local[16] vs 57s at local[4] — a
+    non-scaling stage this dataflow deletes outright.
+    """
+    profiling = stage_walls is not None
+    named = canonicalize.normalize_mentions(mentions)
+    ntc = persist(
+        named.groupBy("name", "entity_type").agg(F.count("*").alias("cnt")),
+        "s3_name_type_counts",
+    )
+    # canonical map over the distinct-name universe (eager CC loop inside)
+    t_cc = time.time()
+    canon_frame = canonicalize.canonical_map_from_names(
+        ntc.select("name").distinct(), alias_edges=alias_edges
+    )
+    if profiling:
+        stage_walls["s3_cc_loop_eager"] = round(time.time() - t_cc, 2)
+    canon = persist(canon_frame, "s3_canon")
+
+    # hot-name dictionary: corpus-relative frequency floor (bounded size)
+    name_totals = ntc.groupBy("name").agg(F.sum("cnt").alias("n_tot"))
+    tot = name_totals.agg(F.sum("n_tot").alias("_t"))
+    hot_names = name_totals.crossJoin(F.broadcast(tot)).where(
+        (F.col("n_tot") >= HOT_NAME_FLOOR)
+        & (F.col("n_tot") * HOT_NAME_TARGET >= F.col("_t"))
+    ).select("name")
+
+    lr = link.link_triples(triples_raw, canon, hot_names=hot_names)
+    linked = persist(lr.linked, "s4_linked")
+
+    # S5 nodes: vocabulary-scale join + aggregate — the stream never
+    # re-shuffles for node materialization.
+    type_counts = (
+        ntc.join(canon, "name")
+        .groupBy("canonical_id", "canonical_label", "entity_type")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    nodes = materialize.entity_nodes_from_type_counts(type_counts).unionByName(
+        materialize.conversation_nodes(turns)
+    )
+
+    # S5 provenance edges: dedup on the narrow determinants first (the
+    # edge id is a function of (name→canonical_id, conv_id, turn_idx)),
+    # then resolve names via the hot/cold dictionary join.
+    ments = named.select("name", "conv_id", "turn_idx").dropDuplicates()
+    mc = link.hot_cold_join(
+        ments, canon.select("name", "canonical_id"), "name", hot_names, "inner"
+    )
+    edges = materialize.triple_edges(linked).unionByName(materialize.mention_edges(mc))
+    return {"nodes": nodes, "edges": edges, "linked": linked, "canon": canon}
+
+
 def run_volatile_frames(
     spark: SparkSession, transcripts: DataFrame, alias_edges: DataFrame | None = None
 ) -> tuple[DataFrame, DataFrame]:
@@ -220,22 +299,17 @@ def run_volatile_frames(
     turns = assemble.normalize_turns(transcripts).repartition("conv_id")
     mentions = extract.detect_mentions(turns)
     triples_raw = extract.extract_triples(turns)
-    canon = canonicalize.canonical_map(mentions, alias_edges=alias_edges)
-    lr = link.link_triples(triples_raw, canon)
-    mentions_canon = mentions.withColumn(
-        "name", canonicalize.canonical_name(F.col("surface"))
-    ).join(canon, "name", "inner")
-    nodes = materialize.entity_nodes(lr.linked, mentions_canon).unionByName(
-        materialize.conversation_nodes(turns)
+    frames = _graph_frames(
+        turns, mentions, triples_raw, alias_edges, persist=lambda df, _stage=None: df
     )
-    edges = materialize.triple_edges(lr.linked).unionByName(
-        materialize.mention_edges(mentions_canon)
-    )
-    return nodes, edges
+    return frames["nodes"], frames["edges"]
 
 
 def run_volatile(
-    spark: SparkSession, transcripts: DataFrame, alias_edges: DataFrame | None = None
+    spark: SparkSession,
+    transcripts: DataFrame,
+    alias_edges: DataFrame | None = None,
+    stage_walls: dict[str, float] | None = None,
 ) -> dict[str, int]:
     """Benchmark path: the full S0→S5 dataflow with no per-stage
     persistence — one Catalyst job graph end-to-end (plus the driver-side
@@ -243,47 +317,43 @@ def run_volatile(
     The production path (``KgPipeline.run``) adds checkpointed tables; on a
     real cluster those land in Iceberg, so disk cost is cluster-storage-
     bound, not part of the engine comparison.
+
+    ``stage_walls``: when a dict is passed, PROFILE mode — each persisted
+    stage is forced (count) as soon as it is declared and its wall-clock
+    recorded under a stage name.  This adds one driver barrier per stage,
+    so profile runs attribute time but are NOT the timed configuration;
+    timed runs pass None and keep the single-job-graph shape.
     """
     cached: list[DataFrame] = []
+    profiling = stage_walls is not None
 
-    def _persist(df: DataFrame) -> DataFrame:
+    def _persist(df: DataFrame, stage: str | None = None) -> DataFrame:
         cached.append(df.persist())
+        if profiling and stage is not None:
+            t0 = time.time()
+            df.count()
+            stage_walls[stage] = round(time.time() - t0, 2)
         return df
 
-    turns = _persist(assemble.normalize_turns(transcripts).repartition("conv_id"))
+    turns = _persist(
+        assemble.normalize_turns(transcripts).repartition("conv_id"), "s0_normalize"
+    )
     try:
-        mentions = _persist(extract.detect_mentions(turns))
-        triples_raw = _persist(extract.extract_triples(turns))
-        # ONE canonicalizer pass over the mention stream, shared by S3
-        # (name universe) and S5 (mention join) — running
-        # canonical_map(mentions) and then re-normalizing for the join
-        # paid the normalize+shuffle over 10^7 mentions twice.  The
-        # repartition("name") is the single deliberate name-key shuffle:
-        # the distinct BELOW then needs no exchange (hash(name) already
-        # satisfies its clustering), candidate_pairs' per-name groupBys
-        # ride the same partitioning, and the S5 join meets canon — which
-        # inherits this partitioning through the map — co-located.
-        named = _persist(canonicalize.normalize_mentions(mentions).repartition("name"))
-        canon = _persist(
-            canonicalize.canonical_map_from_names(
-                named.select("name").distinct(), alias_edges=alias_edges
-            )
+        mentions = _persist(extract.detect_mentions(turns), "s2_mentions")
+        triples_raw = _persist(extract.extract_triples(turns), "s2_triples")
+        frames = _graph_frames(
+            turns,
+            mentions,
+            triples_raw,
+            alias_edges,
+            persist=_persist,
+            stage_walls=stage_walls,
         )
-        lr = link.link_triples(triples_raw, canon)
-        # persist the link output and the canonicalized mention stream:
-        # nodes and edges both read them — without the persist the link
-        # joins and the Arrow extraction under them run once per action.
-        linked = _persist(lr.linked)
-        mentions_canon = _persist(named.join(canon, "name", "inner"))
-        nodes = materialize.entity_nodes(linked, mentions_canon).unionByName(
-            materialize.conversation_nodes(turns)
-        )
-        edges = materialize.triple_edges(linked).unionByName(
-            materialize.mention_edges(mentions_canon)
-        )
+        nodes, edges, linked = frames["nodes"], frames["edges"], frames["linked"]
         # one action for the graph counts: tag-and-union instead of two
         # counts — every Spark action is a driver barrier, and barriers
         # are the part of the wall that does not shrink with cores.
+        t_tail = time.time()
         counted = (
             nodes.select(F.lit("n").alias("k"))
             .unionAll(edges.select(F.lit("e").alias("k")))
@@ -291,6 +361,8 @@ def run_volatile(
             .count()
             .collect()
         )
+        if profiling:
+            stage_walls["s5_materialize"] = round(time.time() - t_tail, 2)
         by_k = {r["k"]: r["count"] for r in counted}
         n_raw = triples_raw.count()
         n_linked = linked.count()

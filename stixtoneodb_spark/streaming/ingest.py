@@ -115,7 +115,9 @@ def session_windowed_conversations(
     )
 
 
-def conversation_progress_stream(stream: DataFrame, timeout_ms: int = 60000) -> DataFrame:
+def conversation_progress_stream(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "10 seconds"
+) -> DataFrame:
     """CUSTOM STATEFUL operator via ``applyInPandasWithState``: a running
     per-conversation turn counter that survives across micro-batches.
 
@@ -123,15 +125,25 @@ def conversation_progress_stream(stream: DataFrame, timeout_ms: int = 60000) -> 
     dedup/windowing primitives keep engine-managed state, but a KG
     ingest wants *user-defined* per-conversation accumulators (turns seen
     so far, open/closed status) — the streaming analog of the reference's
-    id-indexed incremental MERGE (README.md:75, A9), with the
-    processing-time timeout playing the bundle-closed signal (no turns
-    for ``timeout_ms`` → conversation finalized, state evicted).
+    id-indexed incremental MERGE (README.md:75, A9), with an EVENT-TIME
+    timeout playing the bundle-closed signal: once the watermark passes
+    ``last turn's event time + gap``, the conversation is finalized and
+    its state evicted.
+
+    Event-time (not processing-time) timeouts are load-bearing twice
+    over: (a) the close decision replays deterministically — a backfill
+    at 10× speed closes exactly the conversations a live run would,
+    because the clock is the data's, not the machine's; (b) under
+    ``Trigger.AvailableNow`` the query terminates — processing-time
+    timeouts keep scheduling empty timeout-check micro-batches after the
+    input drains (observed: hundreds of state-store versions and a
+    wedged query on Spark 4.1), while event-time timers can only fire
+    while data still advances the watermark.
 
     Emits one progress row per (conversation, micro-batch) carrying the
-    cumulative and per-batch counts plus first/last event-time bounds,
-    and a final ``closed=true`` row when the timeout fires.  State is one
-    tiny tuple per ACTIVE conversation — bounded by concurrency, not
-    history; an idle conversation's state is dropped at timeout.
+    cumulative and per-batch counts, and a final ``closed=true`` row when
+    the timeout fires.  State is one tiny tuple per OPEN conversation —
+    bounded by watermark-horizon concurrency, not history.
     """
     import pandas as pd  # noqa: PLC0415
     from pyspark.sql import types as T  # noqa: PLC0415
@@ -146,6 +158,7 @@ def conversation_progress_stream(stream: DataFrame, timeout_ms: int = 60000) -> 
         ]
     )
     state_schema = T.StructType([T.StructField("n", T.LongType())])
+    gap_ms = _duration_ms(gap)
 
     def update(key, pdfs, state):
         (conv_id,) = key
@@ -162,11 +175,20 @@ def conversation_progress_stream(stream: DataFrame, timeout_ms: int = 60000) -> 
             )
             return
         batch_n = 0
+        max_ts_ms = 0
         for pdf in pdfs:
             batch_n += len(pdf)
+            if len(pdf):
+                max_ts_ms = max(max_ts_ms, int(pdf["ts"].max().timestamp() * 1000))
         total = (state.get[0] if state.exists else 0) + batch_n
         state.update((total,))
-        state.setTimeoutDuration(timeout_ms)
+        # the timeout must sit strictly beyond the current watermark (a
+        # fully-late straggler batch could otherwise set one in the past,
+        # which Spark rejects); such a conversation then closes on the
+        # next watermark advance — the correct semantic for data that
+        # arrived already beyond its close horizon.
+        wm_ms = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(max_ts_ms + gap_ms, wm_ms + 1))
         yield pd.DataFrame(
             {
                 "conv_id": [conv_id],
@@ -176,13 +198,35 @@ def conversation_progress_stream(stream: DataFrame, timeout_ms: int = 60000) -> 
             }
         )
 
-    return stream.groupBy("conv_id").applyInPandasWithState(
-        update,
-        out_schema,
-        state_schema,
-        "append",
-        GroupStateTimeout.ProcessingTimeTimeout,
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
     )
+
+
+def _duration_ms(spec: str) -> int:
+    """Parse a Spark-style duration ('30 minutes', '10 seconds') to ms."""
+    qty, unit = spec.split()
+    factor = {
+        "millisecond": 1,
+        "milliseconds": 1,
+        "second": 1000,
+        "seconds": 1000,
+        "minute": 60_000,
+        "minutes": 60_000,
+        "hour": 3_600_000,
+        "hours": 3_600_000,
+        "day": 86_400_000,
+        "days": 86_400_000,
+    }[unit]
+    return int(qty) * factor
 
 
 def start_mention_merge_sink(

@@ -96,6 +96,37 @@ def test_cypher_escapes_and_sanitizes(spark, tmp_path):
     assert "O\\'Neil \\\\ co" in text
 
 
+def test_cypher_identifier_injection_neutralized(spark, tmp_path):
+    """node_type / rel_type sit in IDENTIFIER position and come verbatim
+    from untrusted STIX input: a crafted type must not break out of the
+    identifier (round-2 advice, high).  Hostile identifiers are
+    backtick-quoted with backtick doubling; benign ones stay bare."""
+    evil_rel = "x {id:'1'}]->(b) DETACH DELETE a //"
+    evil_label = "Bad` DETACH DELETE n //"
+    nodes = spark.createDataFrame(
+        [("n1", evil_label, "l1"), ("n2", "identity", "l2")],
+        "id string, node_type string, label string",
+    )
+    edges = spark.createDataFrame(
+        [("e1", "n1", "n2", evil_rel)], "id string, src string, dst string, rel_type string"
+    )
+    out = str(tmp_path / "inj.cypher")
+    export.export_cypher(nodes, edges, out)
+    lines = [ln for ln in open(out).read().splitlines() if ln]
+    # exactly one statement per input row — nothing was smuggled in
+    assert len(lines) == 3
+    assert all(ln.endswith(";") for ln in lines)
+    edge_stmt = next(ln for ln in lines if ln.startswith("MATCH"))
+    # the whole hostile rel_type is inside one backtick-quoted identifier
+    # (the '-'→'_' Neo4j-legalization applies inside the quote too)
+    assert "MERGE (a)-[:`x {id:'1'}]_>(b) DETACH DELETE a //`" in edge_stmt
+    node_stmt = next(ln for ln in lines if "Bad" in ln)
+    # interior backtick doubled, so the quote cannot be closed early
+    assert "MERGE (n:`Bad`` DETACH DELETE n //`" in node_stmt
+    # benign identifier remains unquoted
+    assert any("MERGE (n:identity" in ln for ln in lines)
+
+
 def test_graphml_escapes_special_chars(spark, tmp_path):
     nodes = spark.createDataFrame(
         [("n1", "identity", 'A&B <"Corp">')], "id string, node_type string, label string"

@@ -101,6 +101,48 @@ def test_resume_equals_fresh(spark, corpus, tmp_path_factory):
     assert {r.id for r in res2.edges.select("id").collect()} == edges_fresh
 
 
+def test_volatile_path_equals_checkpointed_run(spark, corpus, result):
+    """The bench/export dataflow (_graph_frames: aggregate-first nodes,
+    hot/cold dictionary joins) must produce EXACTLY the graph the
+    checkpointed production path produces — full-row equality, not just
+    ids, so a skew-optimization can never drift the semantics."""
+    from stixtoneodb_spark.plans.pipeline import run_volatile_frames
+
+    tr, _, aliases = corpus
+    pipe, res = result
+    nodes_v, edges_v = run_volatile_frames(spark, tr, alias_edges=aliases)
+    # read the tables back rather than res.* (earlier tests may have
+    # idempotently rewritten the warehouse files under the lazy frames)
+    nodes_t = pipe.catalog.read("nodes").select(*nodes_v.columns)
+    edges_t = pipe.catalog.read("edges").select(*edges_v.columns)
+    assert sorted(map(tuple, nodes_v.collect())) == sorted(
+        map(tuple, nodes_t.collect())
+    )
+    assert sorted(map(tuple, edges_v.collect())) == sorted(
+        map(tuple, edges_t.collect())
+    )
+
+
+def test_hot_cold_join_equals_plain_join(spark):
+    """hot_cold_join == plain join for every `how`, including rows whose
+    key is absent from the dictionary (left) and hot/cold boundary keys."""
+    from stixtoneodb_spark.plans.link import hot_cold_join
+
+    stream = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("b", 3), ("c", 4), ("zz", 5)], "name string, v int"
+    )
+    mapdf = spark.createDataFrame(
+        [("a", "A"), ("b", "B"), ("d", "D")], "name string, canonical_id string"
+    )
+    hot = spark.createDataFrame([("a",), ("d",)], "name string")
+    for how in ("left", "inner"):
+        got = sorted(
+            map(tuple, hot_cold_join(stream, mapdf, "name", hot, how).collect())
+        )
+        want = sorted(map(tuple, stream.join(mapdf, "name", how).collect()))
+        assert got == want, how
+
+
 def test_metrics_recorded_per_stage(spark, result):
     pipe, res = result
     stages = {r.stage for r in pipe.catalog.read("_checkpoints").collect()}

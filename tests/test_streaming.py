@@ -208,12 +208,15 @@ def test_foreach_batch_merge_idempotent(spark, stream_dir, tmp_path):
 
 
 def test_custom_stateful_progress_operator(spark, stream_dir, tmp_path):
-    """applyInPandasWithState: per-conversation state must accumulate
-    ACROSS micro-batches (one file per trigger => 3 batches), and the
-    final cumulative count per conversation must equal the batch count."""
+    """applyInPandasWithState with EVENT-TIME timeouts: per-conversation
+    state must accumulate ACROSS micro-batches (one file per trigger =>
+    3 batches), cumulative counts must equal batch truth, and the
+    watermark-driven close must fire for exactly the conversations whose
+    last turn fell a full gap behind the final watermark."""
+    gap, wm_delay = "30 minutes", "10 seconds"
     stream = ingest.read_transcript_stream(spark, stream_dir, max_files_per_trigger=1)
     q = (
-        ingest.conversation_progress_stream(stream)
+        ingest.conversation_progress_stream(stream, gap=gap, watermark=wm_delay)
         .writeStream.format("memory")
         .queryName("progress_t6")
         .option("checkpointLocation", str(tmp_path / "ckpt6"))
@@ -222,7 +225,6 @@ def test_custom_stateful_progress_operator(spark, stream_dir, tmp_path):
     )
     _drain(q)
     out = spark.table("progress_t6")
-    assert out.where(F.col("closed")).count() == 0  # drain ends before any timeout
 
     # cumulative totals: last progress row per conversation == batch truth
     batch = spark.read.parquet(stream_dir).groupBy("conv_id").count()
@@ -233,7 +235,39 @@ def test_custom_stateful_progress_operator(spark, stream_dir, tmp_path):
     j = last.join(batch, "conv_id")
     assert j.where(F.col("n_turns_total") != F.col("count")).count() == 0
     # per-batch increments must add up to the same total (state really
-    # accumulated per micro-batch rather than recomputing)
+    # accumulated per micro-batch rather than recomputing; closed rows
+    # carry n_turns_batch=0 so they don't perturb the sum)
     assert j.where(F.col("sum_batches") != F.col("count")).count() == 0
     # at least one conversation spans multiple micro-batches
-    assert out.groupBy("conv_id").count().where(F.col("count") > 1).count() > 0
+    assert out.where(~F.col("closed")).groupBy("conv_id").count().where(
+        F.col("count") > 1
+    ).count() > 0
+
+    # event-time close: final watermark = global max ts - delay; every
+    # conversation whose last turn + gap < watermark MUST have closed
+    # (strictly-inside cases only — the boundary depends on Spark's
+    # internal <=/<), and nothing beyond the watermark may close.
+    gap_ms = ingest._duration_ms(gap)
+    delay_ms = ingest._duration_ms(wm_delay)
+    ts_ms = F.unix_millis("ts")
+    turns = spark.read.parquet(stream_dir)
+    final_wm = turns.agg(F.max(ts_ms)).collect()[0][0] - delay_ms
+    last_ts = turns.groupBy("conv_id").agg(F.max(ts_ms).alias("last_ms"))
+    must_close = {
+        r["conv_id"]
+        for r in last_ts.where(F.col("last_ms") + gap_ms < final_wm - 1000).collect()
+    }
+    may_not_close = {
+        r["conv_id"]
+        for r in last_ts.where(F.col("last_ms") + gap_ms > final_wm).collect()
+    }
+    closed = {r["conv_id"] for r in out.where("closed").select("conv_id").collect()}
+    assert must_close, "fixture must contain conversations past the close horizon"
+    assert must_close <= closed
+    assert not (closed & may_not_close)
+    # a closed conversation's final row repeats its cumulative total
+    closed_rows = out.where("closed")
+    cj = closed_rows.join(batch, "conv_id")
+    assert cj.where(F.col("n_turns_total") != F.col("count")).count() == 0
+    # close fires exactly once per conversation
+    assert closed_rows.groupBy("conv_id").count().where(F.col("count") > 1).count() == 0
