@@ -38,6 +38,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # halved the parallel work per turn, so the corpus must grow to keep
 # compute (not fixed stage latency) as the measured quantity.
 N_CONV = int(os.environ.get("SPARK_GRAFT_BENCH_CONV", "1296000"))
+# cross-round comparability (VERDICT r2 #8): every round also measures the
+# round-1 corpus size, so throughput/efficiency trends never conflate scale
+# changes with code changes.  Two rows per round: 9.3M and 27.9M turns.
+N_CONV_SECONDARY = int(os.environ.get("SPARK_GRAFT_BENCH_CONV_SECONDARY", "432000"))
 LOW = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "4"))
 HIGH = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", "16"))
 N_TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
@@ -69,24 +73,24 @@ def _session(cores: int):
     return s
 
 
-def _corpus_path() -> str:
-    return os.path.join(BENCH_DIR, f"transcripts_{N_CONV}")
+def _corpus_path(n_conv: int) -> str:
+    return os.path.join(BENCH_DIR, f"transcripts_{n_conv}")
 
 
-def worker_generate() -> None:
+def worker_generate(n_conv: int) -> None:
     spark = _session(CPUS)
     from stixtoneodb_spark.sources.transcripts import transcripts_df_distributed
 
-    path = _corpus_path()
+    path = _corpus_path(n_conv)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        transcripts_df_distributed(spark, N_CONV, slices=64).repartition(
+        transcripts_df_distributed(spark, n_conv, slices=64).repartition(
             64, "conv_id"
         ).write.mode("overwrite").parquet(path)
     n = spark.read.parquet(path).count()
     print(json.dumps({"n_turns": n}))
 
 
-def worker_pipeline(cores: int) -> None:
+def worker_pipeline(cores: int, n_conv: int) -> None:
     spark = _session(cores)
     from stixtoneodb_spark.plans.pipeline import run_volatile
     from stixtoneodb_spark.sources.transcripts import alias_edges_df, transcripts_df_distributed
@@ -98,7 +102,7 @@ def worker_pipeline(cores: int) -> None:
 
     spark.catalog.clearCache()
 
-    tr = spark.read.parquet(_corpus_path())
+    tr = spark.read.parquet(_corpus_path(n_conv))
     tr.count()  # page-cache touch: run 1 must not pay a one-off disk-cold read
     walls = []
     n_turns = 0
@@ -149,18 +153,18 @@ def _run_worker(args: list[str], pin_cores: int | None = None) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def main() -> None:
-    os.makedirs(BENCH_DIR, exist_ok=True)
-    gen = _run_worker(["--generate"])
+def _measure_scale(n_conv: int) -> dict:
+    gen = _run_worker(["--generate", str(n_conv)])
     time.sleep(5)  # let the generator JVM fully release its cores
     # Symmetric unpinned policy: both levels get the JVM's full GC/service
     # thread freedom (standard local-mode practice).  taskset pinning of the
     # whole process tree was measured too (pass pin_cores=LOW/HIGH): it
     # costs the high level ~7% (GC confined with busy executors) and leaves
     # the low level unchanged — reported in BENCH.md for transparency.
-    r_low = _run_worker(["--pipeline", str(LOW)])
+    r_low = _run_worker(["--pipeline", str(LOW), str(n_conv)])
     time.sleep(5)
-    r_high = _run_worker(["--pipeline", str(HIGH)])
+    r_high = _run_worker(["--pipeline", str(HIGH), str(n_conv)])
+    time.sleep(5)
 
     turns = gen["n_turns"]
     # min over timed runs: the standard noise-robust estimator on a shared box
@@ -168,22 +172,32 @@ def main() -> None:
     wall_high = min(r_high["walls"])
     tp_low = turns / wall_low
     tp_high = turns / wall_high
-    eff = (tp_high / tp_low) / (HIGH / LOW)
-
-    q = _run_worker(["--queries"])["queries"]
-
-    results = {
-        "metric": f"kg_pipeline_e2e_sec_local{HIGH}_plus_oracle_queries",
-        "value": round(wall_high + sum(q.values()), 2),
-        "unit": "sec",
-        "sf": SF_DIR,
-        "queries": q,
+    return {
+        "n_conv": n_conv,
         "n_turns": turns,
         f"pipeline_sec_{LOW}": round(wall_low, 2),
         f"pipeline_sec_{HIGH}": round(wall_high, 2),
         f"turns_per_sec_{LOW}": round(tp_low, 1),
         f"turns_per_sec_{HIGH}": round(tp_high, 1),
-        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency": round((tp_high / tp_low) / (HIGH / LOW), 3),
+    }
+
+
+def main() -> None:
+    os.makedirs(BENCH_DIR, exist_ok=True)
+    primary = _measure_scale(N_CONV)
+    secondary = _measure_scale(N_CONV_SECONDARY) if N_CONV_SECONDARY else None
+
+    q = _run_worker(["--queries"])["queries"]
+
+    results = {
+        "metric": f"kg_pipeline_e2e_sec_local{HIGH}_plus_oracle_queries",
+        "value": round(primary[f"pipeline_sec_{HIGH}"] + sum(q.values()), 2),
+        "unit": "sec",
+        "sf": SF_DIR,
+        "queries": q,
+        **primary,
+        "scales": [s for s in (primary, secondary) if s],
     }
     _write_bench_md(results)
     print(json.dumps(results))
@@ -216,13 +230,18 @@ def _write_bench_md(r: dict) -> None:
         "a given host/scale is a one-off measurement, recorded in BASELINE.md",
         "prose rather than restated here.",
         "",
-        "| measurement | value |",
-        "|---|---|",
-        f"| pipeline wall @ local[{LOW}] | {r[f'pipeline_sec_{LOW}']} s |",
-        f"| pipeline wall @ local[{HIGH}] | {r[f'pipeline_sec_{HIGH}']} s |",
-        f"| throughput @ local[{LOW}] | {r[f'turns_per_sec_{LOW}']} turns/s |",
-        f"| throughput @ local[{HIGH}] | {r[f'turns_per_sec_{HIGH}']} turns/s |",
-        f"| **scaling efficiency (tp{HIGH}/tp{LOW})/{HIGH // LOW}** | **{r['scaling_efficiency']}** (gate ≥ 0.8) |",
+        "Two corpus scales per round (cross-round comparability — the",
+        "round-1 scale is re-measured every round so trends never conflate",
+        "scale changes with code changes):",
+        "",
+        f"| corpus (turns) | wall@{LOW} | wall@{HIGH} | tp@{LOW} | tp@{HIGH} | **efficiency** (gate ≥0.8) |",
+        "|---|---|---|---|---|---|",
+        *[
+            f"| {s['n_turns']} | {s[f'pipeline_sec_{LOW}']} s | {s[f'pipeline_sec_{HIGH}']} s "
+            f"| {s[f'turns_per_sec_{LOW}']}/s | {s[f'turns_per_sec_{HIGH}']}/s "
+            f"| **{s['scaling_efficiency']}** |"
+            for s in r["scales"]
+        ],
         "",
         "Per-query wall (sec, after warm-up):",
         "",
@@ -237,9 +256,10 @@ def _write_bench_md(r: dict) -> None:
 
 if __name__ == "__main__":
     if "--generate" in sys.argv:
-        worker_generate()
+        worker_generate(int(sys.argv[sys.argv.index("--generate") + 1]))
     elif "--pipeline" in sys.argv:
-        worker_pipeline(int(sys.argv[sys.argv.index("--pipeline") + 1]))
+        i = sys.argv.index("--pipeline")
+        worker_pipeline(int(sys.argv[i + 1]), int(sys.argv[i + 2]))
     elif "--queries" in sys.argv:
         worker_queries()
     else:

@@ -1,21 +1,26 @@
-"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+"""Multimodal columns: opaque binary payloads + typed metadata + decode.
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 metadata struct; decode/feature steps are Arrow-batched ``mapInPandas``
-over those bytes.  The decode libraries are not in this container, so the
-decode body is a clearly-marked deterministic stub — the Spark-side
-contract (schema, batching, partitioning) is real and tested.
+over those bytes.  Codec-free formats (uncompressed BMP, P6 PPM, PCM-16
+WAV — ``functions/codecs.py``, pure numpy) are decoded FOR REAL:
+bytes → array → resize/window → bytes inside the worker.  Payloads in
+formats that need absent codec libraries (JPEG/MP3/MP4…) fall back to a
+clearly-marked deterministic stub behind the same schema/batching
+contract, flagged ``decoded=false`` so downstream can filter.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from stixtoneodb_spark.functions import codecs
 from stixtoneodb_spark.sources.tables import load_table
 
 MEDIA_META_SCHEMA = T.StructType(
@@ -41,22 +46,74 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _decode_stub(payload: bytes) -> dict:
-    """STUB decode: the real implementation would call PIL/librosa/ffmpeg
-    here.  Deterministic fake so the pipeline shape is testable without
-    the codec libraries."""
-    raise NotImplementedError("media codecs not available in this container")
+def media_table_decodable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table whose payloads are REAL decodable bytes: deterministic
+    BMP images (doc_id-seeded gradient) for even ids, PCM-16 WAV tones
+    for odd ids — generated worker-side from the documents table so the
+    decode operators exercise the full bytes→array→bytes path without
+    any codec library."""
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("payload", T.BinaryType()),
+            T.StructField("media_type", T.StringType()),
+        ]
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads, kinds = [], [], []
+            for doc_id in pdf["doc_id"]:
+                if doc_id % 2 == 0:
+                    h, w = 17 + doc_id % 13, 23 + doc_id % 7  # odd sizes: row padding
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    arr = np.stack(
+                        [(yy * 7 + doc_id) % 256, (xx * 11) % 256, (yy + xx) % 256],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    payloads.append(codecs.encode_bmp(arr))
+                    kinds.append("image/bmp")
+                else:
+                    n = 2000 + int(doc_id) % 500
+                    t = np.arange(n)
+                    tone = (8000 * np.sin(2 * np.pi * (220 + doc_id % 200) * t / 16000)).astype(
+                        np.int16
+                    )
+                    payloads.append(codecs.encode_wav(tone, 16000))
+                    kinds.append("audio/wav")
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": ids, "payload": payloads, "media_type": kinds})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    return docs.mapInPandas(synth, schema)
 
 
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_metadata_over(media_table(spark, sf_dir))
+
+
+def media_metadata_over(media: DataFrame) -> DataFrame:
     """Arrow-batched metadata extraction over binary payloads.
 
     ``mapInPandas`` receives pa→pandas batches of (doc_id, payload bytes,
-    media_type); the UDF computes byte length + sha256 digest (the real
-    decode is stubbed).  Partitioning note: binary batches are large —
-    ``spark.sql.execution.arrow.maxRecordsPerBatch`` caps batch memory.
+    media_type); the UDF computes byte length + sha256 digest and
+    attempts a real codec-free decode (``decoded_ok`` reports whether a
+    decoder accepted the payload).  Partitioning note: binary batches are
+    large — ``spark.sql.execution.arrow.maxRecordsPerBatch`` caps batch
+    memory.
     """
     import hashlib  # noqa: PLC0415
+
+    def try_decode(b: bytes) -> bool:
+        kind = codecs.sniff(b)
+        try:
+            if kind in ("bmp", "ppm"):
+                return codecs.decode_image(b) is not None
+            if kind == "wav":
+                return codecs.decode_wav(b) is not None
+        except ValueError:
+            return False
+        return False
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -66,12 +123,60 @@ def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
                     "digest": pdf["payload"].map(lambda b: hashlib.sha256(b).hexdigest()),
                     "media_type": pdf["media_type"],
-                    "decoded_ok": False,  # stub: decode not attempted
+                    "decoded_ok": pdf["payload"].map(try_decode),
                 }
             )
             yield out
 
-    return media_table(spark, sf_dir).mapInPandas(extract, MEDIA_META_SCHEMA)
+    return media.mapInPandas(extract, MEDIA_META_SCHEMA)
+
+
+DECODE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("c0_sum", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def media_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-decode proof surface: decode every payload of the decodable
+    media table worker-side (BMP → pixel array, WAV → PCM samples) and
+    emit per-doc stats (dimensions, channel-0 pixel sum, sample count).
+
+    The synthetic payload content is a closed-form function of doc_id, so
+    a SQL oracle reproduces these stats arithmetically — any decode bug
+    (row padding, BGR order, bottom-up rows, chunk alignment) breaks the
+    cross-engine hash match.
+    """
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                if codecs.sniff(b) in ("bmp", "ppm"):
+                    arr = codecs.decode_image(b)
+                    rows.append(
+                        (doc_id, "bmp", arr.shape[0], arr.shape[1],
+                         int(arr[..., 0].astype(np.int64).sum()), None)
+                    )
+                else:
+                    samples, _rate = codecs.decode_wav(b)
+                    rows.append((doc_id, "wav", None, None, None, len(samples)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "kind", "height", "width", "c0_sum", "n_samples"]
+            )
+
+    return (
+        media_table_decodable(spark, sf_dir)
+        .mapInPandas(stats, DECODE_STATS_SCHEMA)
+        .orderBy("doc_id")
+    )
 
 
 def media_metadata_oracle_view(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -86,40 +191,48 @@ RESIZED_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("resized", T.BinaryType()),
+        T.StructField("decoded", T.BooleanType()),
     ]
 )
 
 
 def media_resize(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
     """Image-resize stage: Arrow-batched ``mapInPandas`` over binary
-    payloads → fixed-size decoded frames.
+    payloads → fixed-size raw-RGB frames (width*height*3 bytes).
 
-    The decode+resample body would call PIL/cv2 (`Image.open(BytesIO(b))
-    .resize((w, h))`); those codecs are absent in this container, so the
-    body is a DETERMINISTIC FAKE (sha256-keyed byte tile of exactly
-    width*height*3 bytes) behind the same schema/batching contract — the
-    Spark-side plumbing (binary in, fixed-size binary out, per-batch
-    memory bounded by arrow.maxRecordsPerBatch) is real and tested.
+    BMP/PPM payloads take the REAL path: pure-numpy decode
+    (``functions/codecs.py``) + nearest-neighbor resample — the standard
+    pre-embedding normalization, no codec library needed.  Payloads in
+    formats that need absent libraries (JPEG etc.) fall back to a
+    DETERMINISTIC FAKE (sha256-keyed byte tile of the same geometry) with
+    ``decoded=false``, keeping the schema/batching contract identical.
+    Per-batch memory is bounded by ``arrow.maxRecordsPerBatch``.
     """
     import hashlib  # noqa: PLC0415
 
     n_out = width * height * 3
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            def fake_decode(b: bytes) -> bytes:
-                # STUB: real impl = PIL decode + resize; fake = repeat the
-                # payload digest to the exact output geometry
-                seed = hashlib.sha256(b).digest()
-                reps = n_out // len(seed) + 1
-                return (seed * reps)[:n_out]
+        def one(b: bytes) -> tuple[bytes, bool]:
+            if codecs.sniff(b) in ("bmp", "ppm"):
+                try:
+                    arr = codecs.decode_image(b)
+                    return codecs.resize_nearest(arr, width, height).tobytes(), True
+                except ValueError:
+                    pass
+            # STUB fallback for codec-needing formats: digest tile
+            seed = hashlib.sha256(b).digest()
+            return (seed * (n_out // len(seed) + 1))[:n_out], False
 
+        for pdf in batches:
+            pairs = [one(b) for b in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "width": width,
                     "height": height,
-                    "resized": pdf["payload"].map(fake_decode),
+                    "resized": [p[0] for p in pairs],
+                    "decoded": [p[1] for p in pairs],
                 }
             )
 
@@ -136,11 +249,15 @@ FRAME_SCHEMA = T.StructType(
 
 
 def media_frame_sample(media: DataFrame, every_n_bytes: int = 1024, max_frames: int = 8) -> DataFrame:
-    """Video frame-sampling stage: one input payload → N frame rows.
+    """Frame/window-sampling stage: one input payload → N frame rows.
 
-    Real impl would ffmpeg-seek keyframes; the STUB slices the payload at
-    fixed strides, preserving the real contract that matters to Spark: a
-    row-expanding mapInPandas (one binary in, up to ``max_frames`` rows
+    WAV payloads take the REAL path: PCM decode (pure numpy), split into
+    up to ``max_frames`` equal sample windows, each re-encoded as a
+    standalone WAV — the audio-chunking step a training pipeline runs
+    before per-window feature extraction.  Video formats would need
+    ffmpeg keyframe seeks (absent), so non-WAV payloads keep the STUB
+    fixed-stride byte slicing.  Either way the Spark contract is the real
+    one: a row-expanding mapInPandas (one binary in, ≤``max_frames`` rows
     out), so downstream per-frame operators (resize, embed) see the same
     shape they would with real video.
     """
@@ -149,6 +266,20 @@ def media_frame_sample(media: DataFrame, every_n_bytes: int = 1024, max_frames: 
         for pdf in batches:
             ids, idxs, frames = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if codecs.sniff(payload) == "wav":
+                    try:
+                        samples, rate = codecs.decode_wav(payload)
+                        n = len(samples)
+                        k = min(max_frames, max(1, n // max(1, every_n_bytes // 2)))
+                        step = n // k
+                        for i in range(k):
+                            win = samples[i * step : (i + 1) * step if i < k - 1 else n]
+                            ids.append(doc_id)
+                            idxs.append(i)
+                            frames.append(codecs.encode_wav(win, rate))
+                        continue
+                    except ValueError:
+                        pass
                 # STUB: real impl = ffmpeg keyframe extraction
                 for i in range(min(max_frames, max(1, len(payload) // every_n_bytes))):
                     ids.append(doc_id)

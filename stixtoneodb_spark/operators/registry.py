@@ -532,6 +532,31 @@ FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
 GROUP BY a.token, b.token
 """,
     ),
+    # ---- multimodal: REAL codec-free decode, closed-form oracle ----
+    # The synthetic decodable payloads are deterministic functions of
+    # doc_id, so DuckDB reproduces the DECODED stats arithmetically —
+    # a true cross-engine check on the numpy BMP/WAV decoders.
+    "media_decode_stats": (
+        multimodal.media_decode_stats,
+        """
+WITH ys AS (SELECT y FROM generate_series(0, 28) AS t(y)),
+img AS (
+  SELECT d.doc_id,
+         CAST(SUM((ys.y * 7 + d.doc_id) % 256) * (23 + d.doc_id % 7) AS BIGINT) AS c0_sum
+  FROM documents d JOIN ys ON ys.y <= 16 + d.doc_id % 13
+  WHERE d.doc_id % 2 = 0
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+  CASE WHEN d.doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS kind,
+  CASE WHEN d.doc_id % 2 = 0 THEN CAST(17 + d.doc_id % 13 AS BIGINT) END AS height,
+  CASE WHEN d.doc_id % 2 = 0 THEN CAST(23 + d.doc_id % 7 AS BIGINT) END AS width,
+  img.c0_sum AS c0_sum,
+  CASE WHEN d.doc_id % 2 = 1 THEN CAST(2000 + d.doc_id % 500 AS BIGINT) END AS n_samples
+FROM documents d LEFT JOIN img ON d.doc_id = img.doc_id
+ORDER BY d.doc_id
+""",
+    ),
     # ---- multimodal plumbing ----
     "media_metadata": (
         multimodal.media_metadata_oracle_view,

@@ -77,11 +77,24 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
     # a full extra shuffle of the name strings.  Duplicate inputs would
     # still be CORRECT (cand dropDuplicates + feats groupBy absorb them),
     # just slower.
-    base = (
+    import time as _time  # noqa: PLC0415
+
+    def _prof(df: DataFrame, tag: str) -> DataFrame:
+        """PROFILE-mode sub-attribution: force persisted frames with a
+        count barrier and record wall + cardinality.  No-op otherwise."""
+        if PROFILE is not None:
+            t0 = _time.time()
+            n = df.count()
+            PROFILE[f"cand_{tag}_s"] = round(_time.time() - t0, 2)
+            PROFILE[f"cand_{tag}_n"] = n
+        return df
+
+    base = _prof(
         names.select("name")
         .withColumn("sh", shingles(F.col("name"), 3))
         .where(F.size("sh") > 0)
-        .persist()
+        .persist(),
+        "base",
     )
 
     # Global work is ONLY the shingle document frequencies (one cheap agg
@@ -144,7 +157,7 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
     # candidates that survive blocking + identifier rejection).
     has_identifier = F.exists(
         F.split("name", " "),
-        lambda t: (F.length(F.regexp_replace(t, "[^0-9]", "")) >= 2)
+        lambda t: (F.length(t) - F.length(F.translate(t, "0123456789", "")) >= 2)
         | t.rlike("^[0-9a-f]{6,}$"),
     )
     lsh_keys = minhash_band_table(
@@ -158,7 +171,7 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
     )
     # persisted: both the band-size agg and the guarded join read this
     # frame — without the persist the minhash/token key chain runs twice
-    keys = lsh_keys.unionByName(token_keys).persist()
+    keys = _prof(lsh_keys.unionByName(token_keys).persist(), "keys")
     # LSH skew guard: a band key shared by too many names is a degenerate
     # block (stopword-ish) — DROP it wholly.  Implemented as a partial-agg
     # count + join, never a per-band window: a row_number over the band
@@ -167,9 +180,10 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
     # one long per mapper.  Whole-block drop also beats an arbitrary
     # keep-first-K: K survivors of a degenerate block are junk candidates.
     band_sizes = keys.groupBy("band").agg(F.count("*").alias("bn"))
-    blocked = keys.join(
-        band_sizes.where(F.col("bn") <= MAX_BLOCK), "band", "left_semi"
-    ).persist()
+    blocked = _prof(
+        keys.join(band_sizes.where(F.col("bn") <= MAX_BLOCK), "band", "left_semi").persist(),
+        "blocked",
+    )
 
     a = blocked.select("band", F.col("name").alias("name_a"))
     b = blocked.select("band", F.col("name").alias("name_b"))
@@ -185,7 +199,9 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
     def id_tokens(tok_col: Column) -> Column:
         return F.filter(
             tok_col,
-            lambda t: (F.length(F.regexp_replace(t, "[^0-9]", "")) >= 2)
+            # digit count via translate-delete: regexp_replace measured
+            # serialized-flat across cores on this host (see textfns)
+            lambda t: (F.length(t) - F.length(F.translate(t, "0123456789", "")) >= 2)
             | t.rlike("^[0-9a-f]{6,}$"),
         )
 
@@ -206,13 +222,13 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
     # Build idf-weighted features for candidate names only and re-attach
     # (two hash joins at candidate cardinality — orders of magnitude
     # smaller than the blocked frame).
-    cand = cand.persist()
+    cand = _prof(cand.persist(), "pairs")
     cand_names = (
         cand.select(F.col("name_a").alias("name"))
         .unionByName(cand.select(F.col("name_b").alias("name")))
         .distinct()
     )
-    feats = weighted_features(cand_names).persist()
+    feats = _prof(weighted_features(cand_names).persist(), "feats")
     feat_a = feats.select(
         F.col("name").alias("name_a"),
         F.col("sh").alias("sh_a"),
@@ -393,16 +409,25 @@ def canonical_map(
     return canonical_map_from_names(names, threshold, alias_edges)
 
 
-def canonical_map_from_names(
+def canonical_exceptions(
     names: DataFrame,
     threshold: float = 0.55,
     alias_edges: DataFrame | None = None,
 ) -> DataFrame:
-    """``canonical_map`` taking the distinct-name universe directly —
-    callers that already materialized normalized mentions (run_volatile
-    shares one canonicalizer pass between S3 and the S5 mention join)
-    feed their names frame here instead of paying a second
-    normalize+distinct over the full mention stream."""
+    """(name, component) ONLY for names whose canonical label differs
+    from the name itself — the non-singleton component members.
+
+    This is the scale-critical observation of the whole canonicalization
+    stage: the map is IDENTITY for every name that never matched anything
+    (the overwhelming majority — at the bench corpus, 4M names produce a
+    few dozen verified pairs), so the full name→canonical dictionary
+    never needs to exist as data.  Consumers resolve via
+    ``attach_canonical``: a join against this exception set (tiny →
+    AQE auto-broadcasts; degrades gracefully to a shuffle join if a
+    corpus ever yields a huge variant graph) plus an inline
+    ``sha2(coalesce(component, name))`` — no vocabulary-scale dictionary
+    shuffle anywhere on the hot path.
+    """
     names = names.persist()
     pairs = candidate_pairs(names, threshold)
     if alias_edges is not None:
@@ -414,11 +439,39 @@ def canonical_map_from_names(
             .select("name_a", "name_b")
         )
     comp = connected_components(pairs)
-    full = names.join(comp, "name", "left").withColumn(
-        "component", F.coalesce(F.col("component"), F.col("name"))
+    return comp.where(F.col("component") != F.col("name"))
+
+
+def attach_canonical(
+    df: DataFrame, exceptions: DataFrame, name_col: str = "name"
+) -> DataFrame:
+    """Resolve ``name_col`` → (canonical_id, canonical_label) via the
+    exception set + inline identity default (see canonical_exceptions).
+    Adds ``canonical_id`` and ``canonical_label`` columns."""
+    tmp = f"_comp_{name_col}"
+    exc = exceptions.select(
+        F.col("name").alias(name_col), F.col("component").alias(tmp)
     )
-    return full.select(
-        "name",
-        F.sha2(F.col("component"), 256).alias("canonical_id"),
-        F.col("component").alias("canonical_label"),
+    return (
+        df.join(exc, name_col, "left")
+        .withColumn("canonical_label", F.coalesce(F.col(tmp), F.col(name_col)))
+        .withColumn("canonical_id", F.sha2(F.col("canonical_label"), 256))
+        .drop(tmp)
+    )
+
+
+def canonical_map_from_names(
+    names: DataFrame,
+    threshold: float = 0.55,
+    alias_edges: DataFrame | None = None,
+) -> DataFrame:
+    """``canonical_map`` taking the distinct-name universe directly —
+    callers that already materialized normalized mentions feed their
+    names frame here instead of paying a second normalize+distinct over
+    the full mention stream.  Materialized form of the exception set +
+    identity default (kept for the checkpointed pipeline, which persists
+    the full map as a resumable lineage table)."""
+    exc = canonical_exceptions(names, threshold, alias_edges)
+    return attach_canonical(names, exc).select(
+        "name", "canonical_id", "canonical_label"
     )

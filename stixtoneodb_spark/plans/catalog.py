@@ -57,12 +57,30 @@ class ParquetMergeCatalog:
         os.makedirs(os.path.dirname(p), exist_ok=True)
         return p
 
-    def sweep_staging(self) -> None:
+    def sweep_staging(self, tables: list[str] | None = None) -> None:
         """Drop leftovers of killed writers.  Safe at the start of any
         resumed run: staging holds only (a) writes that never got renamed
         into place — their checkpoint row was never marked done, so the
-        stage re-runs — and (b) superseded old copies awaiting delete."""
-        shutil.rmtree(os.path.join(self.warehouse, "_staging"), ignore_errors=True)
+        stage re-runs — and (b) superseded old copies awaiting delete.
+
+        ``tables``: sweep only the staging entries of these tables (the
+        caller's own), so a resumed batch run cannot delete an in-flight
+        tmp dir of a CONCURRENT writer sharing the warehouse (e.g. the
+        streaming merge sink).  ``None`` sweeps everything — only safe
+        under single-writer-per-warehouse.
+        """
+        root = os.path.join(self.warehouse, "_staging")
+        if tables is None:
+            shutil.rmtree(root, ignore_errors=True)
+            return
+        for t in tables:
+            # partition-level staging lives under _staging/<table>/...,
+            # whole-table staging as _staging/<table>.tmp-<hex>
+            shutil.rmtree(os.path.join(root, t), ignore_errors=True)
+            if os.path.isdir(root):
+                for entry in os.listdir(root):
+                    if entry.startswith(t + ".tmp-"):
+                        shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
 
     def exists(self, table: str) -> bool:
         return os.path.exists(os.path.join(self._path(table), "_SUCCESS"))

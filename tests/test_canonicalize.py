@@ -70,12 +70,18 @@ def test_singletons_get_their_own_component(spark):
     assert rows[0].canonical_label == "completely unique entity xyz"
 
 
-def test_canonical_name_regex_equals_array_form(spark):
-    """The codegen regex canonicalizer must equal the array-filter form on
-    every mention surface the corpus generates (plus crafted edges)."""
+def test_canonical_name_translate_equals_regex_and_array_forms(spark):
+    """The translate-based canonicalizer (the hot-path implementation —
+    the regex chain measured FLAT across cores) must equal BOTH oracle
+    forms on every mention surface the corpus generates plus crafted
+    edges."""
     from pyspark.sql import functions as F
 
-    from stixtoneodb_spark.functions.textfns import canonical_name, canonical_name_hof
+    from stixtoneodb_spark.functions.textfns import (
+        canonical_name,
+        canonical_name_hof,
+        canonical_name_regex,
+    )
     from stixtoneodb_spark.plans import assemble, extract
     from stixtoneodb_spark.sources.transcripts import transcripts_df
 
@@ -84,13 +90,18 @@ def test_canonical_name_regex_equals_array_form(spark):
     ).select("surface")
     crafted = spark.createDataFrame(
         [("The MITRE Corporation",), ("corp",), ("the the the",), ("groupx group",),
-         ("Acme-Bank, Inc.",), ("  spaced   out  ",), ("",)],
+         ("Acme-Bank, Inc.",), ("  spaced   out  ",), ("",),
+         ("tabs\tand\nnewlines",), ("semi;colon:duo",), ("a!@#$%^&*()b",),
+         ('quote"back`tick',), ("under_score-dash",), ("~tilde{brace}[bracket]",)],
         "surface string",
     )
     both = surfaces.unionByName(crafted).select(
         "surface",
-        canonical_name(F.col("surface")).alias("re_form"),
+        canonical_name(F.col("surface")).alias("tr_form"),
+        canonical_name_regex(F.col("surface")).alias("re_form"),
         canonical_name_hof(F.col("surface")).alias("arr_form"),
     )
-    bad = both.where(F.col("re_form") != F.col("arr_form"))
+    bad = both.where(
+        (F.col("tr_form") != F.col("re_form")) | (F.col("tr_form") != F.col("arr_form"))
+    )
     assert bad.count() == 0, bad.limit(5).collect()

@@ -126,7 +126,7 @@ def test_volatile_path_equals_checkpointed_run(spark, corpus, result):
 def test_hot_cold_join_equals_plain_join(spark):
     """hot_cold_join == plain join for every `how`, including rows whose
     key is absent from the dictionary (left) and hot/cold boundary keys."""
-    from stixtoneodb_spark.plans.link import hot_cold_join
+    from stixtoneodb_spark.plans.link import hot_cold_join, split_dict
 
     stream = spark.createDataFrame(
         [("a", 1), ("a", 2), ("b", 3), ("c", 4), ("zz", 5)], "name string, v int"
@@ -135,9 +135,48 @@ def test_hot_cold_join_equals_plain_join(spark):
         [("a", "A"), ("b", "B"), ("d", "D")], "name string, canonical_id string"
     )
     hot = spark.createDataFrame([("a",), ("d",)], "name string")
+    d = split_dict(mapdf, "name", hot)
+    for how in ("left", "inner"):
+        got = sorted(map(tuple, hot_cold_join(stream, d, how).collect()))
+        want = sorted(map(tuple, stream.join(mapdf, "name", how).collect()))
+        assert got == want, how
+    # renamed projection serves a differently-keyed stream off the same split
+    stream2 = stream.withColumnRenamed("name", "subj_name")
+    d2 = d.project({"name": "subj_name", "canonical_id": "subj_id"})
+    got2 = sorted(map(tuple, hot_cold_join(stream2, d2, "left").collect()))
+    want2 = sorted(
+        map(
+            tuple,
+            stream2.join(
+                mapdf.select(
+                    F.col("name").alias("subj_name"), F.col("canonical_id").alias("subj_id")
+                ),
+                "subj_name",
+                "left",
+            ).collect(),
+        )
+    )
+    assert got2 == want2
+
+
+def test_salted_dict_join_equals_plain_join(spark):
+    """Targeted salting is result-identical to the plain join for both
+    `how`s: hot keys match at the stream row's salt (dict replicated),
+    cold keys at salt 0, missing keys behave per join type."""
+    from stixtoneodb_spark.plans.link import salted_dict_join
+
+    stream = spark.createDataFrame(
+        [("hot", "c1", 1), ("hot", "c1", 2), ("hot", "c2", 7), ("cold", "c3", 3),
+         ("miss", "c4", 4)],
+        "name string, conv_id string, turn_idx int",
+    )
+    mapdf = spark.createDataFrame(
+        [("hot", "H"), ("cold", "C"), ("unused", "U")], "name string, canonical_id string"
+    )
+    hot = spark.createDataFrame([("hot",)], "name string")
     for how in ("left", "inner"):
         got = sorted(
-            map(tuple, hot_cold_join(stream, mapdf, "name", hot, how).collect())
+            map(tuple, salted_dict_join(stream, mapdf, "name", hot, how, n_salt=4).collect())
         )
         want = sorted(map(tuple, stream.join(mapdf, "name", how).collect()))
         assert got == want, how

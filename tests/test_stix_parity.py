@@ -124,6 +124,26 @@ def test_ndjson_props_keeps_raw_line_and_malformed_lines_gated(spark, tmp_path):
     assert "x_custom_flag" in ok.select("props").first()["props"]
 
 
+def test_bundle_props_keeps_custom_x_fields(spark, tmp_path):
+    """`-f` bundle mode keeps custom ``x_*`` properties like the
+    reference does (changes.md:40-43): the variant-based splitter keeps
+    every field of each object in ``props`` even though the frozen union
+    schema does not model it."""
+    b = tmp_path / "custom.json"
+    b.write_text(json.dumps({
+        "type": "bundle", "id": "bundle--c", "objects": [
+            {"type": "identity", "id": "identity--1", "name": "n",
+             "x_custom_flag": "kept", "x_nested": {"k": [1, 2]}},
+        ],
+    }))
+    df = read_bundle(spark, str(b))
+    row = df.where(F.col("id") == "identity--1").select("props", "name").first()
+    assert row["name"] == "n"  # typed projection still works
+    props = json.loads(row["props"])
+    assert props["x_custom_flag"] == "kept"
+    assert props["x_nested"] == {"k": [1, 2]}
+
+
 def test_zip_reader_parity(spark, graph, tmp_path):
     """A3 (zip-of-bundles, StixToNeoDB.scala:51): the corpus split across
     TWO bundle entries of one archive must build the identical graph —
