@@ -15,7 +15,24 @@ TOKEN_RE = "[a-z0-9]+"
 
 
 def normalize(text: Column) -> Column:
-    """Canonical text form: lowercase, collapse whitespace, trim."""
+    """Canonical text form: lowercase, collapse whitespace, trim.
+
+    translate+split+filter+array_join, not regexp_replace — JVM regex
+    replacement measured serialized-flat across cores on this host (see
+    canonical_name); this feeds the shingle chain over the full name
+    vocabulary.  Equality with the regex form is pinned by
+    tests/test_canonicalize.py.
+    """
+    ws = "\t\n\r\x0b\x0c"
+    toks = F.filter(
+        F.split(F.translate(F.lower(text), ws, " " * len(ws)), " ", -1),
+        lambda t: t != "",
+    )
+    return F.array_join(toks, " ")
+
+
+def normalize_regex(text: Column) -> Column:
+    """regexp_replace form of ``normalize`` — kept as the equality oracle."""
     return F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
 
 

@@ -266,7 +266,10 @@ def _graph_frames(
     # themselves.  The full name→canonical dictionary never materializes;
     # every consumer resolves via attach_canonical (exception join +
     # inline sha2) — see canonicalize.canonical_exceptions.
-    names = ntc.select("name").distinct()
+    # persisted HERE (not only inside canonical_exceptions): the link
+    # stage's two endpoint-membership joins re-read this universe — an
+    # explicit persist on the same plan guarantees the cache hit.
+    names = persist(ntc.select("name").distinct(), "s3_names")
     t_cc = time.time()
     exc_frame = canonicalize.canonical_exceptions(names, alias_edges=alias_edges)
     if profiling:
@@ -280,13 +283,17 @@ def _graph_frames(
     # plus a broadcast 1-row total, no driver barrier.
     name_totals = ntc.groupBy("name").agg(F.sum("cnt").alias("n_tot"))
     tot = name_totals.agg(F.sum("n_tot").alias("_t"))
-    hot_names = (
+    # persisted: the probe broadcasts in the link + mention joins each
+    # materialize this frame; uncached, every broadcast exchange re-runs
+    # the vocabulary aggregation chain (one extra job per join side).
+    hot_names = persist(
         name_totals.crossJoin(F.broadcast(tot))
         .where(
             (F.col("n_tot") >= HOT_NAME_FLOOR)
             & (F.col("n_tot") * HOT_NAME_TARGET >= F.col("_t"))
         )
-        .select("name")
+        .select("name"),
+        "s3_hot_names",
     )
 
     lr = link.link_triples(

@@ -105,3 +105,23 @@ def test_canonical_name_translate_equals_regex_and_array_forms(spark):
         (F.col("tr_form") != F.col("re_form")) | (F.col("tr_form") != F.col("arr_form"))
     )
     assert bad.count() == 0, bad.limit(5).collect()
+
+
+def test_normalize_translate_equals_regex_form(spark):
+    """`normalize` (translate form, hot shingle path) == the regex form
+    on corpus texts and crafted whitespace edges."""
+    from pyspark.sql import functions as F
+
+    from stixtoneodb_spark.functions.textfns import normalize, normalize_regex
+    from stixtoneodb_spark.sources.transcripts import transcripts_df
+
+    texts = transcripts_df(spark, 40).select(F.col("text").alias("t"))
+    crafted = spark.createDataFrame(
+        [("  lead",), ("trail  ",), ("a\t\tb",), ("x\n\r\x0b\x0cy",),
+         ("   ",), ("",), ("one two",)],
+        "t string",
+    )
+    both = texts.unionByName(crafted).select(
+        normalize(F.col("t")).alias("tr"), normalize_regex(F.col("t")).alias("re")
+    )
+    assert both.where(F.col("tr") != F.col("re")).count() == 0
