@@ -405,6 +405,60 @@ SELECT query_id, neighbor_id, rank FROM (
 WHERE rank <= 5
 """,
     ),
+    # same-spec cross-engine oracle: the ENTIRE IVF algorithm (md5-seeded
+    # centroids, one Lloyd step, nprobe cell search, exact rerank) is
+    # re-run independently in SQL — any drift in seeding, assignment
+    # tie-breaks, centroid averaging, or probing breaks the hash match.
+    "ann_ivf_topk": (
+        similarity.ann_ivf_topk,
+        f"""
+WITH seeds AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY sk) - 1 AS cell, embedding AS sv
+  FROM (SELECT embedding, md5('seed:' || vec_id) AS sk FROM embeddings
+        ORDER BY sk LIMIT {similarity.IVF_CELLS})
+), a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.embedding, s.sv) DESC, s.cell) AS rn
+    FROM embeddings e, seeds s)
+  WHERE rn = 1
+), cent AS (
+  SELECT cell, list(v ORDER BY dim) AS cv FROM (
+    SELECT cell, dim, AVG(val) AS v FROM (
+      SELECT a0.cell AS cell, generate_subscripts(e.embedding, 1) AS dim,
+             unnest(e.embedding) AS val
+      FROM a0 JOIN embeddings e USING (vec_id))
+    GROUP BY cell, dim)
+  GROUP BY cell
+), a1 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cell) AS rn
+    FROM embeddings e, cent c)
+  WHERE rn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.embedding, c.cv) DESC, c.cell) AS rn
+    FROM embeddings q, cent c WHERE q.vec_id < {similarity.N_QUERIES})
+  WHERE rn <= {similarity.IVF_NPROBE}
+)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT p.query_id, a1.vec_id AS neighbor_id,
+    ROW_NUMBER() OVER (PARTITION BY p.query_id
+      ORDER BY list_cosine_similarity(q.embedding, e.embedding) DESC,
+               a1.vec_id) AS rank
+  FROM probes p
+  JOIN a1 USING (cell)
+  JOIN embeddings q ON q.vec_id = p.query_id
+  JOIN embeddings e ON e.vec_id = a1.vec_id
+  WHERE a1.vec_id <> p.query_id)
+WHERE rank <= {similarity.TOP_K}
+""",
+    ),
     # same-spec cross-engine oracle: hyperplane signs derive from md5
     # nibbles (portable), so DuckDB re-runs the ENTIRE LSH — identical
     # planes, buckets, banding and exact verify — independently.  On the

@@ -250,3 +250,135 @@ def embedding_label_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFra
         F.col("label").alias("true_label"),
         assign(F.col("embedding")).alias("assigned_label"),
     )
+
+
+IVF_CELLS = 16   # coarse-quantizer cells (√n-ish at bench scale; a 100 TB
+                 # corpus raises this toward √n so cells stay scan-bounded)
+IVF_NPROBE = 4   # cells probed per query
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse k-means cells + nprobe search.
+
+    The classic scale path for billion-vector ANN (the structure behind
+    FAISS IVF-Flat): train a small coarse quantizer, assign every vector
+    to its nearest cell, and at query time scan only the ``IVF_NPROBE``
+    cells whose centroids are closest to the query — the corpus scan
+    shrinks by ~n_cells/nprobe while recall stays high for clustered
+    data.
+
+    Everything is DETERMINISTIC and cross-engine reproducible (the DuckDB
+    oracle re-runs the identical algorithm independently):
+
+    1. seed centroids = the ``IVF_CELLS`` vectors with the smallest
+       ``md5('seed:' || vec_id)`` (md5 is portable; cell index =
+       rank in that md5 order);
+    2. ONE Lloyd step: assign all vectors to the nearest seed by cosine
+       (ties → lowest cell), refine each cell's centroid to the per-dim
+       mean of its members;
+    3. final assignment to the refined centroids;
+    4. queries (vec_id < N_QUERIES) probe their ``IVF_NPROBE`` nearest
+       refined centroids and rank candidates in the probed cells by
+       exact cosine — top ``TOP_K`` per query, self excluded, ties by
+       neighbor id.
+
+    Scale shape: centroids live on the driver (n_cells x dim — broadcast
+    by construction, like the query matrix of ann_cosine_topk); both
+    assignment passes are one matmul per Arrow batch, map-side; the only
+    shuffles are the tiny cell-average agg (n_cells x dim rows) and the
+    final candidate top-k window over probed-cell rows.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    # -- 1. deterministic seed selection (driver-side: IVF_CELLS rows) --
+    seeds = (
+        emb.withColumn(
+            "sk", F.md5(F.concat(F.lit("seed:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("sk")
+        .limit(IVF_CELLS)
+        .collect()
+    )
+    S0 = np.stack([r["embedding"] for r in seeds]).astype(np.float64)
+
+    def assign_udf(cents: np.ndarray, keep_embedding: bool = False):
+        """vec → nearest centroid by cosine (ties → lowest cell index)."""
+        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+        def assign(batches):
+            for pdf in batches:
+                v = _stack(pdf["embedding"])
+                vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+                cell = np.argmax(vn @ cn.T, axis=1)  # first max = lowest cell
+                out = {"vec_id": pdf["vec_id"], "cell": cell}
+                if keep_embedding:
+                    out["embedding"] = pdf["embedding"]
+                yield pd.DataFrame(out)
+
+        return assign
+
+    # -- 2. one Lloyd step: refined centroids = per-dim mean per cell --
+    # (embedding rides through the UDF — no join back to the corpus)
+    a0 = emb.mapInPandas(
+        assign_udf(S0, keep_embedding=True),
+        schema="vec_id long, cell int, embedding array<float>",
+    )
+    cent_rows = (
+        a0.select("cell", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(F.avg("val").alias("v"))
+        .collect()
+    )
+    C1 = np.zeros_like(S0)
+    for r in cent_rows:
+        C1[r["cell"], r["dim"]] = r["v"]
+
+    # -- 3. final assignment + 4. probe & exact rank within probed cells --
+    assign = emb.mapInPandas(assign_udf(C1), schema="vec_id long, cell int")
+    queries = (
+        emb.where(F.col("vec_id") < N_QUERIES)
+        .orderBy("vec_id")
+        .collect()
+    )
+    qids = np.array([r["vec_id"] for r in queries])
+    Q = np.stack([r["embedding"] for r in queries]).astype(np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    C1n = C1 / np.linalg.norm(C1, axis=1, keepdims=True)
+    # probed cells per query: nprobe best centroids (ties → lowest cell)
+    order = np.lexsort(
+        (np.tile(np.arange(IVF_CELLS), (len(qids), 1)), -(Qn @ C1n.T))
+    )[:, :IVF_NPROBE]
+    probes = [
+        (int(q), int(c)) for qi, q in enumerate(qids) for c in order[qi]
+    ]
+    probe_df = F.broadcast(
+        emb.sparkSession.createDataFrame(probes, "query_id long, cell int")
+    )
+
+    qv_by_id = {int(q): Qn[i] for i, q in enumerate(qids)}
+
+    def exact_cos(batches):
+        for pdf in batches:
+            v = _stack(pdf["embedding"])
+            vn = v / np.linalg.norm(v, axis=1, keepdims=True)
+            qm = np.stack([qv_by_id[int(q)] for q in pdf["query_id"]])
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "neighbor_id": pdf["vec_id"],
+                    "cosine": (vn * qm).sum(axis=1),
+                }
+            )
+
+    cand = (
+        assign.join(probe_df, "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .join(emb, "vec_id")
+        .mapInPandas(exact_cos, schema="query_id long, neighbor_id long, cosine double")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -97,3 +97,49 @@ def test_centroid_assign_shapes(spark, planted_dir):
     assert len(rows) == 2 * N_BASE
     # single label corpus: every vector must be assigned to it
     assert {r["assigned_label"] for r in rows} == {0}
+
+
+def test_ivf_recovers_planted_near_dups(spark, planted_dir):
+    """IVF must place a near-identical pair (cosine >= 0.95) in the same
+    cell and therefore recover it as the query's top neighbor: for every
+    planted base vector that is a query (vec_id < N_QUERIES), its
+    near-dup must appear at rank 1."""
+    d, _truth, planted, v64 = planted_dir
+    res = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in similarity.ann_ivf_topk(spark, d).collect()
+    }
+    for qid, dup in sorted(planted):
+        if qid < similarity.N_QUERIES:
+            assert res.get((qid, 1)) == dup, (
+                f"query {qid}: expected near-dup {dup} at rank 1, "
+                f"got {res.get((qid, 1))}"
+            )
+
+
+def test_ivf_rank_consistency_vs_exact(spark):
+    """IVF ranks exactly within the probed cells: probing can only DROP
+    candidates, never reorder survivors — so whenever an IVF result also
+    appears in the exact brute-force top-k, its IVF rank is <= its exact
+    rank (dropped higher-ranked candidates promote, never demote), and
+    relative order among shared rows is preserved."""
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["rank"]
+        for r in similarity.ann_cosine_topk(spark, sf).collect()
+    }
+    shared = []
+    for r in similarity.ann_ivf_topk(spark, sf).collect():
+        ex = exact.get((r["query_id"], r["neighbor_id"]))
+        if ex is not None:
+            assert r["rank"] <= ex, (r["query_id"], r["neighbor_id"], ex, r["rank"])
+            shared.append((r["query_id"], r["rank"], ex))
+    assert shared, "IVF and exact top-k share no rows — vacuous test"
+    # order preservation among shared rows of one query
+    by_q = {}
+    for q, ivf_rank, ex_rank in shared:
+        by_q.setdefault(q, []).append((ivf_rank, ex_rank))
+    for q, rows in by_q.items():
+        rows.sort()
+        ex_order = [e for _i, e in rows]
+        assert ex_order == sorted(ex_order), (q, rows)
