@@ -273,9 +273,39 @@ def _write_bench_md(r: dict) -> None:
             "unchanged.",
             "",
         ]
+    lines += _pair_sensitivity_lines()
     lines += _stage_table_lines()
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
+
+
+def _pair_sensitivity_lines() -> list[str]:
+    """Core-pair sensitivity section from tools/bench_pair_sensitivity.json
+    (written by a one-off `SPARK_GRAFT_BENCH_LOW/HIGH` override run): the
+    north rule fixes the RATIO (N vs 4N), not N — on a single shared-DRAM
+    box the proxy is least distorted when both levels leave scheduler/GC/
+    bandwidth headroom, so the 2/8 pair is reported alongside 4/16."""
+    import json as _json  # noqa: PLC0415
+
+    p = os.path.join(REPO, "tools", "bench_pair_sensitivity.json")
+    if not os.path.exists(p):
+        return []
+    r = _json.load(open(p))
+    lo, hi = r["low"], r["high"]
+    return [
+        "",
+        "Core-pair sensitivity (same code, same input, same protocol — the",
+        "north rule fixes the N:4N RATIO, not N; on one shared-DRAM box the",
+        "least-saturated pair is the best proxy for executors that each bring",
+        "their own memory bandwidth):",
+        "",
+        f"| pair | corpus (turns) | wall@N | wall@4N | tp@N | tp@4N | efficiency |",
+        "|---|---|---|---|---|---|---|",
+        f"| local[{lo}] vs local[{hi}] | {r['n_turns']} | {r[f'pipeline_sec_{lo}']} s "
+        f"| {r[f'pipeline_sec_{hi}']} s | {r[f'turns_per_sec_{lo}']}/s "
+        f"| {r[f'turns_per_sec_{hi}']}/s | **{r['scaling_efficiency']}** |",
+        "",
+    ]
 
 
 def _stage_table_lines() -> list[str]:
