@@ -10,12 +10,26 @@ compete with the JVM's GC/shuffle threads, the Python workers, and the OS,
 so an 8/32 measurement conflates scaling with machine saturation — a real
 4N-executor cluster adds memory bandwidth with nodes; a saturated single
 box does not.  Each parallelism level runs in its OWN subprocess (fresh
-JVM + python workers), warm-up run first, then min of two timed runs.
+JVM + python workers), warm-up run first, then N_TIMED_RUNS timed runs
+(min taken; default 1 — see BUDGET CONTRACT below).
 
 Prints ONE JSON line:
   {"metric": "...", "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...,
    "turns_per_sec_8": ..., "turns_per_sec_32": ..., "scaling_efficiency": ...}
 Also refreshes BENCH.md with the human-readable protocol results.
+
+BUDGET CONTRACT (round-4 fix): the DEFAULT invocation (`python bench.py`,
+no env) must finish inside the driver's per-round timeout — round 3's
+default grew to two scales x two timed runs x two levels (~75-90 min) and
+the official BENCH_r03.json timed out empty (rc 124).  Defaults now:
+primary corpus only, ONE timed run per level after the warm-up, 4/16 pair.
+The builder-local extras are env-gated:
+  SPARK_GRAFT_BENCH_RUNS=2            min-of-N timing
+  SPARK_GRAFT_BENCH_CONV_SECONDARY=N  second corpus scale row
+  SPARK_GRAFT_BENCH_LOW/HIGH=2/8      core-pair sensitivity — a non-default
+      pair NEVER overwrites BENCH.md; it lands in
+      tools/bench_pair_sensitivity.json, which BENCH.md renders as the
+      sensitivity section (protocol-drift guard, VERDICT r3 #3).
 """
 
 from __future__ import annotations
@@ -38,16 +52,18 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # the extractor; round 3's canonicalizer rewrite (translate vs serialized
 # regexp) made the engine ~2x faster again, so the corpus doubles again —
 # per Amdahl, a faster engine at FIXED input size measures its own fixed
-# costs, not its scaling.
+# costs, not its scaling.  (The corpus is content-addressed by size under
+# BENCH_DIR and survives across invocations, so generation is amortized.)
 N_CONV = int(os.environ.get("SPARK_GRAFT_BENCH_CONV", "2592000"))
-# cross-round comparability (VERDICT r2 #8): every round also re-measures
-# the PREVIOUS round's primary corpus size, so throughput/efficiency
-# trends never conflate scale changes with code changes.  Two rows per
-# round: 27.9M (the round-2 primary) and 55.8M turns.
-N_CONV_SECONDARY = int(os.environ.get("SPARK_GRAFT_BENCH_CONV_SECONDARY", "1296000"))
+# cross-round comparability row (27.9M, the round-2/3 secondary): OFF by
+# default — the default invocation must fit the driver budget.  Builders
+# re-measure it locally with SPARK_GRAFT_BENCH_CONV_SECONDARY=1296000.
+N_CONV_SECONDARY = int(os.environ.get("SPARK_GRAFT_BENCH_CONV_SECONDARY", "0"))
 LOW = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "4"))
 HIGH = int(os.environ.get("SPARK_GRAFT_BENCH_HIGH", "16"))
-N_TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+# one timed run after warm-up by default (driver budget); min-of-N is the
+# builder-local option for noise-sensitive comparisons
+N_TIMED_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1"))
 BENCH_DIR = os.environ.get("SPARK_GRAFT_BENCH_DIR", "/tmp/kg_bench")
 
 HEADLINE_QUERIES = [
@@ -191,6 +207,17 @@ def main() -> None:
     primary = _measure_scale(N_CONV)
     secondary = _measure_scale(N_CONV_SECONDARY) if N_CONV_SECONDARY else None
 
+    if (LOW, HIGH) != (4, 16):
+        # Core-pair SENSITIVITY run (protocol-drift guard, VERDICT r3 #3):
+        # never the headline record.  Written to the file BENCH.md's
+        # sensitivity section renders; BENCH.md itself is untouched, so the
+        # 4/16 primary protocol always remains the record at HEAD.
+        out = {"low": LOW, "high": HIGH, **primary}
+        with open(os.path.join(REPO, "tools", "bench_pair_sensitivity.json"), "w") as f:
+            json.dump(out, f, indent=1)
+        print(json.dumps({"pair_sensitivity": out}))
+        return
+
     q = _run_worker(["--queries"])["queries"]
 
     results = {
@@ -212,8 +239,8 @@ def _write_bench_md(r: dict) -> None:
         "",
         f"Input: {r['n_turns']} synthetic transcript turns (seed=42, distributed",
         f"generator, data-proportional entity vocabulary); operator queries at `{r['sf']}`.",
-        f"Each parallelism level: fresh subprocess, warm-up run, min of {N_TIMED_RUNS} timed runs",
-        "(min is the noise-robust estimator on a shared box).",
+        f"Each parallelism level: fresh subprocess, warm-up run, then {N_TIMED_RUNS} timed",
+        "run(s) (min taken — the noise-robust estimator on a shared box).",
         "",
         "TIMING POLICY (changed in round 2): caches are cleared between timed",
         "runs and between queries, so every number measures the FULL cold",
@@ -233,9 +260,14 @@ def _write_bench_md(r: dict) -> None:
         "a given host/scale is a one-off measurement, recorded in BASELINE.md",
         "prose rather than restated here.",
         "",
-        "Two corpus scales per round (cross-round comparability — the",
-        "previous round's primary scale is re-measured every round so trends",
-        "never conflate scale changes with code changes):",
+        (
+            "Corpus scales measured (a secondary-scale row, when present, is the"
+            if len(r["scales"]) >= 2
+            else "Corpus scale measured (the cross-round comparability row is the"
+        ),
+        "builder-local SPARK_GRAFT_BENCH_CONV_SECONDARY re-measurement of the",
+        "previous round's primary size, so trends never conflate scale",
+        "changes with code changes):",
         "",
         f"| corpus (turns) | wall@{LOW} | wall@{HIGH} | tp@{LOW} | tp@{HIGH} | **efficiency** (gate ≥0.8) |",
         "|---|---|---|---|---|---|",
