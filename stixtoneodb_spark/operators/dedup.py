@@ -136,56 +136,72 @@ def _minhash_pairs(d: DataFrame, num_hashes: int, num_bands: int, jaccard_floor:
     # Partial-agg count + semi join, not a per-band window: a row_number
     # over the band key funnels the hottest band into a single task.
     band_sizes = _persist(sig.groupBy("band").agg(F.count("*").alias("bn")))
+    # Big-tier gate (round 4): on most corpora NO band is oversized, yet
+    # round 3 ran the big-sig semi-join, rep aggregation, cand_big union,
+    # the rep_ids star joins and the v2 verify pass unconditionally —
+    # doubling the query wall for machinery whose inputs were empty.  One
+    # cheap existence probe on the (persisted, vocabulary-scale) band
+    # sizes collapses the plan to the small-band shape when it can.  The
+    # probe is a driver barrier, but band_sizes must materialize for the
+    # small/big split anyway — at 100 TB it is one limit-1 scan of an
+    # already-cached band-count table.
+    has_big = band_sizes.where(F.col("bn") > MAX_BLOCK).limit(1).count() > 0
     small_sig = sig.join(band_sizes.where(F.col("bn") <= MAX_BLOCK), "band", "left_semi")
     a = small_sig.select("band", F.col("doc_id").alias("id_a"))
     b = small_sig.select("band", F.col("doc_id").alias("id_b"))
     cand_small = a.join(b, "band").where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
 
-    big_sig = sig.join(band_sizes.where(F.col("bn") > MAX_BLOCK), "band", "left_semi")
-    # K smallest doc_ids per oversized band: bounded-output agg (sorted
-    # slice), deterministic, no per-band window.
-    band_reps = big_sig.groupBy("band").agg(
-        F.slice(F.sort_array(F.collect_list("doc_id")), 1, BIG_BAND_REPS).alias("reps")
-    )
-    rep_ids = _persist(
-        band_reps.select(F.explode("reps").alias("rep_id_big")).distinct()
-    )
-    cand_big = (
-        big_sig.join(band_reps, "band")
-        .select(F.explode("reps").alias("r"), "doc_id")
-        .where(F.col("r") != F.col("doc_id"))
-        .select(
-            F.least("r", "doc_id").alias("id_a"), F.greatest("r", "doc_id").alias("id_b")
+    if has_big:
+        big_sig = sig.join(band_sizes.where(F.col("bn") > MAX_BLOCK), "band", "left_semi")
+        # K smallest doc_ids per oversized band: bounded-output agg (sorted
+        # slice), deterministic, no per-band window.
+        band_reps = big_sig.groupBy("band").agg(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, BIG_BAND_REPS).alias("reps")
         )
-    )
-    cand1 = _persist(
-        cand_small.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
-    )
+        rep_ids = _persist(
+            band_reps.select(F.explode("reps").alias("rep_id_big")).distinct()
+        )
+        cand_big = (
+            big_sig.join(band_reps, "band")
+            .select(F.explode("reps").alias("r"), "doc_id")
+            .where(F.col("r") != F.col("doc_id"))
+            .select(
+                F.least("r", "doc_id").alias("id_a"), F.greatest("r", "doc_id").alias("id_b")
+            )
+        )
+        cand1 = _persist(
+            cand_small.unionByName(cand_big).dropDuplicates(["id_a", "id_b"])
+        )
+    else:
+        cand1 = _persist(cand_small.dropDuplicates(["id_a", "id_b"]))
     sizes = _persist(rep_rows.groupBy("doc_id").agg(F.count("*").alias("nsh")))
     v1 = _persist(_verify_jaccard(cand1, rep_rows, sizes, jaccard_floor))
 
-    # Co-member expansion (round 2): members of an oversized band only met
-    # a representative in round 1; any two docs verified against a COMMON
-    # oversized-band representative are candidate pairs themselves.  The
-    # quadratic cost is now proportional to the verified family, not the
-    # junk band.
-    star_a = v1.join(
-        rep_ids, v1.id_a == rep_ids.rep_id_big, "inner"
-    ).select(F.col("rep_id_big").alias("r"), F.col("id_b").alias("m"))
-    star_b = v1.join(
-        rep_ids, v1.id_b == rep_ids.rep_id_big, "inner"
-    ).select(F.col("rep_id_big").alias("r"), F.col("id_a").alias("m"))
-    star = star_a.unionByName(star_b)
-    cand2 = (
-        star.alias("x")
-        .join(star.alias("y"), "r")
-        .where(F.col("x.m") < F.col("y.m"))
-        .select(F.col("x.m").alias("id_a"), F.col("y.m").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-        .join(cand1, ["id_a", "id_b"], "left_anti")
-    )
-    v2 = _verify_jaccard(cand2, rep_rows, sizes, jaccard_floor)
-    rep_pairs = v1.unionByName(v2)
+    if has_big:
+        # Co-member expansion (round 2): members of an oversized band only
+        # met a representative in round 1; any two docs verified against a
+        # COMMON oversized-band representative are candidate pairs
+        # themselves.  The quadratic cost is proportional to the verified
+        # family, not the junk band.
+        star_a = v1.join(
+            rep_ids, v1.id_a == rep_ids.rep_id_big, "inner"
+        ).select(F.col("rep_id_big").alias("r"), F.col("id_b").alias("m"))
+        star_b = v1.join(
+            rep_ids, v1.id_b == rep_ids.rep_id_big, "inner"
+        ).select(F.col("rep_id_big").alias("r"), F.col("id_a").alias("m"))
+        star = star_a.unionByName(star_b)
+        cand2 = (
+            star.alias("x")
+            .join(star.alias("y"), "r")
+            .where(F.col("x.m") < F.col("y.m"))
+            .select(F.col("x.m").alias("id_a"), F.col("y.m").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"])
+            .join(cand1, ["id_a", "id_b"], "left_anti")
+        )
+        v2 = _verify_jaccard(cand2, rep_rows, sizes, jaccard_floor)
+        rep_pairs = v1.unionByName(v2)
+    else:
+        rep_pairs = v1
 
     # Expand representative pairs back to member pairs.  Cross-group: the
     # jaccard of (member_a, member_b) equals the representative pair's
