@@ -412,10 +412,19 @@ WHERE rank <= 5
     "ann_ivf_topk": (
         similarity.ann_ivf_topk,
         f"""
-WITH seeds AS (
-  SELECT ROW_NUMBER() OVER (ORDER BY sk) - 1 AS cell, embedding AS sv
-  FROM (SELECT embedding, md5('seed:' || vec_id) AS sk FROM embeddings
-        ORDER BY sk LIMIT {similarity.IVF_CELLS})
+WITH params AS (
+  -- cell count derived from the corpus, same clamped floor-sqrt rule as
+  -- similarity.ivf_cells (both engines re-derive it from the data)
+  SELECT greatest({similarity.IVF_CELLS_MIN},
+                  least({similarity.IVF_CELLS_MAX},
+                        CAST(floor(sqrt(count(*))) AS BIGINT))) AS cells
+  FROM embeddings
+), seeds AS (
+  SELECT rk - 1 AS cell, embedding AS sv
+  FROM (SELECT embedding,
+               ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id)) AS rk
+        FROM embeddings), params
+  WHERE rk <= params.cells
 ), a0 AS (
   SELECT vec_id, cell FROM (
     SELECT e.vec_id, s.cell,

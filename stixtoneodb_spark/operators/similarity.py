@@ -252,9 +252,21 @@ def embedding_label_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
-IVF_CELLS = 16   # coarse-quantizer cells (√n-ish at bench scale; a 100 TB
-                 # corpus raises this toward √n so cells stay scan-bounded)
-IVF_NPROBE = 4   # cells probed per query
+IVF_CELLS_MIN = 4     # floor: below this "cells" stop pruning anything
+IVF_CELLS_MAX = 4096  # cap: centroid matrix must stay a driver/broadcast object
+IVF_NPROBE = 4        # cells probed per query
+
+
+def ivf_cells(n: int) -> int:
+    """Coarse-quantizer cell count DERIVED from the corpus size: the
+    classic ⌊√n⌋ rule (cells ≈ members-per-cell ≈ √n balances quantizer
+    cost against scan cost), clamped so the centroid matrix stays a
+    driver-side broadcast object.  Same formula, same floating sqrt, in
+    the DuckDB oracle SQL (registry) — a fixed constant would silently
+    mis-shape on a corpus 100x larger (round-3 verdict #7)."""
+    import math  # noqa: PLC0415
+
+    return max(IVF_CELLS_MIN, min(IVF_CELLS_MAX, int(math.floor(math.sqrt(n)))))
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -270,13 +282,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Everything is DETERMINISTIC and cross-engine reproducible (the DuckDB
     oracle re-runs the identical algorithm independently):
 
-    1. seed centroids = the ``IVF_CELLS`` vectors with the smallest
+    1. ``ivf_cells(n)`` seed centroids (⌊√n⌋, clamped — derived from a
+       cheap count, not a constant): the vectors with the smallest
        ``md5('seed:' || vec_id)`` (md5 is portable; cell index =
        rank in that md5 order);
     2. ONE Lloyd step: assign all vectors to the nearest seed by cosine
        (ties → lowest cell), refine each cell's centroid to the per-dim
-       mean of its members;
-    3. final assignment to the refined centroids;
+       mean of its members; a cell that ends the step with NO members is
+       DROPPED (both engines: the oracle's cent CTE simply has no rows
+       for it) — keeping its all-zero row would make every norm-divide
+       NaN and argmax would dump the whole corpus into that cell;
+    3. final assignment to the refined (surviving) centroids;
     4. queries (vec_id < N_QUERIES) probe their ``IVF_NPROBE`` nearest
        refined centroids and rank candidates in the probed cells by
        exact cosine — top ``TOP_K`` per query, self excluded, ties by
@@ -286,30 +302,38 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction, like the query matrix of ann_cosine_topk); both
     assignment passes are one matmul per Arrow batch, map-side; the only
     shuffles are the tiny cell-average agg (n_cells x dim rows) and the
-    final candidate top-k window over probed-cell rows.
+    final candidate top-k window over probed-cell rows.  The seed
+    selection is an ``orderBy(sk).limit(cells)`` — Catalyst plans it as
+    TakeOrderedAndProject (O(n) scan + a cells-sized heap per partition,
+    merged on the driver), NOT a global sort, so it stays linear at 10⁹
+    vectors.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n_cells = ivf_cells(emb.count())
 
-    # -- 1. deterministic seed selection (driver-side: IVF_CELLS rows) --
+    # -- 1. deterministic seed selection (driver-side: n_cells rows) --
     seeds = (
         emb.withColumn(
             "sk", F.md5(F.concat(F.lit("seed:"), F.col("vec_id").cast("string")))
         )
         .orderBy("sk")
-        .limit(IVF_CELLS)
+        .limit(n_cells)
         .collect()
     )
     S0 = np.stack([r["embedding"] for r in seeds]).astype(np.float64)
 
-    def assign_udf(cents: np.ndarray, keep_embedding: bool = False):
-        """vec → nearest centroid by cosine (ties → lowest cell index)."""
-        cn = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+    def assign_udf(cents: np.ndarray, cell_ids: np.ndarray, keep_embedding: bool = False):
+        """vec → nearest centroid by cosine (ties → lowest cell id; the
+        rows of ``cents`` are cell-id-ascending, so argmax-first == lowest
+        id).  Zero-norm guards: a degenerate all-zero vector scores 0
+        everywhere instead of poisoning the matmul with NaN."""
+        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
 
         def assign(batches):
             for pdf in batches:
                 v = _stack(pdf["embedding"])
-                vn = v / np.linalg.norm(v, axis=1, keepdims=True)
-                cell = np.argmax(vn @ cn.T, axis=1)  # first max = lowest cell
+                vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+                cell = cell_ids[np.argmax(vn @ cn.T, axis=1)]
                 out = {"vec_id": pdf["vec_id"], "cell": cell}
                 if keep_embedding:
                     out["embedding"] = pdf["embedding"]
@@ -319,8 +343,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # -- 2. one Lloyd step: refined centroids = per-dim mean per cell --
     # (embedding rides through the UDF — no join back to the corpus)
+    all_cells = np.arange(n_cells, dtype=np.int64)
     a0 = emb.mapInPandas(
-        assign_udf(S0, keep_embedding=True),
+        assign_udf(S0, all_cells, keep_embedding=True),
         schema="vec_id long, cell int, embedding array<float>",
     )
     cent_rows = (
@@ -329,12 +354,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.avg("val").alias("v"))
         .collect()
     )
-    C1 = np.zeros_like(S0)
+    # cells that lost every member in the Lloyd step are dropped, exactly
+    # as the oracle's cent CTE drops them (no rows → no centroid): an
+    # all-zero surviving row would turn the norm-divide into NaN and
+    # np.argmax over a NaN column assigns essentially everything to it.
+    live = sorted({r["cell"] for r in cent_rows})
+    live_pos = {c: i for i, c in enumerate(live)}
+    C1 = np.zeros((len(live), S0.shape[1]), dtype=np.float64)
     for r in cent_rows:
-        C1[r["cell"], r["dim"]] = r["v"]
+        C1[live_pos[r["cell"]], r["dim"]] = r["v"]
+    live_ids = np.array(live, dtype=np.int64)
 
     # -- 3. final assignment + 4. probe & exact rank within probed cells --
-    assign = emb.mapInPandas(assign_udf(C1), schema="vec_id long, cell int")
+    assign = emb.mapInPandas(assign_udf(C1, live_ids), schema="vec_id long, cell int")
     queries = (
         emb.where(F.col("vec_id") < N_QUERIES)
         .orderBy("vec_id")
@@ -342,14 +374,16 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qids = np.array([r["vec_id"] for r in queries])
     Q = np.stack([r["embedding"] for r in queries]).astype(np.float64)
-    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
-    C1n = C1 / np.linalg.norm(C1, axis=1, keepdims=True)
-    # probed cells per query: nprobe best centroids (ties → lowest cell)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    C1n = C1 / np.maximum(np.linalg.norm(C1, axis=1, keepdims=True), 1e-30)
+    # probed cells per query: nprobe best SURVIVING centroids (ties →
+    # lowest cell id; C1 rows are cell-id-ascending so positional lexsort
+    # order == id order)
     order = np.lexsort(
-        (np.tile(np.arange(IVF_CELLS), (len(qids), 1)), -(Qn @ C1n.T))
+        (np.tile(np.arange(len(live_ids)), (len(qids), 1)), -(Qn @ C1n.T))
     )[:, :IVF_NPROBE]
     probes = [
-        (int(q), int(c)) for qi, q in enumerate(qids) for c in order[qi]
+        (int(q), int(live_ids[c])) for qi, q in enumerate(qids) for c in order[qi]
     ]
     probe_df = F.broadcast(
         emb.sparkSession.createDataFrame(probes, "query_id long, cell int")

@@ -157,13 +157,22 @@ def conversation_progress_stream(
             T.StructField("closed", T.BooleanType()),
         ]
     )
-    state_schema = T.StructType([T.StructField("n", T.LongType())])
+    # State carries the running count AND the running max event-time: the
+    # close timer must be anchored to the conversation's latest turn seen
+    # over its WHOLE life, not the current micro-batch's max — an
+    # out-of-order batch (above the watermark but older than previously
+    # seen turns) would otherwise pull the timeout earlier and close the
+    # conversation less than ``gap`` after its true latest turn, breaking
+    # deterministic replay.
+    state_schema = T.StructType(
+        [T.StructField("n", T.LongType()), T.StructField("max_ts_ms", T.LongType())]
+    )
     gap_ms = _duration_ms(gap)
 
     def update(key, pdfs, state):
         (conv_id,) = key
         if state.hasTimedOut:
-            (n,) = state.get
+            n, _ = state.get
             state.remove()
             yield pd.DataFrame(
                 {
@@ -180,8 +189,10 @@ def conversation_progress_stream(
             batch_n += len(pdf)
             if len(pdf):
                 max_ts_ms = max(max_ts_ms, int(pdf["ts"].max().timestamp() * 1000))
-        total = (state.get[0] if state.exists else 0) + batch_n
-        state.update((total,))
+        prev_n, prev_max = state.get if state.exists else (0, 0)
+        total = prev_n + batch_n
+        max_ts_ms = max(max_ts_ms, prev_max)
+        state.update((total, max_ts_ms))
         # the timeout must sit strictly beyond the current watermark (a
         # fully-late straggler batch could otherwise set one in the past,
         # which Spark rejects); such a conversation then closes on the

@@ -117,6 +117,42 @@ def test_ivf_recovers_planted_near_dups(spark, planted_dir):
             )
 
 
+def test_ivf_survives_emptied_cell(spark, tmp_path):
+    """A coarse cell can lose every member in the Lloyd step; the operator
+    must DROP it (like the oracle's cent CTE) rather than keep an all-zero
+    centroid whose norm-divide poisons the assignment with NaN.
+
+    Planted deterministically: the two lowest-md5-ranked vectors get
+    IDENTICAL embeddings, so both become seeds with the same centroid and
+    every vector tie-breaks to the lower cell — the higher cell ends the
+    step with zero members, guaranteed."""
+    import hashlib
+
+    n = 36  # ivf_cells(36) = 6 > 2, so both duplicates are seeds
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((n, DIM))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    ranked = sorted(range(n), key=lambda i: hashlib.md5(f"seed:{i}".encode()).hexdigest())
+    assert similarity.ivf_cells(n) >= 2
+    vecs[ranked[1]] = vecs[ranked[0]]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [v for v in vecs.astype(np.float32)],
+            "label": np.zeros(n, dtype=np.int32),
+        }
+    )
+    pdf.to_parquet(tmp_path / "embeddings.parquet")
+    rows = similarity.ann_ivf_topk(spark, str(tmp_path)).collect()
+    # with the NaN bug the probed cells are empty of members → no rows
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == set(range(similarity.N_QUERIES))
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, similarity.TOP_K + 1)), (q, ranks)
+
+
 def test_ivf_rank_consistency_vs_exact(spark):
     """IVF ranks exactly within the probed cells: probing can only DROP
     candidates, never reorder survivors — so whenever an IVF result also

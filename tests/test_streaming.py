@@ -181,6 +181,70 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     assert out.groupBy("conv_id", "turn_idx").count().where(F.col("count") > 1).count() == 0
 
 
+def test_stateful_close_timer_survives_out_of_order_batch(spark, tmp_path):
+    """The close timer must anchor to the conversation's latest turn over
+    its WHOLE life (running max in state), not the current micro-batch's
+    max: an out-of-order batch — above the watermark but older than
+    previously seen turns — must not pull the close earlier.
+
+    Layout (gap=30min, watermark=10s):
+      chunk0: A@0min, A@40min, B@0min
+      chunk1: A@10min (out of order), B@60min
+    After chunk1 the watermark reaches ~60min.  A's true latest turn is
+    40min, so its close horizon is 70min — A must still be OPEN.  A
+    batch-max timer would have been reset to 10min+30min=40min < 60min
+    and closed A early."""
+    import datetime as dt
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+    def turns(rows):
+        return spark.createDataFrame(
+            [
+                (conv, idx, "user", f"turn {idx}", None, base + dt.timedelta(minutes=m))
+                for conv, idx, m in rows
+            ],
+            schema=ingest.TRANSCRIPT_SCHEMA,
+        )
+
+    src = tmp_path / "ooo_flat"
+    src.mkdir()
+    import glob
+    import os
+    import shutil
+    import time
+
+    chunks = [
+        turns([("A", 0, 0), ("A", 1, 40), ("B", 0, 0)]),
+        turns([("A", 2, 10), ("B", 1, 60)]),
+    ]
+    now = time.time()
+    for i, chunk in enumerate(chunks):
+        d = tmp_path / f"ooo_chunk{i}"
+        chunk.coalesce(1).write.mode("overwrite").parquet(str(d))
+        (f,) = glob.glob(str(d / "*.parquet"))
+        dst = str(src / f"part{i}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (now + i * 10, now + i * 10))
+
+    stream = ingest.read_transcript_stream(spark, str(src), max_files_per_trigger=1)
+    q = (
+        ingest.conversation_progress_stream(stream, gap="30 minutes", watermark="10 seconds")
+        .writeStream.format("memory")
+        .queryName("ooo_t7")
+        .option("checkpointLocation", str(tmp_path / "ckpt7"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    out = spark.table("ooo_t7")
+    closed = {r["conv_id"] for r in out.where("closed").collect()}
+    assert "A" not in closed, "out-of-order batch pulled A's close timer earlier"
+    # counts still accumulate across the out-of-order delivery
+    a_total = out.where("conv_id = 'A'").agg(F.max("n_turns_total")).collect()[0][0]
+    assert a_total == 3
+
+
 def test_foreach_batch_merge_idempotent(spark, stream_dir, tmp_path):
     """foreachBatch MERGE sink: streaming mentions land in the catalog
     keyed on content; re-running the whole stream (fresh checkpoint —
