@@ -46,15 +46,17 @@ def tokens(text: Column) -> Column:
 STOP_TOKENS = ("the", "corp", "corporation", "inc", "group", "ltd", "llc")
 
 
-# Every printable ASCII char that is not [a-z0-9 ] — the translate()
-# source alphabet for canonical_name.  Uppercase letters are absent on
-# purpose: lower() runs first.  Non-ASCII codepoints are NOT mapped; the
-# synthetic and STIX corpora are ASCII, and the regex oracle
-# (canonical_name_regex) pins equality on every tested corpus.
+# Every printable ASCII char that is not a letter, digit, or space — the
+# translate() source alphabet for canonical_name's fast path.  Letters
+# (both cases) and digits are excluded: lower() runs first, so only
+# [a-z0-9] can survive and they must pass through.  Non-ASCII codepoints
+# are NOT in this alphabet — canonical_name routes any row containing
+# them to the regex form (see its docstring) so the documented
+# strip-everything-outside-[a-z0-9 ] semantics hold for ALL inputs.
 _PUNCT = "".join(
     chr(c)
     for c in range(33, 127)
-    if not (chr(c).islower() and chr(c).isalpha()) and not chr(c).isdigit()
+    if not chr(c).isalpha() and not chr(c).isdigit()
 ) + "\t\n\r\x0b\x0c"
 
 
@@ -75,12 +77,26 @@ def canonical_name(surface: Column) -> Column:
     while the translate form is ~7x faster and scales with cores.
     Equality with the regex form (``canonical_name_regex``) and the
     original HOF form is asserted by tests/test_canonicalize.py.
+
+    The translate alphabet only covers ASCII, so rows containing ANY
+    non-ASCII codepoint take the regex form instead (round-3 advice: the
+    ASCII-only translate silently diverged from the documented
+    strip-[^a-z0-9 ] semantics on non-ASCII surfaces).  The dispatch
+    test is ``octet_length == length`` — true iff every char is
+    single-byte UTF-8, i.e. pure ASCII — which is a codegen'd integer
+    compare, no regex; CASE WHEN short-circuits, so the serialized
+    regexp_replace never executes for the (overwhelmingly ASCII) hot
+    rows and the fast path's measured scaling is untouched.
     """
-    low = F.translate(F.lower(surface), _PUNCT, " " * len(_PUNCT))
-    toks = F.filter(
-        F.split(low, " ", -1), lambda t: (t != "") & ~t.isin(*STOP_TOKENS)
+    low = F.lower(surface)
+    fast_toks = F.filter(
+        F.split(F.translate(low, _PUNCT, " " * len(_PUNCT)), " ", -1),
+        lambda t: (t != "") & ~t.isin(*STOP_TOKENS),
     )
-    return F.array_join(toks, " ")
+    fast = F.array_join(fast_toks, " ")
+    return F.when(
+        F.octet_length(low) == F.length(low), fast
+    ).otherwise(canonical_name_regex(surface))
 
 
 def canonical_name_regex(surface: Column) -> Column:

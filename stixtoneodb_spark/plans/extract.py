@@ -85,24 +85,55 @@ def _triple_pattern() -> re.Pattern:
 
 def _assert_cross_type_nonoverlap(by_type: dict[str, list[str]]) -> None:
     """PRECONDITION of the single-pass combined regex: ``finditer``
-    consumes matched spans globally, so if one type's surface were a
-    (boundary-)prefix of another type's surface, the per-type passes
-    would emit both mentions while the combined pass emits only the first
-    alternation's — silently, and only for texts containing the longer
-    surface.  Enforced STATICALLY at pattern-build time (round-2 advice):
-    a future gazetteer addition that violates it fails immediately, not
-    via a drifting corpus test.  Within-type prefixes are fine
-    (longest-first alternation keeps maximal-match preference)."""
+    consumes matched spans globally, so whenever two different types'
+    surfaces can occupy OVERLAPPING spans in some text, the per-type
+    passes emit both mentions while the combined pass emits only one —
+    silently, and only for texts containing the longer/earlier surface.
+    Three shapes break equivalence (round-3 advice widened this from the
+    original prefix-only check):
+
+    1. boundary-prefix  — ``corp`` / ``corp systems``;
+    2. interior/suffix boundary containment — ``corp`` inside
+       ``acme corp`` (the per-type pass matches the inner surface at a
+       token edge; the combined pass consumed the enclosing span);
+    3. suffix/prefix token overlap — ``acme corp`` + ``corp systems``
+       overlap on ``corp`` in the text ``acme corp systems``.
+
+    All three are token-level conditions because the surface regexes are
+    flanked by ``(?<![A-Za-z0-9])``/``(?![A-Za-z0-9])`` — so the check
+    tokenizes on non-alphanumerics and rejects any contiguous-sublist
+    containment or proper suffix/prefix token overlap across types.
+    Enforced STATICALLY at pattern-build time: a future gazetteer
+    addition that violates it fails immediately, not via a drifting
+    corpus test.  Within-type overlaps are fine (longest-first
+    alternation keeps maximal-match preference and the emitted type is
+    identical either way)."""
+
+    def toks(s: str) -> tuple[str, ...]:
+        return tuple(t for t in re.split(r"[^a-z0-9]+", s.lower()) if t)
+
     surfs = [
-        (etype, s.lower()) for etype, ss in by_type.items() for s in set(ss)
+        (etype, s.lower(), toks(s)) for etype, ss in by_type.items() for s in set(ss)
     ]
-    for ta, sa in surfs:
-        for tb, sb in surfs:
-            if ta != tb and sa.startswith(sb):
+    for ta, sa, tka in surfs:
+        for tb, sb, tkb in surfs:
+            if ta == tb:
+                continue
+            # (1)+(2): sb's tokens appear contiguously inside sa's
+            contained = any(
+                tka[i : i + len(tkb)] == tkb for i in range(len(tka) - len(tkb) + 1)
+            )
+            # (3): a nonempty proper token-suffix of sa is a token-prefix
+            # of sb (the two surfaces can share a span mid-text)
+            straddle = any(
+                tka[-k:] == tkb[:k] for k in range(1, min(len(tka), len(tkb)))
+            )
+            if contained or straddle:
+                kind = "is boundary-contained in" if contained else "token-straddles"
                 raise AssertionError(
-                    f"gazetteer cross-type overlap: {tb!r} surface {sb!r} is a "
-                    f"prefix of {ta!r} surface {sa!r}; the combined single-pass "
-                    "regex is not equivalent to per-type passes under overlap"
+                    f"gazetteer cross-type overlap: {tb!r} surface {sb!r} {kind} "
+                    f"{ta!r} surface {sa!r}; the combined single-pass regex is "
+                    "not equivalent to per-type passes under overlap"
                 )
 
 

@@ -55,6 +55,24 @@ class KgPipeline:
         self.ingest_buckets = ingest_buckets
         self.metrics: dict[str, float] = {}
 
+    # Every table this pipeline writes through the catalog — the scope of
+    # its staging sweep on resume.  A run killed mid-stage leaves
+    # ``_staging/<table>.tmp-*`` dirs for whichever _stage was in flight
+    # (round-3 advice: sweeping only 'turns' let mentions/triples/nodes/
+    # edges staging grow unboundedly across crashed runs); tables of
+    # CONCURRENT writers sharing the warehouse (the streaming merge sink)
+    # are deliberately NOT in this list.
+    OWNED_TABLES = (
+        "turns",
+        "mentions",
+        "triples_raw",
+        "canonical_map",
+        "linked_triples",
+        "dropped_triples",
+        "nodes",
+        "edges",
+    )
+
     # -- checkpoint bookkeeping ------------------------------------------
     def _ckpt_table(self) -> str:
         return "_checkpoints"
@@ -99,7 +117,7 @@ class KgPipeline:
         # are never referenced by a 'done' checkpoint row, so sweep first
         # scoped to this pipeline's own tables: a concurrent writer
         # sharing the warehouse (streaming merge sink) keeps its tmp dirs
-        self.catalog.sweep_staging(tables=["turns", self._ckpt_table()])
+        self.catalog.sweep_staging(tables=[*self.OWNED_TABLES, self._ckpt_table()])
         norm = assemble.normalize_turns(transcripts)
         todo = range(nb) if max_buckets is None else range(min(nb, max_buckets))
         for b in todo:
@@ -139,6 +157,11 @@ class KgPipeline:
         self, transcripts: DataFrame, alias_edges: DataFrame | None = None
     ) -> PipelineResult:
         spark = self.spark
+
+        # Sweep THIS pipeline's staging leftovers before any stage runs —
+        # covers the non-bucketed path too (ingest_partitioned repeats the
+        # sweep for direct callers; it is idempotent and cheap).
+        self.catalog.sweep_staging(tables=[*self.OWNED_TABLES, self._ckpt_table()])
 
         # S0: normalize + repartition by conv_id — the pipeline's one
         # deliberate up-front shuffle, reused by the window/groupBy/

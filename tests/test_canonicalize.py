@@ -92,7 +92,12 @@ def test_canonical_name_translate_equals_regex_and_array_forms(spark):
         [("The MITRE Corporation",), ("corp",), ("the the the",), ("groupx group",),
          ("Acme-Bank, Inc.",), ("  spaced   out  ",), ("",),
          ("tabs\tand\nnewlines",), ("semi;colon:duo",), ("a!@#$%^&*()b",),
-         ('quote"back`tick',), ("under_score-dash",), ("~tilde{brace}[bracket]",)],
+         ('quote"back`tick',), ("under_score-dash",), ("~tilde{brace}[bracket]",),
+         # non-ASCII (round-3 advice): the translate fast path can't map
+         # these — the operator must route them to the regex form so the
+         # documented strip-[^a-z0-9 ] semantics hold for every input
+         ("Café Corp",), ("naïve systems",), ("Ωmega-Bank",),
+         ("ACMÉ—Group",), ("日本 acme 株式会社",), ("ascii and émoji 🚀 mix",)],
         "surface string",
     )
     both = surfaces.unionByName(crafted).select(

@@ -101,6 +101,34 @@ def test_resume_equals_fresh(spark, corpus, tmp_path_factory):
     assert {r.id for r in res2.edges.select("id").collect()} == edges_fresh
 
 
+def test_resume_sweeps_staging_of_every_owned_table(spark, corpus, tmp_path_factory):
+    """A run killed mid-stage leaves ``_staging/<table>.tmp-*`` dirs for
+    whichever table was in flight — for EVERY table the pipeline writes,
+    not just 'turns' (round-3 advice: the narrow sweep let staging grow
+    unboundedly across crashed runs).  A foreign writer's staging entry
+    must survive the sweep."""
+    import os
+
+    tr, _, aliases = corpus
+    wh = str(tmp_path_factory.mktemp("wh_sweep"))
+    staging = os.path.join(wh, "_staging")
+    os.makedirs(staging)
+    leftovers = []
+    for t in KgPipeline.OWNED_TABLES:
+        d = os.path.join(staging, f"{t}.tmp-deadbeef")
+        os.makedirs(d)
+        leftovers.append(d)
+    os.makedirs(os.path.join(staging, "mentions.tmp-deadbeef.old"))
+    leftovers.append(os.path.join(staging, "mentions.tmp-deadbeef.old"))
+    foreign = os.path.join(staging, "stream_mentions.tmp-cafe0001")
+    os.makedirs(foreign)
+
+    KgPipeline(spark, wh, run_id="sweep1").run(tr, alias_edges=aliases)
+    for d in leftovers:
+        assert not os.path.exists(d), f"staging leftover survived resume: {d}"
+    assert os.path.exists(foreign), "sweep deleted a concurrent writer's staging dir"
+
+
 def test_volatile_path_equals_checkpointed_run(spark, corpus, result):
     """The bench/export dataflow (_graph_frames: aggregate-first nodes,
     hot/cold dictionary joins) must produce EXACTLY the graph the
@@ -222,3 +250,35 @@ def test_combined_mention_pass_equals_per_type(spark):
     assert combined.count() == per_type.count() > 0
     assert combined.exceptAll(per_type).count() == 0
     assert per_type.exceptAll(combined).count() == 0
+
+
+def test_cross_type_overlap_guard_catches_all_shapes():
+    """The combined-pass precondition guard must reject every overlap
+    shape that breaks single-pass/per-type equivalence — not just the
+    original same-start prefix case (round-3 advice): interior
+    boundary containment ('corp' in 'acme corp') and suffix/prefix token
+    straddle ('acme corp' + 'corp systems' sharing 'corp') both diverge
+    silently in texts containing the enclosing/earlier surface."""
+    import pytest
+
+    from stixtoneodb_spark.plans.extract import _assert_cross_type_nonoverlap
+
+    # the shipped gazetteer satisfies the precondition
+    from stixtoneodb_spark.plans.extract import GAZETTEER
+
+    by_type: dict[str, list[str]] = {}
+    for _canon, (etype, surfaces) in GAZETTEER.items():
+        by_type.setdefault(etype, []).extend(surfaces)
+    _assert_cross_type_nonoverlap(by_type)
+
+    for bad in (
+        {"a": ["corp systems"], "b": ["corp"]},      # boundary prefix
+        {"a": ["acme corp"], "b": ["corp"]},         # interior containment
+        {"a": ["acme corp"], "b": ["corp systems"]}, # token straddle
+        {"a": ["host-ab12cd"], "b": ["ab12cd"]},     # separator-insensitive
+    ):
+        with pytest.raises(AssertionError, match="cross-type overlap"):
+            _assert_cross_type_nonoverlap(bad)
+
+    # within-type overlap stays legal (longest-first alternation)
+    _assert_cross_type_nonoverlap({"a": ["acme corp", "corp"]})
