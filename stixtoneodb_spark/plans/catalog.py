@@ -228,16 +228,49 @@ class ParquetMergeCatalog:
 
 class IcebergCatalog:
     """Real Iceberg backend — activates when an Iceberg catalog is
-    configured on the session.  Same interface; tables are
-    ``<namespace>.<name>`` in the configured catalog, partitioned by
-    ``bucket(256, key)`` at creation (done DDL-side, not here)."""
+    configured on the session.  FULL ``ParquetMergeCatalog`` interface
+    (the pipeline and the streaming sink can swap backends without code
+    change); tables are ``<namespace>.<name>`` in the configured catalog,
+    partitioned by ``bucket(256, key)`` at creation (``create_table_ddl``).
+
+    No Iceberg runtime jar exists in this sandbox, so these paths cannot
+    EXECUTE here; every SQL string this class emits is covered by the
+    parse-smoke in tests/test_catalog.py (captured via a stubbed session,
+    run through the real Spark SQL parser), so at least syntax drift is
+    caught.  The bucketed/partition-scoped members exist on the parquet
+    backend only to BOUND I/O — Iceberg's MERGE INTO is already pruned to
+    the touched ``bucket(N, key)`` partitions by the table spec, so here
+    they delegate to the plain forms."""
 
     def __init__(self, spark: SparkSession, namespace: str):
         self.spark = spark
         self.namespace = namespace
 
+    @staticmethod
+    def create_table_ddl(
+        namespace: str, table: str, schema_ddl: str, key_col: str, n_buckets: int = 256
+    ) -> str:
+        """The creation DDL the pipeline's deploy step runs once per table:
+        hash-bucketed on the merge key so MERGE INTO shuffles land on the
+        write distribution and rewrite only touched buckets."""
+        return (
+            f"CREATE TABLE IF NOT EXISTS {namespace}.{table} ({schema_ddl}) "
+            f"USING iceberg PARTITIONED BY (bucket({n_buckets}, {key_col}))"
+        )
+
+    def exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(f"{self.namespace}.{table}")
+
     def read(self, table: str) -> DataFrame:
         return self.spark.read.table(f"{self.namespace}.{table}")
+
+    # bucketing is a physical property of the Iceberg table, invisible to
+    # readers — the partitioned/bucketed read forms are the plain read
+    def read_partitioned(self, table: str) -> DataFrame:
+        return self.read(table)
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        return self.read(table)
 
     def merge_upsert(
         self, table: str, source: DataFrame, key_col: str, version_col: str | None = None
@@ -255,8 +288,40 @@ class IcebergCatalog:
             f"{matched}WHEN NOT MATCHED THEN INSERT *"
         )
 
+    def merge_upsert_bucketed(
+        self,
+        table: str,
+        source: DataFrame,
+        key_col: str,
+        n_buckets: int = 16,
+        version_col: str | None = None,
+    ) -> None:
+        """Iceberg's MERGE is partition-pruned by the ``bucket(N, key)``
+        table spec — the engine itself rewrites only touched buckets, so
+        the explicit bucket loop of the parquet backend is unnecessary."""
+        self.merge_upsert(table, source, key_col, version_col=version_col)
+
     def overwrite(self, table: str, df: DataFrame) -> None:
         df.writeTo(f"{self.namespace}.{table}").createOrReplace()
+
+    def overwrite_partition(self, table: str, partition: str, df: DataFrame) -> None:
+        """Partition-scoped replace: INSERT OVERWRITE in Iceberg's dynamic
+        mode replaces exactly the partitions present in the source — the
+        ``partition`` arg (e.g. ``bucket=3``) is implicit in the rows, kept
+        for interface parity with the parquet backend."""
+        view = f"_overwrite_src_{table}"
+        df.createOrReplaceTempView(view)
+        self.spark.sql(
+            f"INSERT OVERWRITE {self.namespace}.{table} SELECT * FROM {view}"
+        )
+
+    def append(self, table: str, df: DataFrame) -> None:
+        df.writeTo(f"{self.namespace}.{table}").append()
+
+    def sweep_staging(self, tables: list[str] | None = None) -> None:
+        """No-op: Iceberg commits are snapshot-atomic — there is no
+        filesystem staging to sweep (orphan-file cleanup is a table
+        maintenance procedure, not a reader-correctness concern)."""
 
 
 def get_catalog(spark: SparkSession, warehouse: str):

@@ -163,7 +163,15 @@ def test_iceberg_merge_sql_parses(spark):
     cat = IcebergCatalog(_StubSpark(), "kg")
     cat.merge_upsert("nodes", _StubDF(), "node_id", version_col="version")
     cat.merge_upsert("nodes", _StubDF(), "node_id")
-    assert len(captured) == 2
+    # bucketed form delegates to MERGE (Iceberg prunes via the bucket spec)
+    cat.merge_upsert_bucketed("nodes", _StubDF(), "node_id", version_col="version")
+    cat.overwrite_partition("nodes", "bucket=3", _StubDF())
+    captured.append(
+        IcebergCatalog.create_table_ddl(
+            "kg", "nodes", "node_id string, label string, version bigint", "node_id"
+        )
+    )
+    assert len(captured) == 5
     parser = spark._jsparkSession.sessionState().sqlParser()
     for q in captured:
         parser.parsePlan(q)  # raises ParseException on bad syntax
