@@ -292,7 +292,13 @@ def _graph_frames(
     # persisted HERE (not only inside canonical_exceptions): the link
     # stage's two endpoint-membership joins re-read this universe — an
     # explicit persist on the same plan guarantees the cache hit.
-    names = persist(ntc.select("name").distinct(), "s3_names")
+    # Derived from name_totals (below), NOT a separate distinct(): the
+    # per-name SUM aggregation already shuffles ntc on name, so the name
+    # universe rides that one shuffle — a standalone distinct() was a
+    # second vocabulary-scale shuffle that even anti-scaled (4.5s@4 →
+    # 5.5s@16, tools/profile_last_*.json: tiny rows, task overhead).
+    name_totals = ntc.groupBy("name").agg(F.sum("cnt").alias("n_tot"))
+    names = persist(name_totals.select("name"), "s3_names")
     t_cc = time.time()
     exc_frame = canonicalize.canonical_exceptions(names, alias_edges=alias_edges)
     if profiling:
@@ -303,8 +309,8 @@ def _graph_frames(
     # so |hot| ≤ HOT_NAME_TARGET regardless of corpus size (always
     # broadcastable) while any name below the absolute floor stays cold.
     # Derived from the cached (name, type) counts — a vocabulary-scale agg
-    # plus a broadcast 1-row total, no driver barrier.
-    name_totals = ntc.groupBy("name").agg(F.sum("cnt").alias("n_tot"))
+    # plus a broadcast 1-row total, no driver barrier.  (name_totals is
+    # built above so the name universe shares its shuffle.)
     tot = name_totals.agg(F.sum("n_tot").alias("_t"))
     # persisted: the probe broadcasts in the link + mention joins each
     # materialize this frame; uncached, every broadcast exchange re-runs
@@ -319,11 +325,21 @@ def _graph_frames(
         "s3_hot_names",
     )
 
+    # Pay-for-what-you-use salting: when the frequency floor yields NO hot
+    # names (near-uniform vocabularies — measured ~9% wall at local[4] for
+    # the probe broadcasts + per-row salt branches that then do nothing),
+    # hand link_triples no hot set and the joins collapse to the plain
+    # single-pass plan.  The emptiness probe is one limit(1) job on the
+    # persisted, ≤HOT_NAME_TARGET-row frame — it only ADVANCES the
+    # materialization the probe broadcasts would do anyway; a data-
+    # dependent plan choice in the same spirit as AQE's runtime re-plan.
+    hot_arg = hot_names if hot_names.limit(1).count() > 0 else None
+
     lr = link.link_triples(
         triples_raw,
         name_universe=names,
         exceptions=exc,
-        hot_names=hot_names,
+        hot_names=hot_arg,
         n_salt=SALT_BUCKETS,
     )
     linked = persist(lr.linked, "s4_linked")

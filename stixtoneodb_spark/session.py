@@ -65,6 +65,17 @@ def get_spark(
         # plans/canonicalize.py instead — their materialization happens
         # under the CC loop's conf scope, so the setting reaches them.
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Scan splits: the 128MB default bin-packs a multi-file table into
+        # ~core-count splits locally (maxSplitBytes = min(128MB,
+        # totalSize/parallelism)), which leaves the scan ONE ragged wave —
+        # measured 1.5-1.7x scan scaling from 4→16 cores purely from
+        # stragglers (round-3 verdict: the s0_normalize residue).  32MB
+        # gives 4-5 waves of evenly-sized tasks (2.17s vs 3.8s at
+        # local[16], 27.9M turns) and bounds per-task decode memory; at
+        # 100 TB it means ~3M scan tasks over 1000 executors — ~200 task
+        # waves, far above the scheduler floor, and AQE coalescing keeps
+        # downstream shuffles at their own sizing.
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         # Arrow transfer for every pandas UDF / applyInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
@@ -91,6 +102,14 @@ def get_spark(
         # local[4] has idle cores to absorb it — an asymmetry that
         # corrupts N-vs-4N scaling measurements.  8 threads collect a
         # 56g young gen fine and cost both levels the same.
+        # Long-lived workloads (and the bench, bench.py) additionally set
+        # -Xms=-Xmx + AlwaysPreTouch via $SPARK_DRIVER_JAVA_OPTS: a GROWING
+        # heap is the dominant first-run cost (ParallelGC collects+resizes
+        # while committed heap climbs toward -Xmx — measured @16 cores,
+        # 27.9M turns: 177s growing vs 91s pre-sized).  Not the library
+        # default: short-lived test sessions would commit 56g each, and two
+        # coexisting JVMs (e.g. the spark-submit e2e test under pytest)
+        # would pre-touch past the box's RAM.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
