@@ -282,3 +282,24 @@ def test_cross_type_overlap_guard_catches_all_shapes():
 
     # within-type overlap stays legal (longest-first alternation)
     _assert_cross_type_nonoverlap({"a": ["acme corp", "corp"]})
+
+
+def test_salted_pipeline_equals_plain_pipeline(spark, corpus):
+    """End-to-end equality of the two link-join plans run_volatile can
+    pick (round-4): the default corpus has NO hot names (the frequency
+    floor is corpus-relative), so the plain single-pass plan runs; with
+    the floors forced down every name is hot and the whole pipeline runs
+    through salted_dict_join.  Both must produce identical graph stats —
+    the salt is an equi-key satisfied by construction, so any divergence
+    is a bug in the salting machinery, not a tuning choice."""
+    import stixtoneodb_spark.plans.pipeline as P
+
+    tr, _, aliases = corpus
+    stats_plain = P.run_volatile(spark, tr, alias_edges=aliases)
+    orig = (P.HOT_NAME_FLOOR, P.HOT_NAME_TARGET)
+    P.HOT_NAME_FLOOR, P.HOT_NAME_TARGET = 1, 10**9
+    try:
+        stats_salted = P.run_volatile(spark, tr, alias_edges=aliases)
+    finally:
+        P.HOT_NAME_FLOOR, P.HOT_NAME_TARGET = orig
+    assert stats_salted == stats_plain
