@@ -25,7 +25,9 @@ the official BENCH_r03.json timed out empty (rc 124).  Defaults now:
 primary corpus only, ONE timed run per level after the warm-up, 4/16 pair.
 The builder-local extras are env-gated:
   SPARK_GRAFT_BENCH_RUNS=2            min-of-N timing
-  SPARK_GRAFT_BENCH_CONV_SECONDARY=N  second corpus scale row
+  SPARK_GRAFT_BENCH_CONV_SECONDARY=N  second corpus scale row — persisted to
+      tools/bench_secondary_scale.json so the two-scale table survives the
+      driver's primary-only rerun of BENCH.md
   SPARK_GRAFT_BENCH_LOW/HIGH=2/8      core-pair sensitivity — a non-default
       pair NEVER overwrites BENCH.md; it lands in
       tools/bench_pair_sensitivity.json, which BENCH.md renders as the
@@ -228,6 +230,19 @@ def main() -> None:
     primary = _measure_scale(N_CONV)
     secondary = _measure_scale(N_CONV_SECONDARY) if N_CONV_SECONDARY else None
 
+    sec_path = os.path.join(REPO, "tools", "bench_secondary_scale.json")
+    if secondary and (LOW, HIGH) == (4, 16):
+        # Persist the builder-local secondary-scale row: the driver's
+        # default (primary-only) rerun rewrites BENCH.md, and without this
+        # file the cross-round comparability row would vanish from the
+        # record at HEAD (VERDICT r3 #3 — the two-scale table must survive).
+        with open(sec_path, "w") as f:
+            json.dump({"low": LOW, "high": HIGH, "builder_local": True, **secondary}, f, indent=1)
+    elif secondary is None and os.path.exists(sec_path):
+        prev = json.load(open(sec_path))
+        if (prev.get("low"), prev.get("high")) == (LOW, HIGH):
+            secondary = prev
+
     if (LOW, HIGH) != (4, 16):
         # Core-pair SENSITIVITY run (protocol-drift guard, VERDICT r3 #3):
         # never the headline record.  Written to the file BENCH.md's
@@ -296,7 +311,8 @@ def _write_bench_md(r: dict) -> None:
         f"| corpus (turns) | wall@{LOW} | wall@{HIGH} | tp@{LOW} | tp@{HIGH} | **efficiency** (gate ≥0.8) |",
         "|---|---|---|---|---|---|",
         *[
-            f"| {s['n_turns']} | {s[f'pipeline_sec_{LOW}']} s | {s[f'pipeline_sec_{HIGH}']} s "
+            f"| {s['n_turns']}{' *(builder-local row)*' if s.get('builder_local') else ''} "
+            f"| {s[f'pipeline_sec_{LOW}']} s | {s[f'pipeline_sec_{HIGH}']} s "
             f"| {s[f'turns_per_sec_{LOW}']}/s | {s[f'turns_per_sec_{HIGH}']}/s "
             f"| **{s['scaling_efficiency']}** |"
             for s in r["scales"]
@@ -327,8 +343,14 @@ def _write_bench_md(r: dict) -> None:
             "decomposition predicts higher efficiency still, since each node",
             "brings its own memory bandwidth and the driver barrier count is",
             "unchanged.",
-            "",
         ]
+        if r["scales"][1].get("builder_local"):
+            lines += [
+                "(The secondary row is the persisted builder-local",
+                "re-measurement — tools/bench_secondary_scale.json — possibly",
+                "from an earlier invocation than the primary row.)",
+            ]
+        lines.append("")
     lines += _pair_sensitivity_lines()
     lines += _stage_table_lines()
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
@@ -338,9 +360,10 @@ def _write_bench_md(r: dict) -> None:
 def _pair_sensitivity_lines() -> list[str]:
     """Core-pair sensitivity section from tools/bench_pair_sensitivity.json
     (written by a one-off `SPARK_GRAFT_BENCH_LOW/HIGH` override run): the
-    north rule fixes the RATIO (N vs 4N), not N — on a single shared-DRAM
-    box the proxy is least distorted when both levels leave scheduler/GC/
-    bandwidth headroom, so the 2/8 pair is reported alongside 4/16."""
+    north rule fixes the RATIO (N vs 4N), not N, so the non-default pair is
+    reported for transparency — single-box pair choice moves the number in
+    either direction (round 3: 2/8 above 4/16; round 4: below), which is
+    exactly why the 4/16 primary protocol is held fixed across rounds."""
     import json as _json  # noqa: PLC0415
 
     p = os.path.join(REPO, "tools", "bench_pair_sensitivity.json")
@@ -351,9 +374,10 @@ def _pair_sensitivity_lines() -> list[str]:
     return [
         "",
         "Core-pair sensitivity (same code, same input, same protocol — the",
-        "north rule fixes the N:4N RATIO, not N; on one shared-DRAM box the",
-        "least-saturated pair is the best proxy for executors that each bring",
-        "their own memory bandwidth):",
+        "north rule fixes the N:4N RATIO, not N; the non-default pair is",
+        "reported for transparency.  Pair choice moves the single-box number",
+        "in either direction across rounds, which is why the 4/16 primary",
+        "protocol is held fixed):",
         "",
         f"| pair | corpus (turns) | wall@N | wall@4N | tp@N | tp@4N | efficiency |",
         "|---|---|---|---|---|---|---|",
