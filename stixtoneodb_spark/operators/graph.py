@@ -1,0 +1,140 @@
+"""Graph-analytics operator queries (SURVEY §2 Part B, iterative tier).
+
+These expose the engine's iterative graph primitives as first-class
+registry queries with FULL cross-engine oracles — previously the
+alternating large-star/small-star connected-components loop (the heart of
+entity canonicalization, plans/canonicalize.py) was verified only by
+property tests; here the DuckDB oracle independently re-computes the same
+fixpoint via a recursive CTE, so any drift in the loop (orientation,
+min-selection, convergence handling) breaks the hash match.
+
+Reference parity: StixToNeoDB has no graph analytics (it delegates
+"very large data sets processing" to external graph tools,
+/root/reference/README.md:25-27) — this tier is the Spark-first
+replacement for that delegation: the same node/edge tables the pipeline
+materializes stay queryable in-engine.
+
+Each function takes (spark, sf_dir) and returns a DataFrame; the matching
+oracle SQL lives in ``registry.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from stixtoneodb_spark.operators import dedup
+from stixtoneodb_spark.operators.text import _ws_tokens
+from stixtoneodb_spark.plans.canonicalize import connected_components
+from stixtoneodb_spark.sources.tables import load_table
+
+# PageRank protocol constants — shared with the oracle SQL (registry.py
+# interpolates them, so both engines always run the same spec).
+PR_DAMPING = 0.85
+PR_ITERS = 5
+PR_VOCAB = (
+    "join", "hash", "row", "batch", "scan", "customer",
+    "column", "filter", "merge", "vector", "stream", "window",
+)
+
+
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS from near-dup pairs: connected components over
+    the MinHash-LSH pair graph.
+
+    Pairwise dedup (dedup_minhash_lsh) emits edges; the training-data
+    pipeline needs the transitive families (keep one doc per cluster, drop
+    the rest) — A~B and B~C put A,C in one cluster even when the A-C
+    jaccard sits below the floor.  This runs the SAME alternating
+    large-star/small-star loop the entity canonicalizer uses
+    (plans/canonicalize.py:273), so the DuckDB oracle's recursive-CTE
+    closure independently verifies the engine's iterative CC primitive.
+
+    Output: (doc_id, cluster_id) for every doc in at least one near-dup
+    pair; cluster_id = min doc_id of the component.
+
+    Scale shape: input is the PAIR graph (orders of magnitude smaller than
+    the corpus — one row per verified near-dup pair), the loop is O(log n)
+    rounds of vocabulary-scale shuffles with per-round lineage truncation;
+    at 100 TB the corpus never re-enters the loop.  Doc ids ride as
+    zero-padded fixed-width strings so the loop's lexicographic min is the
+    numeric min (the CC primitive is string-keyed for the name graph).
+    """
+    pairs = dedup.dedup_minhash_lsh(spark, sf_dir)
+    edges = pairs.select(
+        F.format_string("%012d", F.col("id_a")).alias("name_a"),
+        F.format_string("%012d", F.col("id_b")).alias("name_b"),
+    )
+    cc = connected_components(edges)
+    return cc.select(
+        F.col("name").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )
+
+
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank over the entity co-occurrence graph, fixed
+    ``PR_ITERS`` iterations at damping ``PR_DAMPING``.
+
+    Nodes are gazetteer entities (PR_VOCAB), undirected edges weighted by
+    the number of documents co-mentioning the pair; the random walk
+    follows edges with probability proportional to weight:
+
+        pr_{k+1}(v) = (1-d)/N + d * sum_{u~v} pr_k(u) * w(u,v) / wout(u)
+
+    The iteration count is FIXED (not convergence-tested) so the oracle
+    can unroll the identical ``PR_ITERS`` steps in SQL — both engines run
+    the same spec by construction; scores are rounded to 6 decimals
+    (double partial-sum ordering differs across engines ~1e-15).
+
+    Scale shape: the graph is entity-vocabulary scale, not corpus scale —
+    built from one distinct + one self-join on doc_id like
+    kg_cooccurrence.  Each iteration is one edges⋈pr shuffle join on src
+    plus a groupBy(dst) partial agg; ``localCheckpoint(eager)`` per
+    iteration truncates the lineage exactly as the CC loop does (without
+    it the plan doubles per iteration).  The node count N is a driver
+    scalar (one count on the vocabulary-scale node set).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    m = (
+        d.select("doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token"))
+        .where(F.col("token").isin(*PR_VOCAB))
+        .distinct()
+    )
+    a = m.select("doc_id", F.col("token").alias("src"))
+    b = m.select("doc_id", F.col("token").alias("dst"))
+    half = (
+        a.join(b, "doc_id")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    n = nodes.count()  # vocabulary-scale driver scalar
+
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(outw, "src")
+            .join(pr, pr.node == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("wout")).alias("c"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.node == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - PR_DAMPING) / n)
+                    + F.lit(PR_DAMPING) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select(F.col("node").alias("mention"), F.round("pr", 6).alias("pagerank"))

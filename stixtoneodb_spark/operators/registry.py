@@ -19,12 +19,65 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from stixtoneodb_spark.operators import dedup, multimodal, relational, similarity, text
+from stixtoneodb_spark.operators import (
+    dedup,
+    graph,
+    multimodal,
+    relational,
+    similarity,
+    text,
+)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 _STOP = "'the','a','of','and','to','in','is','it'"
 _VOCAB = "'spark','customer','vector','window','stream'"
+
+
+def _pagerank_sql() -> str:
+    """Unrolled weighted-PageRank oracle: the FIXED graph.PR_ITERS steps at
+    graph.PR_DAMPING over the PR_VOCAB co-occurrence graph — iteration
+    count, damping, vocabulary and the (1-d)/N teleport numerator are all
+    interpolated from the Spark-side constants, so both engines run the
+    same spec by construction.  The teleport numerator uses the PYTHON
+    double repr of 1-d (0.15000000000000002, not the decimal literal 0.15)
+    because the Spark side folds it driver-side into F.lit."""
+    vocab = ",".join(f"'{t}'" for t in graph.PR_VOCAB)
+    num = repr(1.0 - graph.PR_DAMPING)
+    d = repr(graph.PR_DAMPING)
+    iters = "".join(
+        f""", r{k} AS (
+  SELECT nd.node,
+         (SELECT {num}/nn FROM n) + {d} * coalesce(c.c, 0.0) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(rp.pr * e.w / o.wout) AS c
+    FROM edges e JOIN outw o ON e.src = o.src JOIN r{k - 1} rp ON rp.node = e.src
+    GROUP BY e.dst) c ON c.node = nd.node
+)"""
+        for k in range(1, graph.PR_ITERS + 1)
+    )
+    return f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  WHERE token IN ({vocab})
+), half AS (
+  SELECT a.token AS src, b.token AS dst, COUNT(*)::DOUBLE AS w
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+), edges AS (
+  SELECT src, dst, w FROM half UNION ALL SELECT dst, src, w FROM half
+), outw AS (
+  SELECT src, sum(w) AS wout FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), n AS (
+  SELECT COUNT(*)::DOUBLE AS nn FROM nodes
+), r0 AS (
+  SELECT node, (SELECT 1.0/nn FROM n) AS pr FROM nodes
+){iters}
+SELECT node AS mention, round(pr, 6) AS pagerank FROM r{graph.PR_ITERS}
+"""
 
 
 def _lang_scores_sql() -> str:
@@ -595,6 +648,46 @@ FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
 GROUP BY a.token, b.token
 """,
     ),
+    # ---- iterative graph tier: full cross-engine oracles ----
+    # The recursive-CTE closure independently verifies the alternating
+    # large-star/small-star CC loop (plans/canonicalize.py:273) that
+    # entity canonicalization runs — any drift in orientation, min-
+    # selection, or convergence breaks the hash match.
+    "dedup_cluster_components": (
+        graph.dedup_cluster_components,
+        """
+WITH RECURSIVE tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)])
+         END AS sh
+  FROM tok WHERE len(toks) > 0
+), pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+  WHERE jaccard >= 0.5
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION
+  SELECT id_b AS u, id_a AS v FROM pairs
+), reach AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+)
+SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+""",
+    ),
+    "kg_pagerank": (graph.kg_pagerank, _pagerank_sql()),
     # ---- multimodal: REAL codec-free decode, closed-form oracle ----
     # The synthetic decodable payloads are deterministic functions of
     # doc_id, so DuckDB reproduces the DECODED stats arithmetically —

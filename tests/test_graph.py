@@ -1,0 +1,118 @@
+"""Iterative graph tier: duplicate-cluster CC and weighted PageRank.
+
+Both operators also carry FULL DuckDB oracles (registry.py) — the driver
+hash-compares them at sf0.01; these tests pin the algorithmic invariants
+the oracle can't see (transitive closure vs an independent Python union-
+find, PageRank vs an independent numpy power iteration, mass conservation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from stixtoneodb_spark.operators import dedup, graph
+
+SF = "/root/testdata/sf0.01"
+
+
+def _union_find_clusters(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Independent reference: union-find over the pair graph, cluster id =
+    min member (no shared code with the Spark loop or the SQL oracle)."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_cluster_components_match_union_find(spark):
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in dedup.dedup_minhash_lsh(spark, SF).select("id_a", "id_b").collect()
+    ]
+    assert pairs, "fixture must contain near-dup pairs"
+    expected = _union_find_clusters(pairs)
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in graph.dedup_cluster_components(spark, SF).collect()
+    }
+    assert got == expected
+
+
+def test_cluster_components_transitive_chain(spark):
+    """A~B and B~C land in ONE cluster even when A~C was never a pair —
+    the property pairwise dedup alone cannot express."""
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in dedup.dedup_minhash_lsh(spark, SF).select("id_a", "id_b").collect()
+    ]
+    clusters = graph.dedup_cluster_components(spark, SF).collect()
+    cid = {r["doc_id"]: r["cluster_id"] for r in clusters}
+    for a, b in pairs:
+        assert cid[a] == cid[b]
+    # cluster id is the min member
+    by_cluster: dict[int, list[int]] = {}
+    for d, c in cid.items():
+        by_cluster.setdefault(c, []).append(d)
+    for c, members in by_cluster.items():
+        assert c == min(members)
+
+
+def _numpy_pagerank(edges: list[tuple[str, str, float]], d: float, iters: int):
+    nodes = sorted({u for u, _, _ in edges} | {v for _, v, _ in edges})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    W = np.zeros((n, n))
+    for u, v, w in edges:
+        W[idx[u], idx[v]] = w
+    wout = W.sum(axis=1, keepdims=True)
+    P = W / wout
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        pr = (1.0 - d) / n + d * (P.T @ pr)
+    return dict(zip(nodes, pr))
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    rows = graph.kg_pagerank(spark, SF).collect()
+    got = {r["mention"]: r["pagerank"] for r in rows}
+    assert set(got) == set(graph.PR_VOCAB)
+
+    # rebuild the weighted symmetric edge list independently (pure python
+    # over the raw parquet via Spark scan; weights = co-mention doc counts)
+    import itertools
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    from collections import Counter
+
+    w: Counter = Counter()
+    for r in docs:
+        toks = sorted({t for t in r["text"].lower().split(" ") if t in graph.PR_VOCAB})
+        for a, b in itertools.combinations(toks, 2):
+            w[(a, b)] += 1
+    edges = [(a, b, float(c)) for (a, b), c in w.items()]
+    edges += [(b, a, c) for a, b, c in edges]
+    ref = _numpy_pagerank(edges, graph.PR_DAMPING, graph.PR_ITERS)
+    for k, v in ref.items():
+        assert abs(got[k] - v) < 2e-6, (k, got[k], v)
+
+
+def test_pagerank_conserves_mass(spark):
+    """No dangling nodes in a symmetrized graph → total PageRank mass is
+    exactly 1 each iteration (up to the 6-decimal output rounding)."""
+    rows = graph.kg_pagerank(spark, SF).collect()
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < len(rows) * 5e-7 + 1e-9
