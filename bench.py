@@ -83,6 +83,8 @@ HEADLINE_QUERIES = [
     "range_join_event_context",
     "text_quality_score",
     "kg_cooccurrence",
+    "kg_pagerank",
+    "dedup_cluster_components",
 ]
 
 

@@ -41,6 +41,17 @@ NUM_BANDS = 8
 ROWS_PER_BAND = NUM_HASHES // NUM_BANDS
 MAX_BLOCK = 32  # LSH skew guard: cap degenerate mega-blocks
 
+# Tiny-graph fast path for connected_components: below this edge count the
+# similarity graph is collected and union-found on the driver (bounded:
+# 200k 2-string rows is a few tens of MB — the same boundedness argument
+# as a broadcast dict).  The distributed star loop's cost on a tiny graph
+# is pure per-stage latency — ~12 shuffle stages × driver barrier each,
+# measured 7-14s flat at ANY core count on a 17-edge graph — which lands
+# straight in the pipeline's serial fraction.  At 100 TB a verified-pair
+# graph can exceed the bound, and then the star loop is the right shape;
+# this is the CC analog of AQE's runtime broadcast conversion.
+DRIVER_CC_MAX_EDGES = 200_000
+
 # Optional profiling sink (tools/profile_pipeline.py): when set to a dict,
 # connected_components records sub-stage walls into it — candidate-pair
 # materialization vs the CC loop is exactly the attribution the scaling
@@ -270,7 +281,9 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
     )
 
 
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, driver_max_edges: int | None = None
+) -> DataFrame:
     """Alternating large-star / small-star connected components.
 
     ``edges``: (name_a, name_b) string-keyed undirected edges.
@@ -281,6 +294,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
     rounds; per-round localCheckpoint(eager) truncates the self-join lineage
     (without it the plan doubles every iteration).  Driver-side loop is
     control-flow only — all data movement stays on executors.
+
+    Graphs at or below ``driver_max_edges`` (default
+    ``DRIVER_CC_MAX_EDGES``) short-circuit to a driver-side union-find —
+    identical output, none of the loop's per-stage latency; pass 0 to
+    force the distributed loop (tests pin its behavior that way).
     """
     import time as _time  # noqa: PLC0415
 
@@ -315,6 +333,32 @@ def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
         PROFILE["cc_edges_materialize_s"] = round(_time.time() - t0, 2)
         PROFILE["cc_n_edges"] = n_edges
     t0 = _time.time()
+    cap = DRIVER_CC_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    if n_edges <= cap:
+        # bounded collect (see DRIVER_CC_MAX_EDGES): path-halving
+        # union-find with min-root union — exactly the loop's fixpoint
+        # (component = min member), with zero shuffle stages.
+        parent: dict[str, str] = {}
+
+        def find(x: str) -> str:
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for row in e.collect():
+            ra, rb = find(row["u"]), find(row["v"])
+            if ra != rb:
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out_rows = [(x, find(x)) for x in parent]
+        spark.conf.set(pf_key, pf_prev)
+        spark.conf.set(sp_key, sp_prev)
+        if PROFILE is not None:
+            PROFILE["cc_loop_s"] = round(_time.time() - t0, 2)
+            PROFILE["cc_rounds"] = 0
+        return spark.createDataFrame(out_rows, "name string, component string")
     if n_edges < 200_000:
         e = e.coalesce(1).localCheckpoint(eager=True)
         spark.conf.set(sp_key, "1")

@@ -420,7 +420,29 @@ def run_volatile(
     # that was a memory-bandwidth-bound exchange with no consumer.
     # (KgPipeline.run keeps the repartition — its bucketed checkpoint
     # writes genuinely need conv_id clustering.)
-    turns = _persist(assemble.normalize_turns(transcripts), "s0_normalize")
+    #
+    # And NO persist() on the turn stream either (round-4 measurement):
+    # caching the widest frame in the pipeline costs far more than its
+    # three consumers save.  The InMemoryRelation build materializes ALL
+    # columns (defeating parquet column pruning for every consumer) and
+    # holds ~0.5 KB/turn of heap for the entire run — measured at 27.9M
+    # turns: wall@16 208.7s cached vs 109.8s uncached (the cache build +
+    # the GC pressure it exerts on every later stage), while wall@4 was
+    # unchanged (308.5 vs 306.6 — four slow tasks hide the cache cost).
+    # Uncached, each consumer re-scans parquet with ITS OWN pruned
+    # columns + pushed filters — columnar scans are cheap; heap is not.
+    # SPARK_GRAFT_TURNS_CACHE=1 re-enables the cache for A/B runs.
+    import os as _os  # noqa: PLC0415
+
+    cache_turns = _os.environ.get("SPARK_GRAFT_TURNS_CACHE", "0") == "1"
+    if cache_turns:
+        turns = _persist(assemble.normalize_turns(transcripts), "s0_normalize")
+    else:
+        turns = assemble.normalize_turns(transcripts)
+        if profiling:
+            t0 = time.time()
+            turns.count()
+            stage_walls["s0_scan_only"] = round(time.time() - t0, 2)
     try:
         mentions = _persist(extract.detect_mentions(turns), "s2_mentions")
         triples_raw = _persist(extract.extract_triples(turns), "s2_triples")
@@ -435,24 +457,34 @@ def run_volatile(
         nodes, edges, linked = frames["nodes"], frames["edges"], frames["linked"]
         # one action for the graph counts: tag-and-union instead of two
         # counts — every Spark action is a driver barrier, and barriers
-        # are the part of the wall that does not shrink with cores.
+        # are the part of the wall that does not shrink with cores.  The
+        # total turn count rides the SAME action: conversation nodes carry
+        # their per-conv turn count in n_mentions, so sum(w) over the 'n'
+        # tag IS n_turns — a separate turns.count() was one more barrier
+        # (and, uncached, one more full corpus scan).
         t_tail = time.time()
         counted = (
-            nodes.select(F.lit("n").alias("k"))
-            .unionAll(edges.select(F.lit("e").alias("k")))
+            nodes.select(
+                F.lit("n").alias("k"),
+                F.when(F.col("node_type") == "conversation", F.col("n_mentions"))
+                .otherwise(F.lit(0))
+                .cast("long")
+                .alias("w"),
+            )
+            .unionAll(edges.select(F.lit("e").alias("k"), F.lit(0).cast("long").alias("w")))
             .groupBy("k")
-            .count()
+            .agg(F.count("*").alias("cnt"), F.sum("w").alias("w"))
             .collect()
         )
         if profiling:
             stage_walls["s5_materialize"] = round(time.time() - t_tail, 2)
-        by_k = {r["k"]: r["count"] for r in counted}
+        by_k = {r["k"]: (r["cnt"], r["w"]) for r in counted}
         n_raw = triples_raw.count()
         n_linked = linked.count()
         return {
-            "n_turns": turns.count(),
-            "n_nodes": int(by_k.get("n", 0)),
-            "n_edges": int(by_k.get("e", 0)),
+            "n_turns": int(by_k.get("n", (0, 0))[1] or 0),
+            "n_nodes": int(by_k.get("n", (0, 0))[0]),
+            "n_edges": int(by_k.get("e", (0, 0))[0]),
             # every raw triple lands in exactly one of linked/dropped, so
             # the dangling count is arithmetic — no third join pass
             "n_dropped": n_raw - n_linked,

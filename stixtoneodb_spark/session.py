@@ -78,7 +78,10 @@ def get_spark(
         .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
         # Arrow transfer for every pandas UDF / applyInPandas boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_BATCH", "10000"),
+        )
         # Deterministic session timezone: timestamps in oracles must agree.
         .config("spark.sql.session.timeZone", "UTC")
         # Keep broadcast autodetect on; dims in this pipeline are small.

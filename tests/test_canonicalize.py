@@ -11,26 +11,59 @@ from stixtoneodb_spark.plans.canonicalize import (
 
 
 def test_connected_components_on_known_graph(spark):
-    # components: {a,b,c,d} (chain), {x,y}, singleton z not in edges
+    # components: {a,b,c,d} (chain), {x,y}, singleton z not in edges —
+    # asserted on BOTH tiers: the driver union-find fast path (default at
+    # this size) and the distributed star loop (forced via
+    # driver_max_edges=0); the two must agree exactly.
     edges = spark.createDataFrame(
         [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
         "name_a string, name_b string",
     )
-    comp = {r.name: r.component for r in connected_components(edges).collect()}
-    assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == "a"
-    assert comp["x"] == comp["y"] == "x"
+    for cap in (None, 0):
+        cc = connected_components(edges) if cap is None else connected_components(
+            edges, driver_max_edges=0
+        )
+        comp = {r.name: r.component for r in cc.collect()}
+        assert comp["a"] == comp["b"] == comp["c"] == comp["d"] == "a"
+        assert comp["x"] == comp["y"] == "x"
 
 
 def test_connected_components_chain_converges_logarithmically(spark):
     # long path graph: worst case for naive propagation; star algorithm
-    # must still converge within max_iter
+    # must still converge within max_iter (forced distributed — the tiny
+    # graph would otherwise take the driver fast path)
     n = 60
     edges = spark.createDataFrame(
         [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)],
         "name_a string, name_b string",
     )
-    comp = connected_components(edges, max_iter=20)
+    comp = connected_components(edges, max_iter=20, driver_max_edges=0)
     assert comp.select("component").distinct().count() == 1
+
+
+def test_connected_components_paths_agree_on_random_graph(spark):
+    # property: driver union-find tier ≡ distributed star loop on a
+    # pseudo-random multi-component graph (seeded — deterministic)
+    import random
+
+    rng = random.Random(7)
+    nodes = [f"v{i:03d}" for i in range(120)]
+    edges_py = [
+        (a, b)
+        for a, b in (
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(150)
+        )
+        if a != b
+    ]
+    edges = spark.createDataFrame(edges_py, "name_a string, name_b string")
+    fast = {
+        (r.name, r.component) for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r.name, r.component)
+        for r in connected_components(edges, driver_max_edges=0).collect()
+    }
+    assert fast == dist
 
 
 def test_lsh_merges_surface_variants(spark):

@@ -27,6 +27,14 @@ def main() -> None:
 
     from stixtoneodb_spark.session import get_spark
 
+    # Mirror bench._session: pre-sized pre-touched heap, same GC policy —
+    # profile attribution must reflect the TIMED protocol's JVM regime.
+    mem = os.environ.get("SPARK_DRIVER_MEM", "56g")
+    os.environ.setdefault(
+        "SPARK_DRIVER_JAVA_OPTS",
+        "-XX:+UseParallelGC -XX:ParallelGCThreads=8 "
+        f"-Xms{mem} -XX:+AlwaysPreTouch",
+    )
     spark = get_spark(
         app_name=f"kg-profile-{cores}",
         master=f"local[{cores}]",
@@ -35,18 +43,16 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     from stixtoneodb_spark.plans.pipeline import run_volatile
-    from stixtoneodb_spark.sources.transcripts import (
-        alias_edges_df,
-        transcripts_df_distributed,
-    )
+    from stixtoneodb_spark.sources.transcripts import alias_edges_df
 
     aliases = alias_edges_df(spark)
-    warm = transcripts_df_distributed(spark, 500, slices=8)
-    run_volatile(spark, warm, alias_edges=aliases)
-    spark.catalog.clearCache()
-
     tr = spark.read.parquet(corpus)
     tr.count()
+
+    # bench-protocol warm-up: 20% sample of the real corpus
+    warm_frac = float(os.environ.get("SPARK_GRAFT_BENCH_WARM_FRAC", "0.2"))
+    run_volatile(spark, tr.sample(warm_frac, seed=1), alias_edges=aliases)
+    spark.catalog.clearCache()
 
     from stixtoneodb_spark.plans import canonicalize
 
