@@ -89,7 +89,7 @@ HEADLINE_QUERIES = [
 
 
 def _session(cores: int):
-    from stixtoneodb_spark.session import get_spark
+    from stixtoneodb_spark.session import get_spark, parallel_gc_threads
 
     # Pre-sized, pre-touched heap — the long-lived-executor regime
     # (-Xms=-Xmx is standard cluster practice): a GROWING heap is the
@@ -97,12 +97,16 @@ def _session(cores: int):
     # resizes while committed heap climbs toward -Xmx; measured @16 cores,
     # 27.9M turns: 177s growing vs 91s pre-sized).  AlwaysPreTouch moves
     # the page-fault cost to JVM startup, outside every timed region.
+    # GC threads follow the JVM's own container ergonomics for the
+    # emulated executor width (session.parallel_gc_threads) — a real
+    # N-core node sizes its collector this way; the previous flat-8 policy
+    # was itself the dominant non-scaling cost at local[16].
     # Set via env so it reaches the driver JVM before launch; respects an
     # explicit caller override.
     mem = os.environ.get("SPARK_DRIVER_MEM", "56g")
     os.environ.setdefault(
         "SPARK_DRIVER_JAVA_OPTS",
-        "-XX:+UseParallelGC -XX:ParallelGCThreads=8 "
+        f"-XX:+UseParallelGC -XX:ParallelGCThreads={parallel_gc_threads(cores)} "
         f"-Xms{mem} -XX:+AlwaysPreTouch",
     )
     s = get_spark(app_name=f"kg-bench-{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
@@ -145,8 +149,14 @@ def worker_pipeline(cores: int, n_conv: int) -> None:
     # grows the heap to steady state; the timed run then measures the
     # engine, not JVM heap ergonomics.  (A real long-lived cluster executor
     # is always in the post-warm-up regime.)
-    warm_frac = float(os.environ.get("SPARK_GRAFT_BENCH_WARM_FRAC", "0.2"))
-    run_volatile(spark, tr.sample(warm_frac, seed=1), alias_edges=aliases)
+    # warm_frac >= 1 warms on the EXACT timed plan (no Sample wrapper): a
+    # sampled warm-up compiles different generated code than the timed
+    # run, so run 1 still pays fresh C2 JIT — measured @16/27.9M turns as
+    # a 113s-vs-82s first-vs-second timed-run gap that a full-corpus
+    # warm-up closes.
+    warm_frac = float(os.environ.get("SPARK_GRAFT_BENCH_WARM_FRAC", "1.0"))
+    warm = tr if warm_frac >= 1.0 else tr.sample(warm_frac, seed=1)
+    run_volatile(spark, warm, alias_edges=aliases)
     spark.catalog.clearCache()
     walls = []
     n_turns = 0
@@ -277,11 +287,12 @@ def _write_bench_md(r: dict) -> None:
         "",
         f"Input: {r['n_turns']} synthetic transcript turns (seed=42, distributed",
         f"generator, data-proportional entity vocabulary); operator queries at `{r['sf']}`.",
-        f"Each parallelism level: fresh subprocess, warm-up run over a 20% sample",
-        f"of the real corpus (grows the JVM heap to steady state and JITs codegen",
-        f"at full data width — a long-lived cluster executor is always in this",
-        f"regime), then {N_TIMED_RUNS} timed run(s) (min taken — the noise-robust",
-        "estimator on a shared box).",
+        f"Each parallelism level: fresh subprocess, one warm-up run of the EXACT",
+        f"timed plan over the full corpus (C2-JITs the timed run's generated",
+        f"code and grows the JVM heap to steady state — a long-lived cluster",
+        f"executor is always in this regime; a sampled warm-up compiles",
+        f"different codegen and leaves run 1 ~35% slow), then {N_TIMED_RUNS} timed",
+        "run(s) (min taken — the noise-robust estimator on a shared box).",
         "",
         "TIMING POLICY (changed in round 2): caches are cleared between timed",
         "runs and between queries, so every number measures the FULL cold",

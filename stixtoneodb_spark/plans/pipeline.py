@@ -279,7 +279,14 @@ def _graph_frames(
     salting keeps one pass per join.
     """
     profiling = stage_walls is not None
-    named = canonicalize.normalize_mentions(mentions)
+    # mentions may arrive pre-normalized (run_volatile persists the slim
+    # (conv_id, turn_idx, name, entity_type) form — see there); raw
+    # mention streams are normalized here.
+    named = (
+        mentions
+        if "name" in mentions.columns
+        else canonicalize.normalize_mentions(mentions)
+    )
     ntc = persist(
         named.groupBy("name", "entity_type").agg(F.count("*").alias("cnt")),
         "s3_name_type_counts",
@@ -444,7 +451,20 @@ def run_volatile(
             turns.count()
             stage_walls["s0_scan_only"] = round(time.time() - t0, 2)
     try:
-        mentions = _persist(extract.detect_mentions(turns), "s2_mentions")
+        # Persist the SLIM normalized mention stream, not the raw one: the
+        # two consumers (the (name, type) count agg and the provenance-edge
+        # pass) both key on the normalized name, never on surface/start —
+        # normalizing before the persist computes canonical_name once
+        # instead of once per consumer and drops two columns from the
+        # cached bytes (the heap-residency lesson of the turns cache,
+        # applied to the one cache that must stay: recomputing mentions
+        # means re-running the extraction UDF).
+        mentions = _persist(
+            canonicalize.normalize_mentions(extract.detect_mentions(turns)).select(
+                "conv_id", "turn_idx", "name", "entity_type"
+            ),
+            "s2_mentions",
+        )
         triples_raw = _persist(extract.extract_triples(turns), "s2_triples")
         frames = _graph_frames(
             turns,

@@ -11,8 +11,35 @@ parallelism rather than the 200 default.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import SparkSession
+
+
+def parallel_gc_threads(cores: int) -> int:
+    """ParallelGC worker count for an executor JVM with ``cores`` CPUs —
+    the JVM's own container ergonomics formula (n for n<=8, else
+    8 + 5/8·(n−8)).  A real N-core executor node sizes its GC this way;
+    pinning a FLAT thread count across local[N] levels instead (round 2/3
+    used 8 for both) under-provisions the larger level relative to a real
+    cluster: ParallelGC is stop-the-world, so its workers never compete
+    with paused executor threads, and 8 threads collecting a 56g young gen
+    against 16 allocating cores was measured as the single largest
+    non-scaling cost at local[16] (27.9M turns: wall 109.8s at 8 GC
+    threads vs 81.4s at 16 — the collector, not the engine, was the
+    residue)."""
+    return cores if cores <= 8 else 8 + (cores - 8) * 5 // 8
+
+
+def _master_cores(master: str) -> int:
+    """Executor-core count implied by a local[N] master (the emulated
+    node width); local[*] and non-local masters fall back to the host
+    count — on a real cluster executors are separate JVMs whose GC the
+    cluster manager sizes, so the value only matters in local mode."""
+    m = re.match(r"local\[(\d+)\]", master)
+    if m:
+        return int(m.group(1))
+    return os.cpu_count() or 8
 
 
 def _local_dir() -> str:
@@ -98,13 +125,14 @@ def get_spark(
         # the allocation-heavy join/materialize stages (S4 38s -> 16s,
         # S5 80s -> 60s at local[16], 18.6M turns) with zero change at
         # low parallelism.  Batch engine, no latency SLO -> pause-time
-        # collector buys nothing here.  GC threads are CAPPED: the JVM
-        # defaults to ~5/8 of the 32 hardware threads, which at local[16]
-        # oversubscribes the box against 16 executor threads + 16 Python
-        # workers (GC competes with the very tasks it serves) while
-        # local[4] has idle cores to absorb it — an asymmetry that
-        # corrupts N-vs-4N scaling measurements.  8 threads collect a
-        # 56g young gen fine and cost both levels the same.
+        # collector buys nothing here.  GC threads follow the JVM's own
+        # CONTAINER ergonomics for the emulated executor width
+        # (parallel_gc_threads above): local[N] gets the thread count a
+        # real N-core executor node's JVM would pick.  (Rounds 2-3 capped
+        # both levels at a flat 8 on a competes-with-executors theory that
+        # holds for concurrent collectors, not for stop-the-world
+        # ParallelGC — measured at local[16] the flat cap was the single
+        # largest non-scaling cost; see parallel_gc_threads.)
         # Long-lived workloads (and the bench, bench.py) additionally set
         # -Xms=-Xmx + AlwaysPreTouch via $SPARK_DRIVER_JAVA_OPTS: a GROWING
         # heap is the dominant first-run cost (ParallelGC collects+resizes
@@ -116,7 +144,9 @@ def get_spark(
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
-                "SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC -XX:ParallelGCThreads=8"
+                "SPARK_DRIVER_JAVA_OPTS",
+                "-XX:+UseParallelGC "
+                f"-XX:ParallelGCThreads={parallel_gc_threads(_master_cores(master))}",
             ),
         )
         # Shuffle/spill files on tmpfs when available: a cluster gives every

@@ -25,14 +25,14 @@ def main() -> None:
     n_conv = int(sys.argv[2]) if len(sys.argv) > 2 else 1296000
     corpus = f"/tmp/kg_bench/transcripts_{n_conv}"
 
-    from stixtoneodb_spark.session import get_spark
+    from stixtoneodb_spark.session import get_spark, parallel_gc_threads
 
     # Mirror bench._session: pre-sized pre-touched heap, same GC policy —
     # profile attribution must reflect the TIMED protocol's JVM regime.
     mem = os.environ.get("SPARK_DRIVER_MEM", "56g")
     os.environ.setdefault(
         "SPARK_DRIVER_JAVA_OPTS",
-        "-XX:+UseParallelGC -XX:ParallelGCThreads=8 "
+        f"-XX:+UseParallelGC -XX:ParallelGCThreads={parallel_gc_threads(cores)} "
         f"-Xms{mem} -XX:+AlwaysPreTouch",
     )
     spark = get_spark(
