@@ -397,6 +397,7 @@ def _pair_sensitivity_lines() -> list[str]:
         f"| local[{lo}] vs local[{hi}] | {r['n_turns']} | {r[f'pipeline_sec_{lo}']} s "
         f"| {r[f'pipeline_sec_{hi}']} s | {r[f'turns_per_sec_{lo}']}/s "
         f"| {r[f'turns_per_sec_{hi}']}/s | **{r['scaling_efficiency']}** |",
+        *([f"({r['note']})"] if r.get("note") else []),
         "",
     ]
 

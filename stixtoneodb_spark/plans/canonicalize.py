@@ -315,12 +315,67 @@ def connected_components(
     spark.conf.set(pf_key, "false")
     sp_key = "spark.sql.shuffle.partitions"
     sp_prev = spark.conf.get(sp_key)
-    e = (
-        edges.select(F.col("name_a").alias("u"), F.col("name_b").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    e_raw = edges.select(F.col("name_a").alias("u"), F.col("name_b").alias("v")).where(
+        F.col("u") != F.col("v")
     )
+    cap = DRIVER_CC_MAX_EDGES if driver_max_edges is None else driver_max_edges
+    if cap > 0:
+        # Driver fast path, ONE job: collect up to cap+1 raw pairs via a
+        # limit — no distinct shuffle, no localCheckpoint job, no count
+        # job (the round-3 shape cost three jobs + a shuffle to learn the
+        # graph is tiny; ~2s of the pipeline's non-scaling floor).  The
+        # upstream pair frame is already near-duplicate-free
+        # (candidate_pairs dedups, alias edges are distinct), so the raw
+        # cardinality is an honest proxy for the distinct one; a graph
+        # that overflows the cap only falls through to the distributed
+        # loop — a performance choice, never a correctness one.  The
+        # union-find dedups whatever duplicates remain for free.
+        #
+        # AQE is disabled for THIS collect only: the candidate chain is a
+        # ~15-stage plan over vocabulary-scale (small) data, and AQE's
+        # per-stage re-optimization is pure DRIVER latency — measured
+        # ~4.9s vs ~2.9s AQE-off for the identical hot-cache job at any
+        # core count (it is serial, so it lands straight in the
+        # pipeline's non-scaling floor).  The chain's shuffles are fine
+        # at the static shuffle-partition count (they are tiny and
+        # skew-guarded by MAX_BLOCK); production-scale joins elsewhere in
+        # the pipeline keep AQE.
+        aqe_key = "spark.sql.adaptive.enabled"
+        aqe_prev = spark.conf.get(aqe_key, "true")
+        spark.conf.set(aqe_key, "false")
+        try:
+            sample = e_raw.limit(cap + 1).collect()
+        finally:
+            spark.conf.set(aqe_key, aqe_prev)
+        if len(sample) <= cap:
+            if PROFILE is not None:
+                PROFILE["cc_edges_materialize_s"] = round(_time.time() - t0, 2)
+                PROFILE["cc_n_edges"] = len(sample)
+            t0 = _time.time()
+            # path-halving union-find with min-root union — exactly the
+            # loop's fixpoint (component = min member), zero shuffles.
+            parent: dict[str, str] = {}
+
+            def find(x: str) -> str:
+                parent.setdefault(x, x)
+                while parent[x] != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            for row in sample:
+                ra, rb = find(row["u"]), find(row["v"])
+                if ra != rb:
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            out_rows = [(x, find(x)) for x in parent]
+            spark.conf.set(pf_key, pf_prev)
+            spark.conf.set(sp_key, sp_prev)
+            if PROFILE is not None:
+                PROFILE["cc_loop_s"] = round(_time.time() - t0, 2)
+                PROFILE["cc_rounds"] = 0
+            return spark.createDataFrame(out_rows, "name string, component string")
+    e = e_raw.distinct().localCheckpoint(eager=True)
     # Stage-latency guard: the similarity graph is usually orders of
     # magnitude smaller than the corpus (one edge per verified name pair).
     # When it is tiny, every loop stage at N shuffle partitions costs N
@@ -333,32 +388,6 @@ def connected_components(
         PROFILE["cc_edges_materialize_s"] = round(_time.time() - t0, 2)
         PROFILE["cc_n_edges"] = n_edges
     t0 = _time.time()
-    cap = DRIVER_CC_MAX_EDGES if driver_max_edges is None else driver_max_edges
-    if n_edges <= cap:
-        # bounded collect (see DRIVER_CC_MAX_EDGES): path-halving
-        # union-find with min-root union — exactly the loop's fixpoint
-        # (component = min member), with zero shuffle stages.
-        parent: dict[str, str] = {}
-
-        def find(x: str) -> str:
-            parent.setdefault(x, x)
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
-
-        for row in e.collect():
-            ra, rb = find(row["u"]), find(row["v"])
-            if ra != rb:
-                lo, hi = (ra, rb) if ra < rb else (rb, ra)
-                parent[hi] = lo
-        out_rows = [(x, find(x)) for x in parent]
-        spark.conf.set(pf_key, pf_prev)
-        spark.conf.set(sp_key, sp_prev)
-        if PROFILE is not None:
-            PROFILE["cc_loop_s"] = round(_time.time() - t0, 2)
-            PROFILE["cc_rounds"] = 0
-        return spark.createDataFrame(out_rows, "name string, component string")
     if n_edges < 200_000:
         e = e.coalesce(1).localCheckpoint(eager=True)
         spark.conf.set(sp_key, "1")
@@ -475,11 +504,28 @@ def canonical_exceptions(
     names = names.persist()
     pairs = candidate_pairs(names, threshold)
     if alias_edges is not None:
-        # only keep alias edges whose endpoints actually occur in the corpus
-        occurring = names.withColumnRenamed("name", "n")
+        # only keep alias edges whose endpoints actually occur in the
+        # corpus.  Broadcast DIRECTION matters at scale: the gazetteer is
+        # bounded (hundreds of rows), the name universe is vocabulary-scale
+        # (millions) — semi-joining the gazetteer against the universe
+        # shuffled the universe TWICE just to filter a static edge list
+        # (measured inside the CC-edge materialization, the pipeline's
+        # non-scaling floor).  Instead: broadcast the gazetteer's endpoint
+        # set, map-side filter the cached universe down to the occurring
+        # endpoints (tiny by construction), and broadcast THAT back against
+        # the edge list — zero vocabulary shuffles.
+        ep = alias_edges.select(
+            F.explode(F.array("name_a", "name_b")).alias("name")
+        ).distinct()
+        # not persisted (leak hygiene): the two broadcast builds each scan
+        # the CACHED name universe map-side with a broadcast-hash filter —
+        # sub-second at vocabulary scale, no shuffle either way.
+        occ = names.join(F.broadcast(ep), "name", "left_semi")
+        occ_a = occ.select(F.col("name").alias("name_a"))
+        occ_b = occ.select(F.col("name").alias("name_b"))
         pairs = pairs.unionByName(
-            alias_edges.join(occurring, alias_edges.name_a == occurring.n, "left_semi")
-            .join(occurring, alias_edges.name_b == occurring.n, "left_semi")
+            alias_edges.join(F.broadcast(occ_a), "name_a", "left_semi")
+            .join(F.broadcast(occ_b), "name_b", "left_semi")
             .select("name_a", "name_b")
         )
     comp = connected_components(pairs)

@@ -171,6 +171,7 @@ def link_triples(
     n_salt: int = 16,
     name_universe: DataFrame | None = None,
     exceptions: DataFrame | None = None,
+    broadcast_universe: bool = False,
 ) -> LinkResult:
     """Join raw triples to canonical ids on both endpoints.
 
@@ -200,12 +201,24 @@ def link_triples(
     )
 
     def _dict_join(stream: DataFrame, mapdf: DataFrame, key: str) -> DataFrame:
+        if broadcast_universe:
+            # a broadcast hash join is skew-immune by construction — the
+            # hot-name salting machinery only exists for the shuffle path
+            return stream.join(F.broadcast(mapdf), key, "left")
         if hot_names is not None:
             return salted_dict_join(stream, mapdf, key, hot_names, "left", n_salt)
         return stream.join(mapdf, key, "left")
 
     if name_universe is not None:
         assert exceptions is not None, "name_universe requires exceptions"
+        # ``broadcast_universe``: data-dependent plan choice made by the
+        # caller (AQE-spirit): when the measured vocabulary fits a
+        # broadcast, both membership joins run map-side and the triple
+        # stream NEVER shuffles in S4 — the measured alternative (two
+        # vocabulary-scale shuffle joins) scaled at only 1.18x from 4→16
+        # cores (exchange-bound, tools/profile_last_*.json).  Past the
+        # broadcast bound (10^9-entity vocabularies) the caller keeps the
+        # shuffle path with targeted salting.
         subj_u = name_universe.select(F.col("name").alias("subj_name")).withColumn(
             "_subj_in", F.lit(True)
         )

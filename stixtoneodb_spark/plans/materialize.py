@@ -94,15 +94,20 @@ def mention_edges(mentions_canon: DataFrame) -> DataFrame:
     created_by_ref / object_refs embedded-edge analog, testfull.json:10,:1355)."""
     conv_node = F.sha2(F.concat_ws("\x1f", F.lit("conversation"), F.col("conv_id")), 256)
     prov = F.concat_ws(":", F.col("conv_id"), F.col("turn_idx").cast("string"))
-    # dedup on the NARROW determinants before deriving the sha2 edge id:
-    # the id is a pure function of (canonical_id, conv_id, turn_idx), so
-    # deduping first shuffles short keys instead of 64-char digests
+    # dedup on the NARROW determinants before deriving the sha2 edge id —
+    # and on canonical_label rather than canonical_id: the id is
+    # sha2(label), a pure function, so the label is an equivalent dedup
+    # key at a third of the shuffle bytes (entity surfaces vs 64-char hex
+    # digests), and the per-row sha2 over the full mention stream is
+    # pruned away entirely (both digests are computed AFTER the dedup, at
+    # distinct-edge cardinality).
     distinct_src = mentions_canon.select(
-        "canonical_id", "conv_id", "turn_idx"
-    ).dropDuplicates(["canonical_id", "conv_id", "turn_idx"])
+        "canonical_label", "conv_id", "turn_idx"
+    ).dropDuplicates(["canonical_label", "conv_id", "turn_idx"])
+    canonical_id = F.sha2(F.col("canonical_label"), 256)
     return distinct_src.select(
-        edge_id(F.col("canonical_id"), F.lit("mentioned_in"), conv_node, prov).alias("id"),
-        F.col("canonical_id").alias("src"),
+        edge_id(canonical_id, F.lit("mentioned_in"), conv_node, prov).alias("id"),
+        canonical_id.alias("src"),
         conv_node.alias("dst"),
         F.lit("mentioned_in").alias("rel_type"),
         F.col("conv_id"),

@@ -16,6 +16,8 @@ keys are content-derived (functions.ids).
 
 from __future__ import annotations
 
+import os
+import threading
 import time
 from dataclasses import dataclass, field
 
@@ -251,6 +253,12 @@ class KgPipeline:
 SALT_BUCKETS = 16
 HOT_NAME_TARGET = 100_000
 HOT_NAME_FLOOR = 1000
+# S4 membership-join strategy bound: vocabularies at or below this many
+# distinct names broadcast (the stream never shuffles to resolve
+# endpoints); larger ones take the shuffle join with targeted salting.
+# ~8M names ≈ a few hundred MB hashed relation — comfortably inside a
+# cluster executor's broadcast budget; 10^9-entity vocabularies are not.
+BROADCAST_UNIVERSE_MAX = int(os.environ.get("SPARK_GRAFT_BCAST_NAMES_MAX", "8000000"))
 
 
 def _graph_frames(
@@ -304,7 +312,12 @@ def _graph_frames(
     # universe rides that one shuffle — a standalone distinct() was a
     # second vocabulary-scale shuffle that even anti-scaled (4.5s@4 →
     # 5.5s@16, tools/profile_last_*.json: tiny rows, task overhead).
-    name_totals = ntc.groupBy("name").agg(F.sum("cnt").alias("n_tot"))
+    # name_totals is itself persisted: both its consumers (the name
+    # universe and the hot-name filter) otherwise re-run the same
+    # vocabulary-scale aggregation from the ntc cache.
+    name_totals = persist(
+        ntc.groupBy("name").agg(F.sum("cnt").alias("n_tot")), "s3_name_totals"
+    )
     names = persist(name_totals.select("name"), "s3_names")
     t_cc = time.time()
     exc_frame = canonicalize.canonical_exceptions(names, alias_edges=alias_edges)
@@ -318,7 +331,9 @@ def _graph_frames(
     # Derived from the cached (name, type) counts — a vocabulary-scale agg
     # plus a broadcast 1-row total, no driver barrier.  (name_totals is
     # built above so the name universe shares its shuffle.)
-    tot = name_totals.agg(F.sum("n_tot").alias("_t"))
+    # corpus total straight off the cached (name, type) counts — no
+    # second pass through the name-keyed aggregation for a 1-row frame
+    tot = ntc.agg(F.sum("cnt").alias("_t"))
     # persisted: the probe broadcasts in the link + mention joins each
     # materialize this frame; uncached, every broadcast exchange re-runs
     # the vocabulary aggregation chain (one extra job per join side).
@@ -342,12 +357,23 @@ def _graph_frames(
     # dependent plan choice in the same spirit as AQE's runtime re-plan.
     hot_arg = hot_names if hot_names.limit(1).count() > 0 else None
 
+    # Data-dependent join strategy for the S4 membership joins (the
+    # AQE-spirit runtime choice, like the hot-name probe above): when the
+    # measured vocabulary fits a broadcast, the triple stream resolves both
+    # endpoints map-side and never shuffles — the shuffle variant scaled at
+    # only 1.18x from 4→16 cores (exchange-bound).  The count is a cheap
+    # cached-frame job: the CC chain above already materialized the name
+    # universe.  Past the bound (10^9-entity vocabularies) the shuffle path
+    # with targeted salting remains the plan.
+    bcast_universe = names.count() <= BROADCAST_UNIVERSE_MAX
+
     lr = link.link_triples(
         triples_raw,
         name_universe=names,
         exceptions=exc,
         hot_names=hot_arg,
         n_salt=SALT_BUCKETS,
+        broadcast_universe=bcast_universe,
     )
     linked = persist(lr.linked, "s4_linked")
 
@@ -439,9 +465,7 @@ def run_volatile(
     # Uncached, each consumer re-scans parquet with ITS OWN pruned
     # columns + pushed filters — columnar scans are cheap; heap is not.
     # SPARK_GRAFT_TURNS_CACHE=1 re-enables the cache for A/B runs.
-    import os as _os  # noqa: PLC0415
-
-    cache_turns = _os.environ.get("SPARK_GRAFT_TURNS_CACHE", "0") == "1"
+    cache_turns = os.environ.get("SPARK_GRAFT_TURNS_CACHE", "0") == "1"
     if cache_turns:
         turns = _persist(assemble.normalize_turns(transcripts), "s0_normalize")
     else:
@@ -466,6 +490,29 @@ def run_volatile(
             "s2_mentions",
         )
         triples_raw = _persist(extract.extract_triples(turns), "s2_triples")
+        # Overlap the triple-extraction cache build with the S3
+        # vocabulary/CC chain: the two are INDEPENDENT subgraphs (triples
+        # are consumed only by S4), and the CC chain's vocabulary-scale
+        # stages under-fill the task slots (its data is orders of
+        # magnitude smaller than the corpus) — a concurrent driver job is
+        # how a real cluster driver keeps executors busy through a
+        # low-parallelism phase.  Standard multi-job Spark: FIFO
+        # scheduling still runs later jobs' tasks in whatever slots the
+        # head job leaves idle.  Profile mode stays sequential so stage
+        # attribution remains meaningful.
+        prefetch_err: list[BaseException] = []
+        prefetch_n: list[int] = []
+        prefetch = None
+        if not profiling and os.environ.get("SPARK_GRAFT_OVERLAP", "1") == "1":
+
+            def _build_triples_cache() -> None:
+                try:
+                    prefetch_n.append(triples_raw.count())
+                except BaseException as e:  # noqa: BLE001 — re-raised at join
+                    prefetch_err.append(e)
+
+            prefetch = threading.Thread(target=_build_triples_cache, daemon=True)
+            prefetch.start()
         frames = _graph_frames(
             turns,
             mentions,
@@ -475,6 +522,13 @@ def run_volatile(
             stage_walls=stage_walls,
         )
         nodes, edges, linked = frames["nodes"], frames["edges"], frames["linked"]
+        if prefetch is not None:
+            # plan construction (and the CC chain's eager jobs) are done;
+            # the prefetch has had the whole window — surface any failure
+            # before the tail action consumes the cache it built
+            prefetch.join()
+            if prefetch_err:
+                raise prefetch_err[0]
         # one action for the graph counts: tag-and-union instead of two
         # counts — every Spark action is a driver barrier, and barriers
         # are the part of the wall that does not shrink with cores.  The
@@ -491,7 +545,16 @@ def run_volatile(
                 .cast("long")
                 .alias("w"),
             )
-            .unionAll(edges.select(F.lit("e").alias("k"), F.lit(0).cast("long").alias("w")))
+            .unionAll(
+                # the edge leg's weight counts LINKED edges (everything
+                # except provenance edges), so n_linked rides this same
+                # action too — a separate linked.count() was one more
+                # driver barrier
+                edges.select(
+                    F.lit("e").alias("k"),
+                    (F.col("rel_type") != "mentioned_in").cast("long").alias("w"),
+                )
+            )
             .groupBy("k")
             .agg(F.count("*").alias("cnt"), F.sum("w").alias("w"))
             .collect()
@@ -499,8 +562,9 @@ def run_volatile(
         if profiling:
             stage_walls["s5_materialize"] = round(time.time() - t_tail, 2)
         by_k = {r["k"]: (r["cnt"], r["w"]) for r in counted}
-        n_raw = triples_raw.count()
-        n_linked = linked.count()
+        # the prefetch thread's count doubles as n_raw (same cached frame)
+        n_raw = prefetch_n[0] if prefetch_n else triples_raw.count()
+        n_linked = int(by_k.get("e", (0, 0))[1] or 0)
         return {
             "n_turns": int(by_k.get("n", (0, 0))[1] or 0),
             "n_nodes": int(by_k.get("n", (0, 0))[0]),
