@@ -219,42 +219,25 @@ def link_triples(
         # cores (exchange-bound, tools/profile_last_*.json).  Past the
         # broadcast bound (10^9-entity vocabularies) the caller keeps the
         # shuffle path with targeted salting.
-        if broadcast_universe:
-            # The subj and obj probes are the SAME dictionary, so both join
-            # legs keep an IDENTICAL plan shape below the exchange (project
-            # to (name, _in) — no endpoint-specific aliasing; the binding
-            # lives only in the join CONDITION).  Identical subtrees let
-            # the physical ReuseExchange rule collapse the two
-            # BroadcastExchanges into one built hashed relation in non-AQE
-            # plans (verified: ReusedExchange appears with AQE off).  Under
-            # AQE the reuse is currently defeated by the cached-scan stage:
-            # TableCacheQueryStage instances get distinct stage identities
-            # per branch, so the broadcast subtrees stop canonicalizing
-            # equal and each leg builds its own relation (measured on
-            # Spark 4.1 — same behavior for the old per-endpoint-aliased
-            # shape, so this shape is never worse).  The duplicate build is
-            # a bounded, corpus-independent cost (vocabulary-scale hash
-            # build); the stream side still never shuffles.
-            u = name_universe.select("name").withColumn("_in", F.lit(True))
-            su, ou = u.alias("_subj_u"), u.alias("_obj_u")
-            joined = (
-                t.join(F.broadcast(su), t["subj_name"] == su["name"], "left")
-                .withColumnRenamed("_in", "_subj_in")
-                .drop(su["name"])
-            )
-            joined = (
-                joined.join(F.broadcast(ou), joined["obj_name"] == ou["name"], "left")
-                .withColumnRenamed("_in", "_obj_in")
-                .drop(ou["name"])
-            )
-        else:
-            subj_u = name_universe.select(
-                F.col("name").alias("subj_name")
-            ).withColumn("_subj_in", F.lit(True))
-            obj_u = name_universe.select(F.col("name").alias("obj_name")).withColumn(
-                "_obj_in", F.lit(True)
-            )
-            joined = _dict_join(_dict_join(t, subj_u, "subj_name"), obj_u, "obj_name")
+        #
+        # Shape note (round 4, measured): keep the per-endpoint projected
+        # frames + USING-style joins.  A rewrite to one shared (name, _in)
+        # projection with explicit-condition joins — aiming at broadcast
+        # ReuseExchange — regressed the UN-BARRIERED fused tail job by
+        # ~30s@16 on 27.9M turns (55-67s -> 87.9s, reproduced twice),
+        # while per-stage profile mode showed NO regression; and reuse
+        # doesn't fire anyway under AQE because TableCacheQueryStage gives
+        # each branch's cached scan a distinct stage identity (stage-cache
+        # canonicalization miss; verified — non-AQE plans DO reuse).  The
+        # duplicate vocabulary-scale broadcast build is the accepted flat
+        # cost of this shape.
+        subj_u = name_universe.select(F.col("name").alias("subj_name")).withColumn(
+            "_subj_in", F.lit(True)
+        )
+        obj_u = name_universe.select(F.col("name").alias("obj_name")).withColumn(
+            "_obj_in", F.lit(True)
+        )
+        joined = _dict_join(_dict_join(t, subj_u, "subj_name"), obj_u, "obj_name")
         for end in ("subj", "obj"):
             exc = exceptions.select(
                 F.col("name").alias(f"{end}_name"),
