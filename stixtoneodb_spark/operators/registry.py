@@ -648,6 +648,49 @@ FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
 GROUP BY a.token, b.token
 """,
     ),
+    # ratio-idf (N/df, log-free): every op in the score is IEEE-exact
+    # (mul/div/round), so the value hash is bit-stable across engines —
+    # ln() differs at 1 ulp between JVM and DuckDB libm (text.py docstring)
+    "text_tfidf_top_terms": (
+        text.text_tfidf_top_terms,
+        f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok WHERE length(term) > 0
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT t.doc_id, t.term, t.tf, d.df,
+         round(t.tf::DOUBLE * (SELECT COUNT(*) FROM documents) / d.df, 6) AS score
+  FROM tf t JOIN dfreq d ON t.term = d.term
+)
+SELECT doc_id, term, tf, df, score, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+  FROM scored) WHERE rk <= {text.TFIDF_TOP_K}
+""",
+    ),
+    # the hash-threshold pre-filter is part of the operator SPEC (both
+    # engines apply the identical rule) — see text.py docstring for why a
+    # bare per-stratum window would be catastrophic skew at corpus scale
+    "corpus_sample_stratified": (
+        text.corpus_sample_stratified,
+        f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_stratum FROM documents GROUP BY lang
+), pre AS (
+  SELECT d.doc_id, d.lang,
+         ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT AS hk
+  FROM documents d JOIN counts c ON d.lang = c.lang
+  WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+        <= {float(2**32) * text.SAMPLE_PER_STRATUM * text.SAMPLE_OVERSAMPLE!r} / c.n_stratum
+)
+SELECT doc_id, lang, hk, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rk
+  FROM pre) WHERE rk <= {text.SAMPLE_PER_STRATUM}
+""",
+    ),
     # ---- iterative graph tier: full cross-engine oracles ----
     # The recursive-CTE closure independently verifies the alternating
     # large-star/small-star CC loop (plans/canonicalize.py:273) that

@@ -5,7 +5,7 @@ and integer scores (not floats) wherever oracle-compared.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stixtoneodb_spark.sources.tables import load_table
@@ -133,4 +133,94 @@ def kg_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("mention_a") < F.col("mention_b"))
         .groupBy("mention_a", "mention_b")
         .agg(F.count("*").alias("n_docs"))
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-``TFIDF_TOP_K`` terms by TF-IDF — the
+    vocabulary-weighting primitive of a training-data pipeline (term
+    salience for filtering/feature extraction).
+
+    Uses the RATIO idf variant (idf = N/df, no logarithm): the score is
+    then a product/quotient of IEEE-exact operations, bit-identical
+    across engines, so the DuckDB oracle can hash-compare values.  The
+    log form differs at 1 ulp between libm implementations (JVM
+    Math.log vs DuckDB std::log) and would make the oracle flaky at
+    rounding boundaries.
+
+    Scale shape: two partial-agg groupBys (doc-term tf, term df) plus a
+    broadcast 1-row corpus count and a per-document top-k window — the
+    window key is doc_id, so no partition can exceed a document's
+    vocabulary.  All JVM built-ins, no UDFs.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n = d.agg(F.count("*").alias("n_docs"))
+    tok = d.select(
+        "doc_id", F.explode(_ws_tokens(F.col("text"))).alias("term")
+    ).where(F.length("term") > 0)
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "score",
+            F.round(F.col("tf").cast("double") * F.col("n_docs") / F.col("df"), 6),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= TFIDF_TOP_K)
+        .select("doc_id", "term", "tf", "df", "score", "rk")
+    )
+
+
+SAMPLE_PER_STRATUM = 50
+# Pre-filter oversampling factor: survivors per stratum are expected
+# K * SAMPLE_OVERSAMPLE, from which the exact top-K by hash is taken.
+SAMPLE_OVERSAMPLE = 4
+
+
+def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified downsample: ``SAMPLE_PER_STRATUM`` docs
+    per language, selected by PORTABLE hash order (md5 of doc_id) — the
+    data-balance / curriculum primitive of a training-data pipeline.
+    Hash-order selection is reproducible across engines, partitionings
+    and runs (no rand()/TABLESAMPLE), and the DuckDB oracle replays the
+    identical rule.
+
+    Scale shape: a naive per-stratum row_number shuffles the WHOLE corpus
+    on the stratum key — with a handful of languages that is catastrophic
+    skew at 100 TB.  Instead a map-side hash-threshold pre-filter keeps
+    only ~K·SAMPLE_OVERSAMPLE expected rows per stratum (threshold =
+    2^32·K·OVERSAMPLE / |stratum|, from a cheap broadcast stratum-count
+    agg), and only the survivors enter the per-stratum top-K window — the
+    windowed data is bounded by construction regardless of corpus size.
+    The pre-filter is part of the operator SPEC (the oracle applies the
+    same rule), so a hash-tail stratum yielding fewer than K rows agrees
+    on both engines.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hk = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_stratum"))
+    bound = (
+        F.lit(float(2**32) * SAMPLE_PER_STRATUM * SAMPLE_OVERSAMPLE)
+        / F.col("n_stratum")
+    )
+    pre = (
+        d.withColumn("hk", hk)
+        .join(F.broadcast(counts), "lang")
+        .where(F.col("hk") <= bound)
+    )
+    w = Window.partitionBy("lang").orderBy("hk", "doc_id")
+    return (
+        pre.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= SAMPLE_PER_STRATUM)
+        .select("doc_id", "lang", "hk", "rk")
     )
