@@ -207,6 +207,33 @@ def _run_worker(args: list[str], pin_cores: int | None = None) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _host_window() -> dict:
+    """Quantify what the SHARED host is actually delivering right now
+    (tools/hostprobe.py): identical code + input measured wall@16 91.3s
+    to 148.7s across four invocations in one afternoon while wall@4
+    moved ~10% — invisible co-tenant steal hits the high level only.  A
+    scaling-efficiency record without this context is unreadable: when
+    the probe itself shows the box delivering <0.7 parallel efficiency
+    on pure single-threaded-BLAS GEMM workers, no pipeline can reach
+    0.8.  The probe rides every bench invocation and lands in BENCH.md
+    and the result JSON."""
+    out = {}
+    for n in (LOW, HIGH):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.join(REPO, "tools", "hostprobe.py"), str(n)],
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=REPO,
+                timeout=300,
+            )
+            out[f"probe_{n}"] = json.loads(r.stdout.strip().splitlines()[-1])
+        except Exception as e:  # noqa: BLE001 — probe is context, never fatal
+            out[f"probe_{n}"] = {"error": str(e)[:200]}
+    return out
+
+
 def _measure_scale(n_conv: int) -> dict:
     gen = _run_worker(["--generate", str(n_conv)])
     time.sleep(5)  # let the generator JVM fully release its cores
@@ -239,6 +266,7 @@ def _measure_scale(n_conv: int) -> dict:
 
 def main() -> None:
     os.makedirs(BENCH_DIR, exist_ok=True)
+    window = _host_window()
     primary = _measure_scale(N_CONV)
     secondary = _measure_scale(N_CONV_SECONDARY) if N_CONV_SECONDARY else None
 
@@ -260,7 +288,7 @@ def main() -> None:
         # never the headline record.  Written to the file BENCH.md's
         # sensitivity section renders; BENCH.md itself is untouched, so the
         # 4/16 primary protocol always remains the record at HEAD.
-        out = {"low": LOW, "high": HIGH, **primary}
+        out = {"low": LOW, "high": HIGH, "host_window": window, **primary}
         with open(os.path.join(REPO, "tools", "bench_pair_sensitivity.json"), "w") as f:
             json.dump(out, f, indent=1)
         print(json.dumps({"pair_sensitivity": out}))
@@ -274,9 +302,29 @@ def main() -> None:
         "unit": "sec",
         "sf": SF_DIR,
         "queries": q,
+        "host_window": window,
         **primary,
         "scales": [s for s in (primary, secondary) if s],
     }
+    # append-only run history: single-invocation records on this shared
+    # host spread up to ~60% at the high level across windows (BASELINE.md
+    # round-4 notes) — the trail lets any one record be read against its
+    # neighbors instead of being mistaken for a code trend
+    with open(os.path.join(REPO, "tools", "bench_history.jsonl"), "a") as f:
+        f.write(
+            json.dumps(
+                {
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%S"),
+                    "n_turns": primary["n_turns"],
+                    f"wall_{LOW}": primary[f"pipeline_sec_{LOW}"],
+                    f"wall_{HIGH}": primary[f"pipeline_sec_{HIGH}"],
+                    "eff": primary["scaling_efficiency"],
+                    "host_window": window,
+                    "runs": N_TIMED_RUNS,
+                }
+            )
+            + "\n"
+        )
     _write_bench_md(results)
     print(json.dumps(results))
 
@@ -331,6 +379,7 @@ def _write_bench_md(r: dict) -> None:
             for s in r["scales"]
         ],
         "",
+        *_host_window_lines(r.get("host_window", {})),
         "Per-query wall (sec, after warm-up):",
         "",
         "| query | sec |",
@@ -368,6 +417,54 @@ def _write_bench_md(r: dict) -> None:
     lines += _stage_table_lines()
     with open(os.path.join(REPO, "BENCH.md"), "w") as f:
         f.write("\n".join(lines))
+
+
+def _host_window_lines(window: dict) -> list[str]:
+    """Render the host-delivery probe + the recent run-history trail —
+    the context that makes a single-invocation efficiency number
+    readable on a shared, steal-prone host (see _host_window)."""
+    lines: list[str] = []
+    pl, ph = window.get(f"probe_{LOW}", {}), window.get(f"probe_{HIGH}", {})
+    if pl.get("parallel_efficiency") is not None and ph.get("parallel_efficiency") is not None:
+        lines += [
+            "Host-delivery probe at measurement time (tools/hostprobe.py —",
+            "pure-CPU GEMM workers, 1 BLAS thread each; what the SHARED box",
+            "physically delivers this window, an upper bound on any job's",
+            "scaling here):",
+            "",
+            f"| threads | total GFLOP/s | parallel efficiency |",
+            "|---|---|---|",
+            f"| 1 | {pl.get('t1_gflops')} | — |",
+            f"| {LOW} | {pl.get('tN_gflops')} | {pl.get('parallel_efficiency')} |",
+            f"| {HIGH} | {ph.get('tN_gflops')} | {ph.get('parallel_efficiency')} |",
+            "",
+            "Pipeline scaling efficiency CANNOT exceed roughly",
+            f"(probe@{HIGH} / probe@{LOW}) / {HIGH // LOW} in the same window; compare before",
+            "reading the gate.  Identical code + input measured wall@16",
+            "91.3s to 148.7s across four invocations in one afternoon",
+            "(BASELINE.md round-4 notes) — co-tenant steal, invisible to",
+            "vmstat, hits the high level only.",
+            "",
+        ]
+    hist = os.path.join(REPO, "tools", "bench_history.jsonl")
+    if os.path.exists(hist):
+        rows = [json.loads(x) for x in open(hist).read().strip().splitlines()[-6:]]
+        if rows:
+            lines += [
+                "Recent primary-scale run history (append-only trail —",
+                "spread across windows is host noise, not code trend):",
+                "",
+                f"| when | turns | wall@{LOW} | wall@{HIGH} | eff | probe eff@{HIGH} |",
+                "|---|---|---|---|---|---|",
+                *[
+                    f"| {h.get('ts')} | {h.get('n_turns')} | {h.get(f'wall_{LOW}')} "
+                    f"| {h.get(f'wall_{HIGH}')} | {h.get('eff')} "
+                    f"| {h.get('host_window', {}).get(f'probe_{HIGH}', {}).get('parallel_efficiency', '—')} |"
+                    for h in rows
+                ],
+                "",
+            ]
+    return lines
 
 
 def _pair_sensitivity_lines() -> list[str]:
