@@ -138,3 +138,115 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return pr.select(F.col("node").alias("mention"), F.round("pr", 6).alias("pagerank"))
+
+
+KHOP_SEED = "join"
+KHOP_MAX = 3
+
+
+def _cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected entity co-occurrence edges over PR_VOCAB (both
+    orientations), deduplicated — the shared base graph for the triangle
+    and k-hop operators.  Vocabulary-scale: one distinct + one doc_id
+    self-join, exactly kg_pagerank's edge builder minus the weights."""
+    d = load_table(spark, sf_dir, "documents")
+    m = (
+        d.select("doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token"))
+        .where(F.col("token").isin(*PR_VOCAB))
+        .distinct()
+    )
+    a = m.select("doc_id", F.col("token").alias("src"))
+    b = m.select("doc_id", F.col("token").alias("dst"))
+    half = (
+        a.join(b, "doc_id")
+        .where(F.col("src") < F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    return half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def kg_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle count over the entity co-occurrence graph — the
+    clustering/cohesion primitive (KG quality: a mention whose neighbors
+    also co-occur is a well-attested entity; one whose aren't is likely
+    noise).
+
+    Algorithm: the oriented node-iterator.  Triangles are enumerated once
+    each on the DIRECTED a<b<c orientation (two self-joins: wedge
+    (a<b, b<c) closed by the (a,c) edge), then each triangle credits its
+    three corners via a 3-way explode + count.
+
+    Scale shape: the orientation bounds the wedge join — on a power-law
+    graph orienting low→high DEGREE (not name) caps per-node out-degree
+    near sqrt(|E|), which is the standard trick at billions of edges; at
+    vocabulary scale the lexicographic orientation keeps both engines
+    trivially in agreement, and the docstring records the degree-ordered
+    variant as the 100-TB swap-in.  All joins are on entity names
+    (vocabulary-scale, broadcastable).
+    """
+    fwd = _cooccurrence_edges(spark, sf_dir).where(F.col("src") < F.col("dst"))
+    return triangles_per_node(fwd)
+
+
+def triangles_per_node(fwd: DataFrame) -> DataFrame:
+    """Core triangle counter over a DIRECTED (src < dst oriented,
+    deduplicated) edge DataFrame — factored out so property tests can
+    plant sparse graphs (the documents co-occurrence graph is complete at
+    oracle scale, which exercises the algebra but not the selectivity)."""
+    e1 = fwd.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = fwd.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = fwd.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("mention")
+    )
+    return corners.groupBy("mention").agg(F.count("*").alias("n_triangles"))
+
+
+def kg_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-hop reachability (bounded BFS) from a seed entity over the
+    co-occurrence graph: (mention, hops) with hops = shortest path length
+    <= KHOP_MAX from KHOP_SEED — the 'expand the neighborhood of this
+    entity' KG exploration query.
+
+    Algorithm: frontier-expansion BFS as iterative DataFrame joins —
+    reached holds (node, min-hops so far); each round joins the NEW
+    frontier to the edge list, anti-joins already-reached nodes, and
+    unions in the next frontier at hops k+1.  The loop is K = KHOP_MAX
+    fixed rounds so the DuckDB recursive-CTE oracle (bounded depth +
+    MIN(d) collapse) replays the identical spec.
+
+    Scale shape: each round shuffles only frontier⋈edges (frontier is the
+    ring, not the full reached set); lineage is truncated per round with
+    eager localCheckpoint exactly like the CC/PageRank loops.  At 100 TB
+    the same loop runs on the materialized edge table with the frontier
+    broadcast while it stays small.
+    """
+    edges = _cooccurrence_edges(spark, sf_dir)
+    return khop_reach(edges, KHOP_SEED, KHOP_MAX)
+
+
+def khop_reach(edges: DataFrame, seed: str, kmax: int) -> DataFrame:
+    """Core bounded BFS over an undirected (both-orientations) edge
+    DataFrame — factored out for planted sparse-graph tests (the oracle
+    corpus's co-occurrence graph is complete, so every node is 1 hop)."""
+    edges = edges.localCheckpoint(eager=True)
+    spark_seed = edges.sparkSession.createDataFrame(
+        [(seed, 0)], "node string, hops int"
+    )
+    reached = spark_seed.localCheckpoint(eager=True)
+    frontier = reached
+    for k in range(1, kmax + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(reached.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(k))
+        )
+        frontier = nxt.localCheckpoint(eager=True)
+        reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+    return reached.select(F.col("node").alias("mention"), "hops")

@@ -105,6 +105,73 @@ FROM documents)
 """
 
 
+def _coocc_edges_cte() -> str:
+    """Shared CTE text: the UNWEIGHTED undirected co-occurrence graph over
+    graph.PR_VOCAB — must mirror graph._cooccurrence_edges exactly."""
+    vocab = ",".join(f"'{t}'" for t in graph.PR_VOCAB)
+    return f"""m AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  WHERE token IN ({vocab})
+), half AS (
+  SELECT DISTINCT a.token AS src, b.token AS dst
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+)"""
+
+
+def _triangle_sql() -> str:
+    """Oriented node-iterator triangle enumeration on the a<b<c orientation
+    (half already holds exactly the src<dst directed edges), then a 3-way
+    corner credit — the same spec graph.kg_triangle_count runs."""
+    return f"""
+WITH {_coocc_edges_cte()}, tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM half e1
+  JOIN half e2 ON e1.dst = e2.src
+  JOIN half e3 ON e3.src = e1.src AND e3.dst = e2.dst
+)
+SELECT mention, COUNT(*) AS n_triangles
+FROM (SELECT unnest([a, b, c]) AS mention FROM tri)
+GROUP BY mention
+"""
+
+
+def _khop_sql() -> str:
+    """Bounded-depth BFS as a recursive CTE with MIN(d) collapse — replays
+    graph.kg_khop_reach's KHOP_MAX frontier rounds from KHOP_SEED."""
+    return f"""
+WITH RECURSIVE {_coocc_edges_cte()}, edges AS (
+  SELECT src, dst FROM half UNION ALL SELECT dst AS src, src AS dst FROM half
+), reach(node, d) AS (
+  SELECT '{graph.KHOP_SEED}' AS node, 0 AS d
+  UNION ALL
+  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.d < {graph.KHOP_MAX}
+)
+SELECT node AS mention, CAST(MIN(d) AS INT) AS hops FROM reach GROUP BY node
+"""
+
+
+def _repeated_ngrams_sql() -> str:
+    span = text.NGRAM_SPAN
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i:i + {span - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {span - 2})) AS u(i)
+)
+SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_occurrences
+FROM grams GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+"""
+
+
+_PIVOT_COLS = ",\n  ".join(
+    f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS n_{t}"
+    for t in relational.EVENT_TYPES
+)
+
+
 REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # ---- scans / projection / filter ----
     "scan_project_filter": (
@@ -761,5 +828,71 @@ ORDER BY d.doc_id
         multimodal.media_metadata_oracle_view,
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
         "sha256(text) AS digest FROM documents",
+    ),
+    # ---- temporal / reshaping tier ----
+    "join_asof_prior_event": (
+        relational.join_asof_prior_event,
+        """
+WITH c AS (
+  SELECT user_id, ts, MAX(event_id) AS c_id FROM events
+  WHERE event_type = 'click' GROUP BY user_id, ts
+)
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+  (SELECT c.c_id FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+   ORDER BY c.ts DESC LIMIT 1) AS asof_click_id,
+  (SELECT c.ts FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+   ORDER BY c.ts DESC LIMIT 1) AS asof_click_ts
+FROM events p WHERE p.event_type = 'purchase'
+""",
+    ),
+    "pivot_event_type_counts": (
+        relational.pivot_event_type_counts,
+        f"SELECT user_id,\n  {_PIVOT_COLS}\nFROM events GROUP BY user_id",
+    ),
+    "agg_percentile_approx_contract": (
+        relational.agg_percentile_approx_contract,
+        """
+WITH s AS (
+  SELECT event_type, list_sort(list(value)) AS vals
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+  round(vals[GREATEST((len(vals) * 499) // 1000, 1)], 4) AS p50_lo,
+  round(vals[LEAST((len(vals) * 501 + 999) // 1000, len(vals))], 4) AS p50_hi,
+  TRUE AS p50_within_bounds
+FROM s
+""",
+    ),
+    # ---- graph analytics (triangle / BFS tier) ----
+    "kg_triangle_count": (graph.kg_triangle_count, _triangle_sql()),
+    "kg_khop_reach": (graph.kg_khop_reach, _khop_sql()),
+    # ---- training-data tier additions ----
+    "dedup_repeated_ngrams": (text.dedup_repeated_ngrams, _repeated_ngrams_sql()),
+    "embedding_quantize_codes": (
+        similarity.embedding_quantize_codes,
+        """
+WITH arr AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS a
+  FROM embeddings
+), st AS (
+  SELECT vec_id, a,
+    list_aggregate(a, 'min') AS mn,
+    list_aggregate(a, 'max') - list_aggregate(a, 'min') AS rng
+  FROM arr
+), codes AS (
+  SELECT vec_id,
+    CASE WHEN rng > 0 THEN
+      list_transform(a, x -> CAST(floor((x - mn) / rng * 255.0 + 0.5) AS BIGINT))
+    ELSE list_transform(a, x -> CAST(0 AS BIGINT)) END AS c
+  FROM st
+)
+SELECT vec_id,
+  CAST(list_aggregate(c, 'sum') AS BIGINT) AS code_sum,
+  CAST(list_aggregate(list_transform(c, (x, i) -> x * i), 'sum') AS BIGINT)
+    AS code_checksum,
+  CAST(list_aggregate(c, 'min') AS INT) AS code_min,
+  CAST(list_aggregate(c, 'max') AS INT) AS code_max
+FROM codes
+""",
     ),
 }

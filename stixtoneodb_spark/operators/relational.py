@@ -414,3 +414,175 @@ def agg_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("value", F.lit(0.5)), 4).alias("p50"),
         F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90"),
     )
+
+
+# -- temporal / reshaping tier -----------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def join_asof_prior_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for every purchase, the most recent click by the same
+    user at-or-before the purchase timestamp (the canonical point-in-time
+    feature-lookup shape: 'state of X as the model saw it at event time').
+
+    Spark has no ASOF JOIN operator, and the naive theta join
+    (a.ts >= b.ts) is quadratic per user.  The scalable form is the
+    UNION + WINDOW encoding: tag both streams, sort once per user on
+    (ts, side) with the right side ordered FIRST at equal ts (at-or-before
+    semantics), and carry the last non-null right row forward with
+    last(ignorenulls) over an unbounded-preceding running frame.  One
+    shuffle on user_id, no self-join, linear in events per user — this is
+    the 10^12-row as-of shape (same trick sessionize_events uses for gaps).
+
+    Determinism: multiple clicks can share (user_id, ts), so the right
+    stream is first collapsed to one row per (user_id, ts) keeping
+    max(event_id) — both engines agree on the collapse, making the carried
+    row unique.  Reference parity: StixToNeoDB orders observables by
+    timestamp when linking (SURVEY §2 A8); this is that ordering as a
+    first-class temporal join.
+    """
+    e = load_table(spark, sf_dir, "events")
+    left = e.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    right = (
+        e.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("c_id"))
+    )
+    joined = asof_backward_join(
+        left, right, key="user_id", ts="ts", right_payload=("c_id",)
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("asof_c_id").alias("asof_click_id"),
+        F.col("asof_ts").alias("asof_click_ts"),
+    )
+
+
+def asof_backward_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    ts: str,
+    right_payload: tuple[str, ...],
+) -> DataFrame:
+    """Generic backward AS-OF join core (union + window encoding).
+
+    For every left row, attaches the right row with the greatest ``ts``
+    at-or-before the left row's ``ts`` within the same ``key`` — carried
+    payload columns come back as ``asof_<col>`` plus ``asof_ts``.  The
+    right side MUST be unique per (key, ts) (collapse it first); left rows
+    with no prior right row carry nulls.
+
+    One shuffle on ``key``, one sort per partition, no self-join — linear
+    in rows per key, the 10^12-row point-in-time lookup shape.  At equal
+    timestamps the right row sorts FIRST (side 0 < 1): at-or-BEFORE
+    semantics, matching the SQL oracle's ``c.ts <= p.ts``.
+    """
+    lcols = [c for c in left.columns if c not in (key, ts)]
+    l_tagged = left.select(
+        key,
+        ts,
+        *lcols,
+        F.lit(None).cast(right.schema[ts].dataType).alias("_r_ts"),
+        *[
+            F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}")
+            for c in right_payload
+        ],
+        F.lit(1).alias("_side"),
+    )
+    r_tagged = right.select(
+        key,
+        ts,
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        F.col(ts).alias("_r_ts"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_payload],
+        F.lit(0).alias("_side"),
+    )
+    u = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        key,
+        ts,
+        *lcols,
+        "_side",
+        F.last("_r_ts", ignorenulls=True).over(w).alias("asof_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+            for c in right_payload
+        ],
+    )
+    return carried.where(F.col("_side") == 1).drop("_side")
+
+
+def pivot_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: per-user event-type count matrix (long -> wide reshaping, the
+    feature-matrix export shape).  The pivot value list is the FIXED
+    EVENT_TYPES tuple — passing explicit values keeps the plan a single
+    pass (Spark otherwise runs an extra distinct-values job) and freezes
+    the output schema, which is what a 100-TB export needs anyway.
+    Missing cells coalesce to 0 so the wide matrix is dense."""
+    e = load_table(spark, sf_dir, "events")
+    wide = e.groupBy("user_id").pivot("event_type", list(EVENT_TYPES)).count()
+    return wide.select(
+        "user_id",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+            for t in EVENT_TYPES
+        ],
+    )
+
+
+def agg_percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna, mergeable one-pass sketch) with
+    an ORACLE-CHECKABLE contract, mirroring approx_distinct_users: the
+    sketch value itself is engine-specific, so the query emits the EXACT
+    discrete rank bounds at p +/- eps (eps = 1/accuracy, the GK guarantee)
+    and a boolean asserting the sketch landed inside them; the oracle
+    computes the same exact bounds and predicts TRUE.
+
+    This is the scale tier agg_value_quantiles' docstring promises: at
+    100 TB the exact sort-based percentile is replaced by this sketch
+    (O(accuracy) state per group, partial-aggregable), and the contract
+    column is how its error stays monitored."""
+    accuracy = 1000
+    e = load_table(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.5), F.lit(accuracy)).alias("p50_approx"),
+        # discrete (type-preserving) exact quantiles at the rank bounds:
+        # element_at over the sorted multiset, identical in both engines.
+        # The exact side is the VERIFICATION harness (same cost tier as
+        # agg_value_quantiles); production emits only the sketch column.
+        F.sort_array(F.collect_list("value")).alias("vals"),
+    )
+    n = F.size("vals")
+    # element_at is 1-based; rank floor/ceil per the GK rank-error bound
+    # (eps = 1/accuracy).  INTEGER arithmetic only: floor(n*0.499) in
+    # float64 and DuckDB's DECIMAL literal disagree at exact multiples, so
+    # both engines compute (n*499) DIV 1000 / (n*501+999) DIV 1000.
+    lo_idx = F.greatest(F.expr("size(vals) * 499 DIV 1000").cast("int"), F.lit(1))
+    hi_idx = F.least(F.expr("(size(vals) * 501 + 999) DIV 1000").cast("int"), n)
+    bounded = agg.select(
+        "event_type",
+        F.element_at("vals", lo_idx).alias("p50_lo"),
+        F.element_at("vals", hi_idx).alias("p50_hi"),
+        (
+            (F.col("p50_approx") >= F.element_at("vals", lo_idx))
+            & (F.col("p50_approx") <= F.element_at("vals", hi_idx))
+        ).alias("p50_within_bounds"),
+    )
+    return bounded.select(
+        "event_type",
+        F.round("p50_lo", 4).alias("p50_lo"),
+        F.round("p50_hi", 4).alias("p50_hi"),
+        "p50_within_bounds",
+    )

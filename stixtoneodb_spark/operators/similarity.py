@@ -416,3 +416,50 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def embedding_quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector scalar quantization to uint8 codes (the vector-index
+    compression step: 4 bytes/dim float32 -> 1 byte/dim, the SQ8 storage
+    tier every billion-vector ANN index uses under IVF).
+
+    code_i = floor((x_i - min) / (max - min) * 255 + 0.5), per-vector
+    min/max range.  floor(v + 0.5) is used instead of round() because
+    round's tie policy differs across engines (Spark HALF_UP vs DuckDB's
+    double-round), while floor is IEEE-exact in both.  Output is
+    INTEGER-ONLY (code checksum, L1 mass, min/max code) so the oracle hash
+    is float-format-proof: any drift in the quantization arithmetic breaks
+    code_checksum exactly.
+
+    Scale shape: pure map-side (one projection, no shuffle, no UDF — all
+    JVM built-ins inside whole-stage codegen); at 100 TB this runs as the
+    write-path projection of the vector index build.  Degenerate constant
+    vectors (max == min) quantize to all-zero codes by contract.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mn = F.array_min(arr)
+    rng = F.array_max(arr) - mn
+    codes = F.when(rng > 0, F.transform(
+        arr,
+        lambda x: F.floor((x - mn) / rng * F.lit(255.0) + F.lit(0.5)).cast("long"),
+    )).otherwise(F.transform(arr, lambda x: F.lit(0).cast("long")))
+    q = emb.select("vec_id", codes.alias("codes"))
+    idx_weighted = F.aggregate(
+        F.zip_with(
+            F.col("codes"),
+            F.sequence(F.lit(1), F.size("codes")),
+            lambda c, i: c * i.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return q.select(
+        "vec_id",
+        F.aggregate("codes", F.lit(0).cast("long"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        idx_weighted.alias("code_checksum"),
+        F.array_min("codes").cast("int").alias("code_min"),
+        F.array_max("codes").cast("int").alias("code_max"),
+    )

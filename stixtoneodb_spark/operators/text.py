@@ -224,3 +224,44 @@ def corpus_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= SAMPLE_PER_STRATUM)
         .select("doc_id", "lang", "hk", "rk")
     )
+
+
+NGRAM_SPAN = 8
+
+
+def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-span detection: every whitespace 8-gram that appears in
+    two or more DISTINCT documents, with its doc count and total
+    occurrence count — the exact-substring tier of training-data dedup
+    (Lee et al. 2022, 'Deduplicating Training Data Makes Language Models
+    Better', arXiv:2107.06499: repeated ~50-token spans are memorized;
+    the suffix-array pass that paper uses is approximated here by the
+    fixed-width sliding n-gram, the standard distributed relaxation).
+
+    Spark shape: tokens → transform(sequence(1, n-7)) sliding windows →
+    explode → groupBy(gram) partial-agg.  Entirely JVM built-ins (no UDF);
+    the explode emits ~n_tokens rows per doc but the map-side partial
+    aggregation collapses the heavy hitters before the shuffle.  At 100 TB
+    the gram string is replaced by xxhash64(gram) so the shuffle carries
+    8 bytes/row (collision-checked on the survivors) — documented here,
+    kept as the readable string at oracle scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    n = F.size(toks)
+    grams = F.when(
+        n >= NGRAM_SPAN,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(NGRAM_SPAN - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_SPAN)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = d.select("doc_id", F.explode(grams).alias("gram"))
+    return (
+        exploded.groupBy("gram")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occurrences"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

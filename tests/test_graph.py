@@ -116,3 +116,56 @@ def test_pagerank_conserves_mass(spark):
     rows = graph.kg_pagerank(spark, SF).collect()
     total = sum(r["pagerank"] for r in rows)
     assert abs(total - 1.0) < len(rows) * 5e-7 + 1e-9
+
+
+# -- triangle / k-hop tier (planted sparse graphs; the oracle corpus's
+# co-occurrence graph is complete, so depth/selectivity live here) --------
+
+def test_triangles_planted_sparse_graph(spark):
+    """Path a-b-c-d (no triangle) + planted triangle x-y-z + a chord that
+    closes exactly one more triangle (b-c-e): counts must credit only true
+    corners, once per triangle."""
+    fwd = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),     # path: no triangle
+            ("x", "y"), ("x", "z"), ("y", "z"),     # planted triangle
+            ("b", "e"), ("c", "e"),                 # closes (b, c, e)
+        ],
+        "src string, dst string",
+    )
+    got = {r["mention"]: r["n_triangles"] for r in graph.triangles_per_node(fwd).collect()}
+    assert got == {"x": 1, "y": 1, "z": 1, "b": 1, "c": 1, "e": 1}
+
+
+def test_triangles_complete_graph_closed_form(spark):
+    """K_n: every node sits in C(n-1, 2) triangles — the closed form the
+    oracle-scale run also lands on (K12 -> 55)."""
+    n = 6
+    nodes = [f"n{i}" for i in range(n)]
+    fwd = spark.createDataFrame(
+        [(a, b) for i, a in enumerate(nodes) for b in nodes[i + 1:]],
+        "src string, dst string",
+    )
+    got = {r["mention"]: r["n_triangles"] for r in graph.triangles_per_node(fwd).collect()}
+    assert got == {v: (n - 1) * (n - 2) // 2 for v in nodes}
+
+
+def test_khop_chain_depths(spark):
+    """Chain s-1-2-3-4: BFS at kmax=3 must assign exact depths, exclude the
+    4th-hop node, and keep min-depth when a shortcut exists."""
+    half = [("s", "h1"), ("h1", "h2"), ("h2", "h3"), ("h3", "h4"), ("s", "h2")]
+    edges = spark.createDataFrame(
+        half + [(b, a) for a, b in half], "src string, dst string"
+    )
+    got = {r["mention"]: r["hops"] for r in graph.khop_reach(edges, "s", 3).collect()}
+    # s-h2 shortcut makes h2 depth 1 and h3 depth 2, pulling h4 into range
+    assert got == {"s": 0, "h1": 1, "h2": 1, "h3": 2, "h4": 3}
+
+
+def test_khop_disconnected_component_excluded(spark):
+    half = [("s", "a"), ("p", "q")]
+    edges = spark.createDataFrame(
+        half + [(b, a) for a, b in half], "src string, dst string"
+    )
+    got = {r["mention"]: r["hops"] for r in graph.khop_reach(edges, "s", 3).collect()}
+    assert got == {"s": 0, "a": 1}

@@ -1,0 +1,169 @@
+"""Round-4 training-pipeline extensions: as-of join, pivot, the
+percentile_approx contract, repeated n-gram spans, and SQ8 quantization.
+
+Each operator also carries a FULL DuckDB oracle (registry.py, driver
+hash-compare at sf0.01); these tests pin the invariants the oracle can't
+see — planted point-in-time edge cases, numpy bit-equality for the
+quantizer, and raw-text recounts for the n-gram spans.
+"""
+
+from __future__ import annotations
+
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from stixtoneodb_spark.operators import relational, similarity, text
+from stixtoneodb_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+# -- as-of join ---------------------------------------------------------------
+
+def test_asof_planted_cases(spark):
+    """Left rows exercise: match strictly before, match AT the same ts
+    (at-or-before contract), no prior right row (nulls), and a later right
+    row that must NOT bleed backward."""
+    left = spark.createDataFrame(
+        [
+            ("u1", 100, "L1"),  # right at 90 -> match 90
+            ("u1", 200, "L2"),  # right at 200 (equal ts) -> match 200
+            ("u2", 50, "L3"),   # right only at 60 -> null
+            ("u3", 10, "L4"),   # no right rows at all -> null
+        ],
+        "k string, ts long, tag string",
+    )
+    right = spark.createDataFrame(
+        [("u1", 90, 901), ("u1", 200, 902), ("u1", 500, 903), ("u2", 60, 904)],
+        "k string, ts long, payload int",
+    )
+    got = {
+        r["tag"]: (r["asof_ts"], r["asof_payload"])
+        for r in relational.asof_backward_join(
+            left, right, key="k", ts="ts", right_payload=("payload",)
+        ).collect()
+    }
+    assert got == {
+        "L1": (90, 901),
+        "L2": (200, 902),
+        "L3": (None, None),
+        "L4": (None, None),
+    }
+
+
+def test_asof_query_never_future(spark):
+    out = relational.join_asof_prior_event(spark, SF).collect()
+    assert out
+    matched = [r for r in out if r["asof_click_ts"] is not None]
+    assert matched, "fixture must produce at least one as-of match"
+    for r in matched:
+        assert r["asof_click_ts"] <= r["purchase_ts"]
+
+
+# -- pivot --------------------------------------------------------------------
+
+def test_pivot_rows_sum_to_event_counts(spark):
+    wide = relational.pivot_event_type_counts(spark, SF)
+    totals = {
+        r["user_id"]: sum(r[f"n_{t}"] for t in relational.EVENT_TYPES)
+        for r in wide.collect()
+    }
+    expected = {
+        r["user_id"]: r["n"]
+        for r in load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert totals == expected
+    # dense matrix: no nulls anywhere
+    assert wide.where(
+        " OR ".join(f"n_{t} IS NULL" for t in relational.EVENT_TYPES)
+    ).count() == 0
+
+
+# -- percentile_approx contract -------------------------------------------------
+
+def test_percentile_contract_holds_and_brackets_median(spark):
+    rows = relational.agg_percentile_approx_contract(spark, SF).collect()
+    assert rows
+    vals = {
+        r["event_type"]: sorted(
+            x["value"]
+            for x in load_table(spark, SF, "events")
+            .where(F.col("event_type") == r["event_type"])
+            .select("value")
+            .collect()
+        )
+        for r in rows
+    }
+    for r in rows:
+        assert r["p50_within_bounds"] is True
+        v = vals[r["event_type"]]
+        true_median = v[(len(v) - 1) // 2]
+        assert r["p50_lo"] <= round(true_median, 4) + 1e-9
+        assert round(true_median, 4) <= r["p50_hi"] + 1e-9
+
+
+# -- repeated n-grams -----------------------------------------------------------
+
+def test_repeated_ngrams_recount_against_raw_text(spark):
+    res = text.dedup_repeated_ngrams(spark, SF)
+    rows = res.collect()
+    assert rows, "synthetic corpus must contain cross-doc repeated 8-grams"
+    docs = {
+        r["doc_id"]: r["text"].lower().split(" ")
+        for r in load_table(spark, SF, "documents").collect()
+    }
+
+    def count_gram(gram: str) -> tuple[int, int]:
+        g = gram.split(" ")
+        n_docs = n_occ = 0
+        for toks in docs.values():
+            c = sum(
+                1
+                for i in range(len(toks) - len(g) + 1)
+                if toks[i : i + len(g)] == g
+            )
+            n_docs += 1 if c else 0
+            n_occ += c
+        return n_docs, n_occ
+
+    # spot-check the 5 most-repeated grams plus 5 arbitrary ones
+    sample = sorted(rows, key=lambda r: (-r["n_occurrences"], r["gram"]))[:5]
+    sample += sorted(rows, key=lambda r: r["gram"])[:5]
+    for r in sample:
+        assert len(r["gram"].split(" ")) == text.NGRAM_SPAN
+        nd, no = count_gram(r["gram"])
+        assert (nd, no) == (r["n_docs"], r["n_occurrences"])
+        assert nd >= 2
+
+
+# -- SQ8 quantization -----------------------------------------------------------
+
+def test_quantize_codes_match_numpy_bitwise(spark):
+    got = {
+        r["vec_id"]: (r["code_sum"], r["code_checksum"], r["code_min"], r["code_max"])
+        for r in similarity.embedding_quantize_codes(spark, SF).collect()
+    }
+    emb = load_table(spark, SF, "embeddings").collect()
+    assert len(got) == len(emb)
+    for r in emb:
+        x = np.asarray(r["embedding"], dtype=np.float32).astype(np.float64)
+        mn, mx = x.min(), x.max()
+        if mx > mn:
+            codes = np.floor((x - mn) / (mx - mn) * 255.0 + 0.5).astype(np.int64)
+        else:
+            codes = np.zeros_like(x, dtype=np.int64)
+        expect = (
+            int(codes.sum()),
+            int((codes * np.arange(1, len(codes) + 1)).sum()),
+            int(codes.min()),
+            int(codes.max()),
+        )
+        assert got[r["vec_id"]] == expect
+        assert 0 <= codes.min() and codes.max() <= 255
+        if mx > mn:
+            # range endpoints quantize exactly to the code rails
+            assert codes.max() == 255 and codes.min() == 0
