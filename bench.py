@@ -85,6 +85,11 @@ HEADLINE_QUERIES = [
     "kg_cooccurrence",
     "kg_pagerank",
     "dedup_cluster_components",
+    # round-4 continuation additions (each ~O(1-3s) at sf0.1)
+    "join_asof_prior_event",
+    "dedup_repeated_ngrams",
+    "embedding_quantize_codes",
+    "kg_triangle_count",
 ]
 
 

@@ -446,13 +446,16 @@ def join_asof_prior_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     left = e.where(F.col("event_type") == "purchase").select(
         "user_id", "ts", F.col("event_id").alias("purchase_id")
     )
-    right = (
-        e.where(F.col("event_type") == "click")
-        .groupBy("user_id", "ts")
-        .agg(F.max("event_id").alias("c_id"))
+    # No pre-collapse shuffle: equal-ts clicks resolve to max(event_id) by
+    # riding the window sort itself (right_order) — last() over rows sorted
+    # (ts, side, event_id asc) carries exactly the row the oracle's
+    # MAX(event_id)-per-(user, ts) collapse picks, one full shuffle cheaper.
+    right = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("c_id")
     )
     joined = asof_backward_join(
-        left, right, key="user_id", ts="ts", right_payload=("c_id",)
+        left, right, key="user_id", ts="ts", right_payload=("c_id",),
+        right_order=("c_id",),
     )
     return joined.select(
         "purchase_id",
@@ -470,14 +473,18 @@ def asof_backward_join(
     key: str,
     ts: str,
     right_payload: tuple[str, ...],
+    right_order: tuple[str, ...] = (),
 ) -> DataFrame:
     """Generic backward AS-OF join core (union + window encoding).
 
     For every left row, attaches the right row with the greatest ``ts``
     at-or-before the left row's ``ts`` within the same ``key`` — carried
     payload columns come back as ``asof_<col>`` plus ``asof_ts``.  The
-    right side MUST be unique per (key, ts) (collapse it first); left rows
-    with no prior right row carry nulls.
+    right side must be unique per (key, ts, *right_order): either collapse
+    it first, or pass ``right_order`` payload columns whose ascending sort
+    picks the winner at equal ts (the LAST row in that order is carried —
+    e.g. ``right_order=("event_id",)`` keeps max event_id with no
+    pre-collapse shuffle).  Left rows with no prior right row carry nulls.
 
     One shuffle on ``key``, one sort per partition, no self-join — linear
     in rows per key, the 10^12-row point-in-time lookup shape.  At equal
@@ -505,9 +512,12 @@ def asof_backward_join(
         F.lit(0).alias("_side"),
     )
     u = l_tagged.unionByName(r_tagged)
+    # nulls-first asc ordering on the _r_* tiebreaks keeps left rows (all
+    # null there) sorted before right rows only WITHIN equal (ts, _side) —
+    # and _side already separates the sides, so left ordering is unaffected
     w = (
         Window.partitionBy(key)
-        .orderBy(ts, "_side")
+        .orderBy(ts, "_side", *[F.col(f"_r_{c}").asc() for c in right_order])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = u.select(
