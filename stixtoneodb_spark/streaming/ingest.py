@@ -283,3 +283,98 @@ def start_mention_merge_sink(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sliding_window_turn_rate(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    window_dur: str = "10 minutes",
+    slide: str = "5 minutes",
+) -> DataFrame:
+    """SLIDING-window rollup: turns per (window, role) where windows
+    overlap (each event lands in window_dur/slide windows) — the
+    monitoring-rate shape tumbling windows can't express (a spike must
+    show in the window it straddles, not split across two tumblers).
+
+    State cost is the tumbling cost × overlap factor; the watermark bounds
+    it the same way.  Built on the SAME normalize_turns path as batch.
+    """
+    turns = assemble.normalize_turns(stream).withWatermark("ts", watermark)
+    return (
+        turns.groupBy(F.window("ts", window_dur, slide).alias("win"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "role",
+            "n_turns",
+        )
+    )
+
+
+def stream_interval_join(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    bound: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM interval self-join: each user turn joined to the
+    assistant turns that answer it (same conversation, assistant event
+    time within [user_ts, user_ts + bound], later turn_idx) — the
+    question→response pairing every transcript-latency metric needs.
+
+    Both sides carry watermarks and the join predicate carries the time
+    bound, which is what lets Spark evict join state: a buffered user turn
+    can be dropped once the watermark passes ts + bound, an assistant turn
+    once it passes ts.  Without the interval condition the state grows
+    unboundedly — the bound is correctness AND the state contract.
+    """
+    turns = assemble.normalize_turns(stream)
+    left = (
+        turns.where(F.col("role") == "user")
+        .select(
+            F.col("conv_id").alias("l_conv"),
+            F.col("turn_idx").alias("user_turn_idx"),
+            F.col("ts").alias("user_ts"),
+        )
+        .withWatermark("user_ts", watermark)
+    )
+    right = (
+        turns.where(F.col("role") == "assistant")
+        .select(
+            F.col("conv_id").alias("r_conv"),
+            F.col("turn_idx").alias("assistant_turn_idx"),
+            F.col("ts").alias("assistant_ts"),
+        )
+        .withWatermark("assistant_ts", watermark)
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "l_conv = r_conv"
+            " AND assistant_ts >= user_ts"
+            f" AND assistant_ts <= user_ts + interval {bound}"
+            " AND assistant_turn_idx > user_turn_idx"
+        ),
+    )
+    return joined.select(
+        F.col("l_conv").alias("conv_id"),
+        "user_turn_idx",
+        "assistant_turn_idx",
+        (
+            F.unix_micros("assistant_ts") - F.unix_micros("user_ts")
+        ).alias("latency_us"),
+    )
+
+
+def stream_static_enrich(stream: DataFrame, dim: DataFrame) -> DataFrame:
+    """STREAM-STATIC join: enrich the unbounded turn stream with a small
+    static dimension (role → routing weight here; gazetteer/tenant/config
+    tables in production).  The static side broadcasts — no streaming
+    state at all, the cheapest join in the streaming algebra, and the
+    batch plan is literally the same join."""
+    from pyspark.sql.functions import broadcast  # noqa: PLC0415
+
+    turns = assemble.normalize_turns(stream)
+    return turns.join(broadcast(dim), "role", "left").select(
+        "conv_id", "turn_idx", "role", "ts", "weight"
+    )

@@ -335,3 +335,120 @@ def test_custom_stateful_progress_operator(spark, stream_dir, tmp_path):
     assert cj.where(F.col("n_turns_total") != F.col("count")).count() == 0
     # close fires exactly once per conversation
     assert closed_rows.groupBy("conv_id").count().where(F.col("count") > 1).count() == 0
+
+
+def test_sliding_window_rate_equals_batch(spark, stream_dir, tmp_path):
+    """Sliding windows: streamed counts equal the batch groupBy on the same
+    overlapping window expression (append mode emits only watermark-closed
+    windows — compare against the batch restricted to those), and closed
+    events appear in exactly window/slide = 2 windows."""
+    stream = ingest.read_transcript_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        ingest.sliding_window_turn_rate(stream, watermark="5 minutes")
+        .writeStream.format("memory")
+        .queryName("slide_t1")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_slide"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    final_wm = q.lastProgress["eventTime"]["watermark"]
+    streamed = spark.table("slide_t1")
+
+    turns = assemble.normalize_turns(spark.read.parquet(stream_dir))
+    batch = (
+        turns.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("win"), "role")
+        .agg(F.count("*").alias("n_turns"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "role",
+            "n_turns",
+        )
+    )
+    closed = batch.where(F.col("window_end") <= F.to_timestamp(F.lit(final_wm)))
+    assert streamed.count() == closed.count() > 0
+    assert streamed.exceptAll(closed).count() == 0
+    assert closed.exceptAll(streamed).count() == 0
+    # overlap factor: every turn whose BOTH covering windows closed
+    # contributes twice; turns fully before (final_wm - window) qualify
+    fully_closed_turns = turns.where(
+        F.col("ts") < F.to_timestamp(F.lit(final_wm)) - F.expr("interval 10 minutes")
+    ).count()
+    total = streamed.agg(F.sum("n_turns")).collect()[0][0]
+    assert total >= 2 * fully_closed_turns > 0
+
+
+def test_stream_interval_join_equals_batch(spark, stream_dir, tmp_path):
+    """Stream-stream interval self-join drains under AvailableNow and
+    emits exactly the batch join's pairs."""
+    stream = ingest.read_transcript_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        ingest.stream_interval_join(stream)
+        .writeStream.format("memory")
+        .queryName("ivj_t1")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ivj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    streamed = spark.table("ivj_t1")
+
+    turns = assemble.normalize_turns(spark.read.parquet(stream_dir))
+    l = turns.where(F.col("role") == "user").select(
+        F.col("conv_id").alias("l_conv"),
+        F.col("turn_idx").alias("user_turn_idx"),
+        F.col("ts").alias("user_ts"),
+    )
+    r = turns.where(F.col("role") == "assistant").select(
+        F.col("conv_id").alias("r_conv"),
+        F.col("turn_idx").alias("assistant_turn_idx"),
+        F.col("ts").alias("assistant_ts"),
+    )
+    batch = (
+        l.join(
+            r,
+            F.expr(
+                "l_conv = r_conv AND assistant_ts >= user_ts"
+                " AND assistant_ts <= user_ts + interval 10 minutes"
+                " AND assistant_turn_idx > user_turn_idx"
+            ),
+        )
+        .select(
+            F.col("l_conv").alias("conv_id"),
+            "user_turn_idx",
+            "assistant_turn_idx",
+            (F.unix_micros("assistant_ts") - F.unix_micros("user_ts")).alias(
+                "latency_us"
+            ),
+        )
+    )
+    assert streamed.count() == batch.count() > 0
+    assert streamed.exceptAll(batch).count() == 0
+    assert batch.exceptAll(streamed).count() == 0
+    # pairing sanity: every emitted latency is within the bound
+    assert streamed.where("latency_us < 0 OR latency_us > 600000000").count() == 0
+
+
+def test_stream_static_enrich(spark, stream_dir, tmp_path):
+    dim = spark.createDataFrame(
+        [("user", 1.0), ("assistant", 2.0), ("tool", 0.5)], "role string, weight double"
+    )
+    stream = ingest.read_transcript_stream(spark, stream_dir, max_files_per_trigger=1)
+    q = (
+        ingest.stream_static_enrich(stream, dim)
+        .writeStream.format("memory")
+        .queryName("enrich_t1")
+        .option("checkpointLocation", str(tmp_path / "ckpt_enrich"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain(q)
+    streamed = spark.table("enrich_t1")
+    turns = assemble.normalize_turns(spark.read.parquet(stream_dir))
+    assert streamed.count() == turns.count() > 0
+    # every known role got its weight; unknown roles (if any) got null
+    known = {r["role"]: r["weight"] for r in dim.collect()}
+    for row in streamed.select("role", "weight").distinct().collect():
+        assert row["weight"] == known.get(row["role"])
