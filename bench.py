@@ -202,14 +202,30 @@ def _run_worker(args: list[str], pin_cores: int | None = None) -> dict:
     cmd = [sys.executable, os.path.abspath(__file__), *args]
     if pin_cores is not None and os.path.exists("/usr/bin/taskset"):
         cmd = ["taskset", "-c", f"0-{pin_cores - 1}", *cmd]
-    out = subprocess.run(
-        cmd,
-        capture_output=True,
-        text=True,
-        check=True,
-        cwd=REPO,
-    )
-    return json.loads(out.stdout.strip().splitlines()[-1])
+    last_err = None
+    for attempt in range(2):
+        try:
+            out = subprocess.run(
+                cmd,
+                capture_output=True,
+                text=True,
+                check=True,
+                cwd=REPO,
+            )
+            return json.loads(out.stdout.strip().splitlines()[-1])
+        except subprocess.CalledProcessError as e:
+            # One retry for transient worker startup failures (observed: a
+            # fresh 56g AlwaysPreTouch JVM right after the previous worker
+            # exits can lose the page race on a shared box) — a one-off
+            # must not destroy the round's official bench artifact.  The
+            # stderr tail goes to OUR stderr so the failure is diagnosable.
+            last_err = e
+            sys.stderr.write(
+                f"bench worker failed (attempt {attempt + 1}) {args}:\n"
+                f"{(e.stderr or '')[-2000:]}\n"
+            )
+            time.sleep(20)
+    raise last_err
 
 
 def _host_window() -> dict:
