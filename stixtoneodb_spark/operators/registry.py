@@ -829,6 +829,24 @@ ORDER BY d.doc_id
         "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
         "sha256(text) AS digest FROM documents",
     ),
+    "agg_grouping_sets": (
+        relational.agg_grouping_sets,
+        """
+SELECT event_type, CAST(user_id % 4 AS INTEGER) AS user_bucket,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY GROUPING SETS ((event_type), (user_id % 4))
+""",
+    ),
+    "window_ntile_orders": (
+        relational.window_ntile_orders,
+        """
+SELECT o_orderkey, o_custkey,
+  ntile(4) OVER (PARTITION BY o_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey) AS price_quartile
+FROM orders
+""",
+    ),
     # ---- temporal / reshaping tier ----
     "join_asof_prior_event": (
         relational.join_asof_prior_event,

@@ -596,3 +596,40 @@ def agg_percentile_approx_contract(spark: SparkSession, sf_dir: str) -> DataFram
         F.round("p50_hi", 4).alias("p50_hi"),
         "p50_within_bounds",
     )
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the generalization rollup/cube specialize:
+    per-type totals and per-user-bucket totals in ONE pass over the fact
+    (two separate groupBys would scan twice; the Expand operator emits one
+    row per set per input row, then the normal partial agg applies).
+    Completes the grouping family next to agg_rollup_* and agg_cube_*."""
+    e = load_table(spark, sf_dir, "events")
+    bucketed = e.withColumn(
+        "user_bucket", F.pmod(F.col("user_id"), F.lit(4)).cast("int")
+    )
+    return (
+        bucketed.groupingSets(
+            [["event_type"], ["user_bucket"]], "event_type", "user_bucket"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+def window_ntile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quartiles of order value within each customer — the
+    per-key value-banding shape (spend-tier features).  The window order
+    carries o_orderkey as the unique tie-break so both engines assign
+    identical quartiles at equal prices."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("price_quartile"),
+    )

@@ -349,3 +349,66 @@ def extract_triples(turns: DataFrame) -> DataFrame:
     return turns.select("conv_id", "turn_idx", "text").mapInPandas(
         _extract_batches, TRIPLE_SCHEMA
     )
+
+
+# -- UDTF surface (SURVEY §2 UDF/UDAF/UDTF table) -----------------------------
+
+SENTENCE_SPLIT_RE = r"(?<=[.!?]) +"
+
+
+def make_sentences_udtf():
+    """Python UDTF (Spark 4 table function): one turn row → one row per
+    sentence, with its index — the lateral-expansion shape (SQL
+    ``FROM turns, LATERAL split_sentences(...)``).
+
+    This exists to prove the UDTF API surface end-to-end (registration,
+    LATERAL join, multi-column yield); it is NOT the production path —
+    UDTF ``eval`` runs per input row in Python, which violates the
+    pipeline's no-per-row-Python rule, so hot paths use the equivalent
+    built-in ``explode(split(...))`` (``split_sentences_builtin``, proven
+    identical by test).  Built lazily inside a factory because the
+    ``@udtf`` decorator needs a live Spark-configured environment.
+    """
+    import re as _re  # noqa: PLC0415 — serialized into the UDTF closure
+
+    from pyspark.sql.functions import udtf  # noqa: PLC0415
+
+    pattern = SENTENCE_SPLIT_RE
+
+    @udtf(returnType="sentence_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, text: str):
+            if not text:
+                return
+            for i, s in enumerate(_re.split(pattern, text)):
+                if s:
+                    yield i, s
+
+    return SplitSentences
+
+
+def split_sentences_builtin(turns: DataFrame) -> DataFrame:
+    """Production sentence expansion: explode(split(...)) with posexplode
+    for the index — whole-stage-codegen JVM path, zero Python."""
+    return turns.select(
+        "conv_id",
+        "turn_idx",
+        F.posexplode(F.split(F.col("text"), SENTENCE_SPLIT_RE)).alias(
+            "sentence_idx", "sentence"
+        ),
+    ).where(F.length("sentence") > 0)
+
+
+def split_sentences_udtf(turns: DataFrame) -> DataFrame:
+    """UDTF-powered variant of split_sentences_builtin (same output
+    contract; test-asserted equal).  Registers the TVF and applies it as a
+    SQL LATERAL join."""
+    spark = turns.sparkSession
+    spark.udtf.register("split_sentences", make_sentences_udtf())
+    turns.select("conv_id", "turn_idx", "text").createOrReplaceTempView(
+        "_udtf_turns"
+    )
+    return spark.sql(
+        "SELECT conv_id, turn_idx, s.sentence_idx, s.sentence "
+        "FROM _udtf_turns, LATERAL split_sentences(text) AS s"
+    )
