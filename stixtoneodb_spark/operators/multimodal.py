@@ -288,3 +288,48 @@ def media_frame_sample(media: DataFrame, every_n_bytes: int = 1024, max_frames: 
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(sample, FRAME_SCHEMA)
+
+
+RESIZE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("c0_sum", T.LongType()),
+        T.StructField("c1_sum", T.LongType()),
+        T.StructField("c2_sum", T.LongType()),
+    ]
+)
+
+RESIZE_STATS_OUT = 16  # bench-scale output side; production passes 224
+
+
+def media_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle surface for the REAL resize path: decode + nearest-neighbor
+    resample every synthetic BMP through ``media_resize`` itself (the
+    production operator), then reduce the resized raw-RGB frames to
+    per-channel integer sums.
+
+    The synthetic pixel content and the resampler's index math
+    (``rows[i] = i*h // H``) are both closed-form, so DuckDB reproduces
+    the post-RESIZE sums arithmetically — any bug in decode (padding,
+    BGR order, bottom-up rows) or in the gather indices breaks the hash.
+    Integer-only outputs: float-format-proof.
+    """
+    side = RESIZE_STATS_OUT
+    bmp = media_table_decodable(spark, sf_dir).where(F.col("doc_id") % 2 == 0)
+    resized = media_resize(bmp, width=side, height=side)
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob, ok in zip(pdf["doc_id"], pdf["resized"], pdf["decoded"]):
+                assert ok, "synthetic BMPs must take the real decode path"
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8).reshape(side, side, 3)
+                s = arr.astype(np.int64).sum(axis=(0, 1))
+                rows.append((doc_id, side, side, int(s[0]), int(s[1]), int(s[2])))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "out_h", "out_w", "c0_sum", "c1_sum", "c2_sum"]
+            )
+
+    return resized.mapInPandas(stats, RESIZE_STATS_SCHEMA)

@@ -823,6 +823,33 @@ FROM documents d LEFT JOIN img ON d.doc_id = img.doc_id
 ORDER BY d.doc_id
 """,
     ),
+    "media_resize_stats": (
+        multimodal.media_resize_stats,
+        f"""
+WITH d AS (
+  SELECT doc_id, 17 + doc_id % 13 AS h, 23 + doc_id % 7 AS w
+  FROM documents WHERE doc_id % 2 = 0
+), ij AS (
+  SELECT a.i, b.j
+  FROM generate_series(0, {multimodal.RESIZE_STATS_OUT - 1}) a(i),
+       generate_series(0, {multimodal.RESIZE_STATS_OUT - 1}) b(j)
+), px AS (
+  SELECT d.doc_id,
+    (((ij.i * d.h) // {multimodal.RESIZE_STATS_OUT}) * 7 + d.doc_id) % 256 AS c0,
+    (((ij.j * d.w) // {multimodal.RESIZE_STATS_OUT}) * 11) % 256 AS c1,
+    (((ij.i * d.h) // {multimodal.RESIZE_STATS_OUT})
+     + ((ij.j * d.w) // {multimodal.RESIZE_STATS_OUT})) % 256 AS c2
+  FROM d, ij
+)
+SELECT doc_id,
+  CAST({multimodal.RESIZE_STATS_OUT} AS INT) AS out_h,
+  CAST({multimodal.RESIZE_STATS_OUT} AS INT) AS out_w,
+  CAST(SUM(c0) AS BIGINT) AS c0_sum,
+  CAST(SUM(c1) AS BIGINT) AS c1_sum,
+  CAST(SUM(c2) AS BIGINT) AS c2_sum
+FROM px GROUP BY doc_id
+""",
+    ),
     # ---- multimodal plumbing ----
     "media_metadata": (
         multimodal.media_metadata_oracle_view,
