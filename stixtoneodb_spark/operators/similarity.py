@@ -436,7 +436,13 @@ def embedding_quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     write-path projection of the vector index build.  Degenerate constant
     vectors (max == min) quantize to all-zero codes by contract.
     """
-    emb = load_table(spark, sf_dir, "embeddings")
+    return sq8_code_stats(load_table(spark, sf_dir, "embeddings"))
+
+
+def sq8_code_stats(emb: DataFrame) -> DataFrame:
+    """Core SQ8 quantization-stats projection over a (vec_id, embedding)
+    DataFrame — factored out so property tests can feed planted and
+    hypothesis-generated vectors (constants, negatives, denormals)."""
     arr = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     mn = F.array_min(arr)
     rng = F.array_max(arr) - mn
