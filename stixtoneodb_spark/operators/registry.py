@@ -908,6 +908,54 @@ SELECT event_type,
 FROM s
 """,
     ),
+    "agg_time_bucketed": (
+        relational.agg_time_bucketed,
+        """
+SELECT date_trunc('hour', ts) AS bucket_hour, event_type,
+  COUNT(*) AS n_events,
+  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+FROM events GROUP BY date_trunc('hour', ts), event_type
+""",
+    ),
+    "window_first_last_orders": (
+        relational.window_first_last_orders,
+        """
+SELECT o_orderkey, o_custkey,
+  first_value(o_orderdate) OVER w AS first_order_date,
+  last_value(o_orderdate) OVER w AS latest_order_date
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    ),
+    "dedup_names_levenshtein": (
+        relational.dedup_names_levenshtein,
+        """
+WITH c AS (
+  SELECT c_custkey, c_name, length(c_name) AS blk_len,
+         substring(c_name, 1, 1) AS blk_c
+  FROM customer
+)
+SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+       a.c_name AS name_a, b.c_name AS name_b
+FROM c a JOIN c b
+  ON a.blk_len = b.blk_len AND a.blk_c = b.blk_c
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 1
+""",
+    ),
+    "scalar_array_funcs": (
+        text.scalar_array_funcs,
+        """
+WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS toks FROM documents)
+SELECT doc_id,
+  CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+  list_aggregate(toks, 'min') AS token_min,
+  list_aggregate(toks, 'max') AS token_max,
+  array_to_string(toks[1:3], ' ') AS first3
+FROM t
+""",
+    ),
     # ---- graph analytics (triangle / BFS tier) ----
     "kg_triangle_count": (graph.kg_triangle_count, _triangle_sql()),
     "kg_khop_reach": (graph.kg_khop_reach, _khop_sql()),

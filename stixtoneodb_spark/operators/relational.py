@@ -633,3 +633,77 @@ def window_ntile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.ntile(4).over(w).alias("price_quartile"),
     )
+
+
+def agg_time_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bucketed continuous-aggregate shape (the hypertable-rollup
+    analog): hourly date_trunc buckets per event type, counts + exact
+    decimal sums.  The batch twin of the streaming tumbling window —
+    date_trunc is a pure projection, so this is one partial+final agg
+    whose shuffle carries (bucket, type) rows only."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_hour"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(_dec("value")), 2).cast("double").alias("total_value"),
+        )
+    )
+
+
+def window_first_last_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value/last_value over an explicit full-partition frame: each
+    order row annotated with its customer's first and latest order date —
+    the per-entity firsts/latests enrichment (first_seen/last_seen is
+    reference data the loader copies; here it's computed).  The frame is
+    UNBOUNDED BOTH WAYS — the default (unbounded, current) frame makes
+    last_value the running value, a classic silent-wrong-answer; the
+    oracle pins the full-frame semantics."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first_value("o_orderdate").over(w).alias("first_order_date"),
+        F.last_value("o_orderdate").over(w).alias("latest_order_date"),
+    )
+
+
+def dedup_names_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs: customer names within Levenshtein
+    distance 1, self-joined inside a blocking key — the fuzzy
+    entity-resolution tier next to the token-based families (MinHash /
+    n-gram Jaccard catch reorderings; edit distance catches typos).
+
+    Blocking: (length, first char).  On this fixture every name shares
+    one block, the worst case — the point is the JOIN SHAPE: pairs are
+    generated per block, never corpus x corpus; at 10^9 names the block
+    key gains a phonetic/prefix component and the largest blocks are
+    salted exactly like the canonicalizer's hot names (plans/link.py).
+    levenshtein() is a deterministic built-in in both engines, so the
+    oracle is exact."""
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.length("c_name").alias("blk_len"),
+        F.substring("c_name", 1, 1).alias("blk_c"),
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id_a"), F.col("c_name").alias("name_a"),
+        "blk_len", "blk_c",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"), F.col("c_name").alias("name_b"),
+        "blk_len", "blk_c",
+    )
+    return (
+        a.join(b, ["blk_len", "blk_c"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(F.levenshtein("name_a", "name_b") <= 1)
+        .select("id_a", "id_b", "name_a", "name_b")
+    )

@@ -265,3 +265,19 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family as a standalone query: distinct/sort/min/max/
+    slice over the token array (vocabulary stats per document).  All
+    codegen built-ins; string min/max compare bytewise in both engines
+    (tokens are lowercase ASCII by construction)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.array_min(toks).alias("token_min"),
+        F.array_max(toks).alias("token_max"),
+        F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
+    )
