@@ -23,6 +23,7 @@ from stixtoneodb_spark.operators import (
     dedup,
     graph,
     multimodal,
+    pandas_surface,
     relational,
     similarity,
     text,
@@ -986,6 +987,48 @@ SELECT vec_id,
   CAST(list_aggregate(c, 'min') AS INT) AS code_min,
   CAST(list_aggregate(c, 'max') AS INT) AS code_max
 FROM codes
+""",
+    ),
+    # ---- pandas-UDF API completion tier (GROUPED_AGG UDAF + cogroup) ----
+    # Lower median = order statistic at 1-indexed (n+1)//2 after sort:
+    # pure selection, bit-identical across engines (see pandas_surface.py
+    # module docstring for why interpolated medians were rejected).
+    "agg_event_value_spread": (
+        pandas_surface.agg_event_value_spread,
+        """
+WITH s AS (
+  SELECT event_type, list_sort(list(value)) AS vals, COUNT(*) AS n
+  FROM events GROUP BY event_type
+), m AS (
+  SELECT event_type, n, vals[CAST((n + 1) // 2 AS INT)] AS med FROM s
+), d AS (
+  SELECT e.event_type, abs(e.value - m.med) AS dev
+  FROM events e JOIN m USING (event_type)
+), s2 AS (
+  SELECT event_type, list_sort(list(dev)) AS dvals, COUNT(*) AS n
+  FROM d GROUP BY event_type
+)
+SELECT m.event_type, m.n AS n_events,
+  round(m.med, 6) AS med_value,
+  round(s2.dvals[CAST((s2.n + 1) // 2 AS INT)], 6) AS mad_value
+FROM m JOIN s2 USING (event_type)
+""",
+    ),
+    "join_cogroup_conversion": (
+        pandas_surface.join_cogroup_conversion,
+        """
+WITH c AS (SELECT user_id, ts FROM events WHERE event_type = 'click'),
+     p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+     u AS (SELECT DISTINCT user_id FROM events
+           WHERE event_type IN ('click', 'purchase'))
+SELECT u.user_id,
+  (SELECT COUNT(*) FROM c WHERE c.user_id = u.user_id) AS n_clicks,
+  (SELECT COUNT(*) FROM p WHERE p.user_id = u.user_id) AS n_purchases,
+  (SELECT COUNT(*) FROM p WHERE p.user_id = u.user_id
+     AND EXISTS (SELECT 1 FROM c
+                 WHERE c.user_id = p.user_id AND c.ts <= p.ts))
+    AS n_converted
+FROM u
 """,
     ),
 }

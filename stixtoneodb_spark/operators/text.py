@@ -239,12 +239,19 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-width sliding n-gram, the standard distributed relaxation).
 
     Spark shape: tokens → transform(sequence(1, n-7)) sliding windows →
-    explode → groupBy(gram) partial-agg.  Entirely JVM built-ins (no UDF);
-    the explode emits ~n_tokens rows per doc but the map-side partial
-    aggregation collapses the heavy hitters before the shuffle.  At 100 TB
-    the gram string is replaced by xxhash64(gram) so the shuffle carries
-    8 bytes/row (collision-checked on the survivors) — documented here,
-    kept as the readable string at oracle scale.
+    explode → EXPLICIT two-level aggregation: partial-agg on
+    (gram, doc_id) then agg on gram.  Entirely JVM built-ins (no UDF).
+    The naive ``agg(countDistinct(doc_id), count(*))`` form plans through
+    RewriteDistinctAggregates' Expand, which DOUBLES every exploded row
+    (~60 bytes of gram string each) before the first partial aggregate;
+    the manual two-level form ships each (gram, doc) once — all
+    occurrences of a gram within one doc sit in the same input partition,
+    so the first partial agg collapses them map-side and the second
+    shuffle is survivor-scale.  At 100 TB the gram string is replaced by
+    xxhash64 over the 8 token columns so the big shuffle carries 8
+    bytes/row (strings recovered by a survivor semi-join,
+    collision-checked) — documented here, kept as the readable string at
+    oracle scale.
     """
     d = load_table(spark, sf_dir, "documents")
     toks = _ws_tokens(F.col("text"))
@@ -257,11 +264,12 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     exploded = d.select("doc_id", F.explode(grams).alias("gram"))
+    per_doc = exploded.groupBy("gram", "doc_id").agg(F.count("*").alias("occ"))
     return (
-        exploded.groupBy("gram")
+        per_doc.groupBy("gram")
         .agg(
-            F.countDistinct("doc_id").alias("n_docs"),
-            F.count("*").alias("n_occurrences"),
+            F.count("*").alias("n_docs"),
+            F.sum("occ").alias("n_occurrences"),
         )
         .where(F.col("n_docs") >= 2)
     )
