@@ -962,6 +962,13 @@ FROM t
     "kg_khop_reach": (graph.kg_khop_reach, _khop_sql()),
     # ---- training-data tier additions ----
     "dedup_repeated_ngrams": (text.dedup_repeated_ngrams, _repeated_ngrams_sql()),
+    # same spec, same oracle — the 100-TB physical plan (8-byte hash
+    # shuffle + survivor-pruned string recovery); oracle equality doubles
+    # as the collision check at this scale
+    "dedup_repeated_ngrams_hashed": (
+        text.dedup_repeated_ngrams_hashed,
+        _repeated_ngrams_sql(),
+    ),
     "embedding_quantize_codes": (
         similarity.embedding_quantize_codes,
         """

@@ -275,6 +275,64 @@ def dedup_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_repeated_ngrams_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100-TB physical plan for ``dedup_repeated_ngrams``, made real:
+    identical output (same oracle SQL), but the corpus-scale shuffle
+    carries ``xxhash64`` over the 8 token slots — 8 bytes/row instead of
+    the ~60-byte gram string.
+
+    Two passes over the pruned text column:
+
+    1. explode gram HASHES (``xxhash64(slice(toks, i, 8))`` — hashing the
+       token array directly, no string ever built) → the same two-level
+       (h, doc_id) → (h) aggregation as the string plan → survivors
+       (n_docs >= 2), a frame orders of magnitude smaller than the gram
+       stream.
+    2. re-scan, explode only the window INDEX, recompute each position's
+       hash, and join survivors on h BEFORE materializing any string —
+       Catalyst plans this as a broadcast/bloom-pruned join at survivor
+       cardinality, so concat_ws runs only for surviving positions.  One
+       row per gram via a final survivor-scale groupBy.
+
+    A 64-bit collision would fuse two distinct grams; at 10^9 distinct
+    grams the birthday bound is ~3% for ONE collision anywhere — the
+    production recipe is the verify pass the MinHash tier already uses
+    (group survivors by h, countDistinct(gram) == 1); at oracle scale the
+    hash-equality against the string plan's oracle IS the collision check.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    n = F.size(toks)
+    idx = F.when(
+        n >= NGRAM_SPAN,
+        F.sequence(F.lit(1), n - F.lit(NGRAM_SPAN - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    hashes = F.transform(idx, lambda i: F.xxhash64(F.slice(toks, i, NGRAM_SPAN)))
+    eh = d.select("doc_id", F.explode(hashes).alias("h"))
+    per_doc = eh.groupBy("h", "doc_id").agg(F.count("*").alias("occ"))
+    surv = (
+        per_doc.groupBy("h")
+        .agg(F.count("*").alias("n_docs"), F.sum("occ").alias("n_occurrences"))
+        .where(F.col("n_docs") >= 2)
+    )
+    pos = d.select(toks.alias("t"), F.explode(idx).alias("i")).withColumn(
+        "h", F.xxhash64(F.slice(F.col("t"), F.col("i"), NGRAM_SPAN))
+    )
+    return (
+        pos.join(surv, "h")
+        .select(
+            F.concat_ws(" ", F.slice(F.col("t"), F.col("i"), NGRAM_SPAN)).alias("gram"),
+            "n_docs",
+            "n_occurrences",
+        )
+        .groupBy("gram")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            F.max("n_occurrences").alias("n_occurrences"),
+        )
+    )
+
+
 def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-function family as a standalone query: distinct/sort/min/max/
     slice over the token array (vocabulary stats per document).  All

@@ -140,6 +140,33 @@ def test_repeated_ngrams_recount_against_raw_text(spark):
         assert nd >= 2
 
 
+def test_repeated_ngrams_hashed_equals_string_plan(spark):
+    """The 100-TB physical plan (8-byte hash shuffle + survivor-pruned
+    string recovery) must produce the exact row set of the string plan,
+    and its corpus-scale exchange must partition on the HASH, never on a
+    gram string."""
+    a = {
+        (r["gram"], r["n_docs"], r["n_occurrences"])
+        for r in text.dedup_repeated_ngrams(spark, SF).collect()
+    }
+    hashed = text.dedup_repeated_ngrams_hashed(spark, SF)
+    b = {(r["gram"], r["n_docs"], r["n_occurrences"]) for r in hashed.collect()}
+    assert a == b and a
+
+    plan = hashed._jdf.queryExecution().executedPlan().toString()
+    # the corpus-scale aggregation exchanges key on the 8-byte hash (the
+    # string plan has no h-keyed exchange at all); the only gram-keyed
+    # exchange is the final SURVIVOR-scale groupBy after the pruning join
+    import re
+
+    # AQE toString renders the final AND initial plans (with distinct
+    # plan_ids) — examine only the executed Final Plan section
+    final = plan.split("== Initial Plan ==")[0]
+    keyed = re.findall(r"hashpartitioning\(([^)]*)\)", final)
+    assert any(k.lstrip().startswith("h#") for k in keyed), final
+    assert sum("gram" in k for k in keyed) <= 1, final
+
+
 # -- SQ8 quantization -----------------------------------------------------------
 
 def test_quantize_codes_match_numpy_bitwise(spark):
