@@ -180,8 +180,9 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
         ).alias("band"),
         "name",
     )
-    # persisted: both the band-size agg and the guarded join read this
-    # frame — without the persist the minhash/token key chain runs twice
+    # persisted: both the band-size agg and the guarded pair pass read
+    # this frame — without the persist the minhash/token key chain runs
+    # twice
     keys = _prof(lsh_keys.unionByName(token_keys).persist(), "keys")
     # LSH skew guard: a band key shared by too many names is a degenerate
     # block (stopword-ish) — DROP it wholly.  Implemented as a partial-agg
@@ -190,14 +191,35 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
     # the skew); the hash-agg count combines map-side, so hot bands cost
     # one long per mapper.  Whole-block drop also beats an arbitrary
     # keep-first-K: K survivors of a degenerate block are junk candidates.
+    #
+    # The guard probes the OVERSIZED side (bn > MAX_BLOCK): oversized
+    # bands are rare by construction (boilerplate shingles, stop-word
+    # tokens), so the build side is tiny and the anti-join is a map-side
+    # broadcast probe.  The previous shape semi-joined against the
+    # nearly-all-bands small side — a second vocabulary-scale shuffle of
+    # the keys frame — and then SELF-JOINED the blocked frame on band
+    # (two more shuffle+sort legs); together those profiled as S3's flat
+    # ~17s non-scaling tail at 16 cores.
     band_sizes = keys.groupBy("band").agg(F.count("*").alias("bn"))
-    blocked = _prof(
-        keys.join(band_sizes.where(F.col("bn") <= MAX_BLOCK), "band", "left_semi").persist(),
+    oversized = band_sizes.where(F.col("bn") > MAX_BLOCK).select("band")
+    guarded = keys.join(F.broadcast(oversized), "band", "left_anti")
+    # Pair generation in ONE shuffle: groupBy(band) + collect_list — every
+    # surviving band is ≤ MAX_BLOCK members (the anti-join above already
+    # dropped the degenerate blocks, so no list can exceed MAX_BLOCK and
+    # the old self-join's skew hazard cannot re-enter), singleton bands
+    # (the overwhelming majority) die in the size filter, and the a<b
+    # pair triangle expands via a codegen double explode — the same pair
+    # multiset the band self-join produced, without shuffling the
+    # vocabulary-scale frame twice more.
+    blocks = _prof(
+        guarded.groupBy("band")
+        .agg(F.collect_list("name").alias("ns"))
+        .where(F.size("ns") >= 2),
         "blocked",
     )
-
-    a = blocked.select("band", F.col("name").alias("name_a"))
-    b = blocked.select("band", F.col("name").alias("name_b"))
+    pair_src = blocks.select(F.explode("ns").alias("name_a"), "ns").select(
+        "name_a", F.explode("ns").alias("name_b")
+    )
 
     # Identifier-aware rejection FIRST (cheap string ops): no similarity
     # measure can separate "cve 2014 0160" / "cve 2017 0144" (different
@@ -224,8 +246,7 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
         & (F.size(F.array_intersect(ids_a, ids_b)) == 0)
     )
     cand = (
-        a.join(b, "band")
-        .where(F.col("name_a") < F.col("name_b"))
+        pair_src.where(F.col("name_a") < F.col("name_b"))
         .where(~id_conflict)
         .dropDuplicates(["name_a", "name_b"])
     )
