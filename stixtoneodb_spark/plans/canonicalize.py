@@ -127,10 +127,24 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
     def weighted_features(name_subset: DataFrame) -> DataFrame:
         """(name, sh, idfs, w_total) for the given names: idf re-attached
         as an array aligned with sh, so verification is pure array
-        expressions — no join chain per candidate pair."""
+        expressions — no join chain per candidate pair.
+
+        Both joins broadcast the CANDIDATE side explicitly: this frame is
+        built inside a persisted plan, where AQE's runtime broadcast
+        conversion does not apply (cached plans compile statically), so
+        without the hints the planner sort-merge-joins the
+        vocabulary-scale ``base``/``idf`` frames against a
+        candidate-cardinality probe — a full idf shuffle for a handful
+        of rows.  Candidates are bounded by the exception-set argument
+        (canonical_exceptions: verified variants are rare), the same
+        boundedness that backs the CC driver collect; a corpus that
+        outgrows the broadcast should drop the hints and fall back to
+        the shuffle join."""
+        cand_sh = base.join(F.broadcast(name_subset), "name", "left_semi").select(
+            "name", F.explode("sh").alias("s")
+        )
         return (
-            base.join(name_subset, "name", "left_semi")
-            .select("name", F.explode("sh").alias("s"))
+            F.broadcast(cand_sh)
             .join(idf, "s")
             .groupBy("name")
             .agg(F.array_sort(F.collect_list(F.struct("s", "idf"))).alias("shw"))
@@ -272,7 +286,11 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
         F.col("sh").alias("sh_b"),
         F.col("w_total").alias("w_b"),
     )
-    cand = cand.join(feat_a, "name_a").join(feat_b, "name_b")
+    # broadcast the feature side: candidate-cardinality by construction
+    # (see weighted_features), and the persisted plans around it compile
+    # statically — without the hint this pair of joins is a sort-merge
+    # of two small frames, wasting two sorts per verification pass.
+    cand = cand.join(F.broadcast(feat_a), "name_a").join(F.broadcast(feat_b), "name_b")
 
     # --- idf-weighted verification: pure array expressions ---------------
     # w_inter = sum of idf over shared shingles (idfs_a is aligned with

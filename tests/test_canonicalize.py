@@ -163,3 +163,48 @@ def test_normalize_translate_equals_regex_form(spark):
         normalize(F.col("t")).alias("tr"), normalize_regex(F.col("t")).alias("re")
     )
     assert both.where(F.col("tr") != F.col("re")).count() == 0
+
+
+def test_candidate_pairs_plan_guard_is_broadcast_anti(spark):
+    """Plan proof for the one-shuffle pair generation (round-4 S3 fix):
+    the LSH skew guard must execute as a broadcast ANTI-join against the
+    tiny oversized-band set (map-side probe — the vocabulary-scale keys
+    frame is never re-shuffled for the guard), and pair expansion must be
+    an aggregate + explode, never a band self-join: no SortMergeJoin may
+    appear anywhere in the executed plan."""
+    names = spark.createDataFrame(
+        [("zeus",), ("zeus trojan",), ("poison ivy",), ("poisonivy rat",),
+         ("acme systems",), ("acme system",), ("mitre",), ("unrelated word",)],
+        "name string",
+    )
+    pairs = candidate_pairs(names, threshold=0.55)
+    pairs.collect()  # finalize AQE so the executed plan is the real one
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, "skew guard lost its anti-join form"
+    assert "BroadcastHashJoin" in plan, "guard anti-join not broadcast"
+    assert "SortMergeJoin" not in plan, "a vocabulary-scale sort-merge join re-entered S3"
+
+
+def test_candidate_pairs_oversized_band_dropped_wholly(spark, monkeypatch):
+    """Whole-block-drop semantics survive the guard rewrite.
+
+    Family design makes the drop observable in isolation: every member
+    carries the SAME identifier token ``shared01`` (two digits), so the
+    names are LSH-exempt (identifier-bearing names never enter MinHash
+    banding) and ``tok:shared01`` is the family's only multi-member
+    blocking key; the shared identifier also means the id-conflict rule
+    rejects nothing (both sides carry identifiers and share one).  The
+    single-char member suffixes keep pairwise weighted Jaccard well
+    above the 0.55 threshold, so verification passes once blocked.
+    With MAX_BLOCK below the family size the band is degenerate →
+    ZERO pairs; above it, the full C(8,2) pair set emerges."""
+    from stixtoneodb_spark.plans import canonicalize as C
+
+    fam = [(f"shared01 member{c}",) for c in "abcdefgh"]
+    names = spark.createDataFrame(fam, "name string")
+
+    monkeypatch.setattr(C, "MAX_BLOCK", 4)  # family of 8 > 4: band dropped
+    assert C.candidate_pairs(names, threshold=0.55).count() == 0
+
+    monkeypatch.setattr(C, "MAX_BLOCK", 32)  # band admitted: all pairs verify
+    assert C.candidate_pairs(names, threshold=0.55).count() == 8 * 7 // 2
