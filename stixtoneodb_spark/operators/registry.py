@@ -657,6 +657,42 @@ SELECT vec_id, true_label, assigned_label FROM (
   FROM scored) WHERE rk = 1
 """,
     ),
+    # same-spec cross-engine oracle: the ENTIRE SemDeDup algorithm
+    # (md5-seeded √n clusters, cosine assignment with the lowest-cell
+    # tie-break, within-cluster lower-id pairwise pruning) re-run
+    # independently in SQL — drift in seeding, assignment, or the
+    # pairwise predicate breaks the hash match.
+    "dedup_semantic_clusters": (
+        similarity.dedup_semantic_clusters,
+        f"""
+WITH params AS (
+  SELECT greatest({similarity.IVF_CELLS_MIN},
+                  least({similarity.IVF_CELLS_MAX},
+                        CAST(floor(sqrt(count(*))) AS BIGINT))) AS cells
+  FROM embeddings
+), seeds AS (
+  SELECT rk - 1 AS cell, embedding AS sv
+  FROM (SELECT embedding,
+               ROW_NUMBER() OVER (ORDER BY md5('semseed:' || vec_id)) AS rk
+        FROM embeddings), params
+  WHERE rk <= params.cells
+), a0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.embedding, s.sv) DESC, s.cell) AS rn
+    FROM embeddings e, seeds s)
+  WHERE rn = 1
+)
+SELECT ab.vec_id AS vec_id, MIN(a.vec_id) AS kept_by,
+       CAST(ab.cell AS INTEGER) AS cell
+FROM a0 aa JOIN a0 ab ON aa.cell = ab.cell AND aa.vec_id < ab.vec_id
+JOIN embeddings a ON a.vec_id = aa.vec_id
+JOIN embeddings b ON b.vec_id = ab.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {similarity.COSINE_FLOOR}
+GROUP BY ab.vec_id, ab.cell
+""",
+    ),
     # ---- text-analysis tier ----
     "text_token_count": (
         text.text_token_count,

@@ -469,3 +469,100 @@ def sq8_code_stats(emb: DataFrame) -> DataFrame:
         F.array_min("codes").cast("int").alias("code_min"),
         F.array_max("codes").cast("int").alias("code_max"),
     )
+
+
+def semantic_dedup_frame(emb: DataFrame, tau: float = COSINE_FLOOR) -> DataFrame:
+    """SemDeDup-style semantic near-dup pruning over a (vec_id, embedding)
+    frame — cluster first, then pairwise-compare ONLY within a cluster
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication", arXiv:2303.09540 — the standard
+    training-data curation move that replaces the O(n²) all-pairs cosine
+    scan with per-cluster quadratic work).
+
+    Deterministic, cross-engine-reproducible spec (the DuckDB oracle
+    re-runs the whole algorithm independently):
+
+    1. ``ivf_cells(n)`` coarse clusters (⌊√n⌋ clamped — same data-derived
+       rule as the IVF index), seeded by the smallest
+       ``md5('semseed:' || vec_id)`` keys, cell index = rank in that
+       order (TakeOrderedAndProject — O(n) scan, never a global sort);
+    2. every vector assigned to its max-cosine seed (ties → lowest cell)
+       — one broadcast matmul per Arrow batch, map-side;
+    3. within each cluster, a vector is a semantic duplicate iff a
+       LOWER-id member has cosine ≥ ``tau`` with it; ``kept_by`` is the
+       smallest such id.  Pure pairwise predicate (no transitive
+       closure), so the oracle is one self-join.
+
+    Output: (vec_id, kept_by, cell) — one row per PRUNED vector.
+
+    Scale shape: the only shuffle is the groupBy(cell); expected cluster
+    size is n/cells ≈ √n, so per-task work is O(√n²·dim) = O(n·dim)
+    TOTAL across bounded-size tasks, each a single numpy GEMM.  At 100 TB
+    the skew guard is the SemDeDup paper's own: cap cluster size by
+    re-clustering oversized cells on their members (recursive split) or
+    salting the hot cell and merging verdicts — both preserve the
+    pairwise predicate; the synthetic corpus needs neither (cells stay
+    within 3x of the mean, asserted by the planted test).
+    """
+    spark = emb.sparkSession
+    n_cells = ivf_cells(emb.count())
+    seeds = (
+        emb.withColumn(
+            "sk", F.md5(F.concat(F.lit("semseed:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("sk")
+        .limit(n_cells)
+        .collect()
+    )
+    S0 = np.stack([r["embedding"] for r in seeds]).astype(np.float64)
+    cn = S0 / np.maximum(np.linalg.norm(S0, axis=1, keepdims=True), 1e-30)
+
+    def assign(batches):
+        for pdf in batches:
+            v = _stack(pdf["embedding"])
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": np.argmax(vn @ cn.T, axis=1).astype(np.int32),
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = emb.mapInPandas(
+        assign, schema="vec_id long, cell int, embedding array<float>"
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        ids = pdf["vec_id"].to_numpy()
+        v = _stack(pdf["embedding"])
+        vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+        # strict upper triangle of the similarity matrix: m[i, j] == True
+        # iff i < j and cos(i, j) >= tau; ids are ascending, so the FIRST
+        # True per column is the minimum keeper id.
+        m = np.triu(vn @ vn.T >= tau, 1)
+        has_dup = m.any(axis=0)
+        js = np.nonzero(has_dup)[0]
+        keep_idx = m[:, js].argmax(axis=0) if len(js) else np.array([], dtype=np.int64)
+        return pd.DataFrame(
+            {
+                "vec_id": ids[js].astype(np.int64),
+                "kept_by": ids[keep_idx].astype(np.int64),
+                "cell": np.full(len(js), pdf["cell"].iloc[0], dtype=np.int32)
+                if len(js)
+                else np.array([], dtype=np.int32),
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(
+        prune, schema="vec_id long, kept_by long, cell int"
+    )
+
+
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registry entry: SemDeDup semantic near-dup pruning over the
+    embeddings table (see semantic_dedup_frame)."""
+    return semantic_dedup_frame(
+        load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    )

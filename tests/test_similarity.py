@@ -179,3 +179,30 @@ def test_ivf_rank_consistency_vs_exact(spark):
         rows.sort()
         ex_order = [e for _i, e in rows]
         assert ex_order == sorted(ex_order), (q, rows)
+
+
+def test_semantic_dedup_planted_identical_pair(spark):
+    """SemDeDup planted case: an exact copy of a vector MUST co-cluster
+    with its original (identical vectors produce identical assignment
+    scores, so the lowest-cell tie-break lands them together regardless
+    of the seed draw) and be pruned with kept_by = the original's id;
+    pairwise-orthogonal one-hot vectors must never be pruned.  The
+    verdict must be invariant to input partitioning (the groupBy(cell)
+    owns the layout, not the source)."""
+    dim = 16
+    rows = []
+    for i in range(10):
+        v = [0.0] * dim
+        v[i] = 1.0
+        rows.append((i, v))
+    copy_of_3 = [0.0] * dim
+    copy_of_3[3] = 1.0
+    rows.append((100, copy_of_3))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    for parts in (1, 7):
+        got = sorted(
+            (r["vec_id"], r["kept_by"])
+            for r in similarity.semantic_dedup_frame(emb.repartition(parts)).collect()
+        )
+        assert got == [(100, 3)], got
