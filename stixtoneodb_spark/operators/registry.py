@@ -1057,6 +1057,48 @@ SELECT m.event_type, m.n AS n_events,
 FROM m JOIN s2 USING (event_type)
 """,
     ),
+    # Okapi BM25 with the rational (log-free) Robertson idf and per-term
+    # contributions floored to integer micro-units BEFORE the sum — an
+    # integer sum is order-independent, so the hash compare is exact (the
+    # TF-IDF libm/order lesson).  Identical literals and association
+    # order on both sides.
+    "text_bm25_topk": (
+        text.text_bm25_topk,
+        f"""
+WITH dl AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(text), ' '), t -> length(t) > 0)) AS dl,
+         list_filter(string_split(lower(text), ' '), t -> length(t) > 0) AS toks
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, CAST(SUM(dl) AS DOUBLE) AS sum_dl FROM dl
+), tok AS (
+  SELECT doc_id, unnest(toks) AS term FROM dl
+), per_term AS (
+  SELECT t.doc_id, d.dl, t.term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM tok t JOIN dl d USING (doc_id)
+  WHERE t.term IN ({", ".join("'" + t + "'" for t in text.BM25_QUERY_TERMS)})
+  GROUP BY t.doc_id, d.dl, t.term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM per_term GROUP BY term
+), scored AS (
+  SELECT t.doc_id,
+    CAST(floor(
+      ((s.n_docs - f.df + 0.5) / (f.df + 0.5))
+      * (t.tf * 2.2)
+      / (t.tf + 1.2 * (0.25 + 0.75 * t.dl / (s.sum_dl / s.n_docs)))
+      * 1000000.0
+    ) AS BIGINT) AS c
+  FROM per_term t JOIN dfreq f USING (term), stats s
+), agg AS (
+  SELECT doc_id, COUNT(*) AS n_terms, SUM(c) AS score_micro
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_terms, CAST(score_micro AS BIGINT) AS score_micro, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY score_micro DESC, doc_id) AS rk FROM agg
+) WHERE rk <= {text.BM25_TOP_K}
+""",
+    ),
     "join_cogroup_conversion": (
         pandas_surface.join_cogroup_conversion,
         """

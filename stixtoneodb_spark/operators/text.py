@@ -347,3 +347,110 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(toks).alias("token_max"),
         F.concat_ws(" ", F.slice(toks, 1, 3)).alias("first3"),
     )
+
+
+# BM25 (Okapi) retrieval scoring — the standard lexical ranking function
+# of a retrieval / RAG data pipeline.  Constants are the textbook
+# defaults; the QUERY term set is fixed so the operator is a pure
+# function of the corpus (and oracle-comparable).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("spark", "join", "window", "hash")
+BM25_TOP_K = 20
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-``BM25_TOP_K`` documents by Okapi BM25 score for the fixed
+    ``BM25_QUERY_TERMS`` query — lexical retrieval scoring, the ranking
+    primitive behind RAG corpus search and quality-weighted sampling.
+
+    Cross-engine determinism (the TF-IDF lesson, text_tfidf_top_terms):
+    the classical log-idf differs at 1 ulp between libm implementations,
+    and a float SUM over per-term contributions is order-dependent — so
+    (a) idf is the RATIONAL Robertson form without the log,
+    (b) each per-term contribution is floored to integer micro-units
+        (``floor(c * 1e6)``) BEFORE the sum — an integer sum is
+        order-independent and exact, so the DuckDB oracle hash-matches
+        bit-for-bit.
+    All remaining arithmetic is IEEE +,-,*,/ with identical literals and
+    association order in both engines (correctly-rounded, deterministic).
+
+    Scale shape: per-term tf is a map-side array filter per document
+    (NEVER an explode of the full corpus vocabulary — the per-term frame
+    carries |query| rows per MATCHED document only); df and corpus stats
+    are broadcast 4-row / 1-row aggregates; the only shuffle is the
+    matched-docs groupBy(doc_id), and the final top-k is
+    TakeOrderedAndProject (O(n) scan + bounded heap, no global sort).
+    The query-term frame is recomputed for the df agg rather than
+    persisted: at corpus scale two pruned columnar scans beat caching a
+    corpus-sized frame (the turns-cache lesson, plans/pipeline.py).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_ws_tokens(F.col("text")), lambda t: F.length(t) > 0)
+    docs = d.select("doc_id", toks.alias("toks")).withColumn("dl", F.size("toks"))
+    stats = docs.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("sum_dl"),
+    )
+    def _eq(term: str):
+        # NOTE: a bound-default 2-parameter lambda would be treated by
+        # F.filter as the (element, index) form — the closure keeps it unary
+        return lambda x: x == F.lit(term)
+
+    per_term = (
+        docs.select(
+            "doc_id",
+            "dl",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(t).alias("term"),
+                            F.size(F.filter("toks", _eq(t)))
+                            .cast("long")
+                            .alias("tf"),
+                        )
+                        for t in BM25_QUERY_TERMS
+                    ]
+                )
+            ).alias("qt"),
+        )
+        .select("doc_id", "dl", F.col("qt.term").alias("term"), F.col("qt.tf").alias("tf"))
+        .where(F.col("tf") > 0)
+    )
+    dfreq = per_term.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        per_term.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.floor(
+                (
+                    (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(0.25)
+                        + F.lit(0.75) * F.col("dl") / (F.col("sum_dl") / F.col("n_docs"))
+                    )
+                )
+                * F.lit(1000000.0)
+            ),
+        )
+    )
+    topk = (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_terms"), F.sum("c").alias("score_micro"))
+        .orderBy(F.desc("score_micro"), "doc_id")
+        .limit(BM25_TOP_K)
+    )
+    # rank over the already-bounded top-k frame (≤ BM25_TOP_K rows — the
+    # single-partition window is on a driver-sized frame, never the corpus)
+    w = Window.orderBy(F.desc("score_micro"), "doc_id")
+    return topk.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id", "n_terms", "score_micro", "rk"
+    )

@@ -63,3 +63,52 @@ def test_stratified_sample_is_deterministic(spark):
     a = {tuple(r) for r in corpus_sample_stratified(spark, SF).collect()}
     b = {tuple(r) for r in corpus_sample_stratified(spark, SF).collect()}
     assert a == b
+
+
+def test_bm25_topk_invariants(spark):
+    """BM25 invariants the oracle can't see as directly: rank order follows
+    score_micro with doc_id tie-break, matched-term counts are within the
+    query size, and a brute-force python recomputation of the score on the
+    top document agrees exactly (same literals, floor-to-micro spec)."""
+    from stixtoneodb_spark.operators.text import (
+        BM25_QUERY_TERMS,
+        BM25_TOP_K,
+        text_bm25_topk,
+    )
+
+    out = text_bm25_topk(spark, SF).collect()
+    assert out, "non-vacuous at sf0.001"
+    assert len(out) <= BM25_TOP_K
+    srt = sorted(out, key=lambda r: r["rk"])
+    assert [r["rk"] for r in srt] == list(range(1, len(srt) + 1))
+    keys = [(-r["score_micro"], r["doc_id"]) for r in srt]
+    assert keys == sorted(keys)
+    assert all(1 <= r["n_terms"] <= len(BM25_QUERY_TERMS) for r in out)
+
+    # independent recomputation (plain python) of the winner's score
+    import math
+
+    docs = {
+        r["doc_id"]: [t for t in r["text"].lower().split(" ") if t]
+        for r in spark.read.parquet(f"{SF}/documents.parquet").collect()
+    }
+    n_docs = float(len(docs))
+    avgdl = sum(len(t) for t in docs.values()) / n_docs
+    dfreq = {
+        q: sum(1 for t in docs.values() if q in t) for q in BM25_QUERY_TERMS
+    }
+    top = srt[0]
+    toks = docs[top["doc_id"]]
+    expect = 0
+    for q in BM25_QUERY_TERMS:
+        tf = toks.count(q)
+        if tf == 0:
+            continue
+        c = (
+            ((n_docs - dfreq[q] + 0.5) / (dfreq[q] + 0.5))
+            * (tf * 2.2)
+            / (tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl))
+            * 1000000.0
+        )
+        expect += math.floor(c)
+    assert expect == top["score_micro"]
