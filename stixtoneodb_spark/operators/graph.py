@@ -250,3 +250,60 @@ def khop_reach(edges: DataFrame, seed: str, kmax: int) -> DataFrame:
         frontier = nxt.localCheckpoint(eager=True)
         reached = reached.unionByName(frontier).localCheckpoint(eager=True)
     return reached.select(F.col("node").alias("mention"), "hops")
+
+
+# Label-propagation protocol constants — interpolated into the oracle SQL
+# so both engines always run the same spec.
+LPA_ITERS = 3
+
+
+def kg_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection via SYNCHRONOUS label propagation over the
+    entity co-occurrence graph — the cheap community primitive
+    (Raghavan et al. 2007) for grouping related entities without a
+    modularity solve.
+
+    Deterministic spec (async LPA is run-order dependent; this is the
+    synchronous variant with a total tie-break, so the DuckDB oracle can
+    unroll the identical ``LPA_ITERS`` rounds):
+
+    - round 0: label(v) = v;
+    - round k: label(v) = the most frequent label among v's neighbors at
+      round k-1, ties broken by the lexicographically SMALLEST label
+      (implemented as min over struct(-count, label) — one expression,
+      no window);
+    - exactly ``LPA_ITERS`` rounds (fixed-iteration, like the PageRank
+      loop — convergence detection would make the oracle unreplayable).
+
+    Scale shape: each round is one edge-scale join (labels attach to the
+    dst side) + one (node, label) partial-agg groupBy + one per-node
+    min-struct agg — the semi-ring iteration shape; lineage truncated per
+    round with eager localCheckpoint exactly like the CC/PageRank loops.
+    At 100 TB the label frame is node-cardinality (broadcastable while
+    the vocabulary allows; shuffle join on node past that).
+    """
+    edges = _cooccurrence_edges(spark, sf_dir)
+    return label_propagation(edges, LPA_ITERS)
+
+
+def label_propagation(edges: DataFrame, iters: int) -> DataFrame:
+    """Core synchronous LPA over an undirected (both-orientations,
+    deduplicated) edge DataFrame — factored out for planted sparse-graph
+    tests (the oracle corpus's co-occurrence graph is complete, which
+    exercises the algebra but not community separation)."""
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    ).localCheckpoint(eager=True)
+    for _ in range(iters):
+        nbr = edges.join(labels, edges.dst == labels.node).select(
+            F.col("src").alias("node"), "label"
+        )
+        counts = nbr.groupBy("node", "label").agg(F.count("*").alias("c"))
+        labels = (
+            counts.groupBy("node")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("m"))
+            .select("node", F.col("m.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(F.col("node").alias("mention"), F.col("label").alias("community"))

@@ -153,6 +153,58 @@ SELECT node AS mention, CAST(MIN(d) AS INT) AS hops FROM reach GROUP BY node
 """
 
 
+def _lpa_sql() -> str:
+    """Synchronous label propagation, graph.LPA_ITERS rounds unrolled —
+    each round is a neighbor-label count + deterministic argmax
+    (count DESC, label ASC), the exact spec graph.label_propagation runs
+    (min over struct(-count, label) ≡ this ROW_NUMBER ordering)."""
+    rounds = []
+    for k in range(1, graph.LPA_ITERS + 1):
+        rounds.append(
+            f"""r{k} AS (
+  SELECT e.src AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN l{k - 1} l ON e.dst = l.node GROUP BY e.src, l.label
+), l{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM r{k}) WHERE rn = 1
+)"""
+        )
+    return f"""
+WITH {_coocc_edges_cte()}, edges AS (
+  SELECT src, dst FROM half UNION ALL SELECT dst AS src, src AS dst FROM half
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+), {", ".join(rounds)}
+SELECT node AS mention, label AS community FROM l{graph.LPA_ITERS}
+"""
+
+
+def _funnel_sql() -> str:
+    """Greedy earliest-completion funnel: t1 = min step-1 ts, t_k = min
+    step-k ts at-or-after t_{{k-1}} — the identical spec
+    relational.funnel_user_steps runs as conditional aggs + user joins."""
+    s1, s2, s3 = relational.FUNNEL_STEPS
+    return f"""
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = '{s1}'
+  GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = '{s2}' AND e.ts >= t1.t1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = '{s3}' AND e.ts >= t2.t2 GROUP BY e.user_id
+)
+SELECT t1.user_id,
+  CAST(1 + (t2.t2 IS NOT NULL)::INT + (t3.t3 IS NOT NULL)::INT AS INT) AS n_steps,
+  epoch_us(t1.t1) AS t1_micros,
+  epoch_us(t3.t3) AS t_last_micros
+FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)
+"""
+
+
 def _repeated_ngrams_sql() -> str:
     span = text.NGRAM_SPAN
     return f"""
@@ -996,6 +1048,8 @@ FROM t
     # ---- graph analytics (triangle / BFS tier) ----
     "kg_triangle_count": (graph.kg_triangle_count, _triangle_sql()),
     "kg_khop_reach": (graph.kg_khop_reach, _khop_sql()),
+    "kg_label_propagation": (graph.kg_label_propagation, _lpa_sql()),
+    "funnel_user_steps": (relational.funnel_user_steps, _funnel_sql()),
     # ---- training-data tier additions ----
     "dedup_repeated_ngrams": (text.dedup_repeated_ngrams, _repeated_ngrams_sql()),
     # same spec, same oracle — the 100-TB physical plan (8-byte hash

@@ -707,3 +707,71 @@ def dedup_names_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.levenshtein("name_a", "name_b") <= 1)
         .select("id_a", "id_b", "name_a", "name_b")
     )
+
+
+# Funnel protocol: ordered step list, greedy earliest-completion
+# semantics (each step's timestamp is the MIN event ts at-or-after the
+# previous step's).  Interpolated into the oracle SQL.
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel_user_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user conversion funnel over the events stream: how far each
+    user progressed through ``FUNNEL_STEPS`` (view → click → purchase),
+    with the greedy earliest-completion timestamps — the behavioral
+    analytics primitive (ClickHouse windowFunnel / funnel analysis).
+
+    Deterministic spec, replayed verbatim by the oracle:
+      t1 = MIN ts of step 1 events;
+      t_k = MIN ts of step-k events with ts >= t_{k-1};
+      n_steps = number of defined t_k.  `>=` (not `>`): a same-timestamp
+    later-step event counts, so the spec is total even at coarse ts
+    granularity.
+
+    Scale shape: each step is a user-cardinality conditional aggregation
+    joined to the previous step's (user, t) frame on user_id — partial
+    aggs absorb per-user event skew; the per-step frames shrink
+    monotonically (only users who completed step k-1 enter step k's
+    join), and every join keys on user_id so AQE handles residual skew.
+    No windows over the raw stream, no per-user collect.
+    """
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    return funnel_steps_frame(ev)
+
+
+def funnel_steps_frame(ev: DataFrame) -> DataFrame:
+    """Core funnel over a (user_id, event_type, ts) frame — factored out
+    for planted-sequence tests (out-of-order, missing-middle-step, and
+    equal-timestamp boundary cases)."""
+    t1 = (
+        ev.where(F.col("event_type") == FUNNEL_STEPS[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    prev, frames = t1, [t1]
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        cur = (
+            ev.where(F.col("event_type") == step)
+            .join(prev.select("user_id", F.col(f"t{i-1}").alias("_tp")), "user_id")
+            .where(F.col("ts") >= F.col("_tp"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        prev = cur
+        frames.append(cur)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.join(f, "user_id", "left")
+    n_steps = sum(
+        (F.col(f"t{i}").isNotNull()).cast("int") for i in range(1, len(FUNNEL_STEPS) + 1)
+    )
+    return out.select(
+        "user_id",
+        n_steps.alias("n_steps"),
+        # ts is TIMESTAMP_NTZ in the parquet; session tz is UTC, so the
+        # cast is the identity wall-clock mapping DuckDB's epoch_us uses
+        F.unix_micros(F.col("t1").cast("timestamp")).alias("t1_micros"),
+        F.unix_micros(F.col(f"t{len(FUNNEL_STEPS)}").cast("timestamp")).alias(
+            "t_last_micros"
+        ),
+    )

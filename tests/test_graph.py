@@ -169,3 +169,44 @@ def test_khop_disconnected_component_excluded(spark):
     )
     got = {r["mention"]: r["hops"] for r in graph.khop_reach(edges, "s", 3).collect()}
     assert got == {"s": 0, "a": 1}
+
+
+def _undirect(spark, pairs):
+    half = spark.createDataFrame(pairs, "src string, dst string")
+    return half.unionByName(half.selectExpr("dst as src", "src as dst"))
+
+
+def test_label_propagation_two_cliques_weak_bridge(spark):
+    """Planted structure LPA must recover: two 4-cliques joined by ONE
+    bridge edge.  After round 1 every clique member holds its clique's
+    min label (each node sees 3 same-clique neighbors vs at most 1
+    cross); further rounds are stable — communities = the two cliques.
+    The bridge endpoints stay with their own cliques because the
+    in-clique majority (3) beats the single bridge neighbor."""
+    a = ["a1", "a2", "a3", "a4"]
+    b = ["b1", "b2", "b3", "b4"]
+    pairs = [(x, y) for c in (a, b) for i, x in enumerate(c) for y in c[i + 1 :]]
+    pairs.append(("a1", "b1"))  # weak bridge
+    got = {
+        r["mention"]: r["community"]
+        for r in graph.label_propagation(_undirect(spark, pairs), graph.LPA_ITERS).collect()
+    }
+    assert {got[x] for x in a} == {"a1"}
+    assert {got[x] for x in b} == {"b1"}
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    """A node with equal-count neighbor labels takes the lexicographically
+    smallest (the deterministic sync-LPA tie rule both engines run).
+    Star center 'm' with leaves x,y after one round: every leaf saw only
+    'm'; 'm' saw {x, y} equally often -> 'x'.  Round 2: leaves see 'x',
+    center sees {'m'} twice -> 'm'.  Round 3: leaves -> 'm', center 'x'.
+    Exactly LPA_ITERS=3 rounds — the test pins the fixed-iteration spec
+    (a converge-check would make the oracle unreplayable)."""
+    got = {
+        r["mention"]: r["community"]
+        for r in graph.label_propagation(
+            _undirect(spark, [("m", "x"), ("m", "y")]), 3
+        ).collect()
+    }
+    assert got == {"m": "x", "x": "m", "y": "m"}

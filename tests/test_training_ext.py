@@ -194,3 +194,53 @@ def test_quantize_codes_match_numpy_bitwise(spark):
         if mx > mn:
             # range endpoints quantize exactly to the code rails
             assert codes.max() == 255 and codes.min() == 0
+
+
+# -- funnel -------------------------------------------------------------------
+
+def test_funnel_planted_sequences(spark):
+    """Planted per-user event sequences pin the greedy earliest-completion
+    semantics the oracle shares: out-of-order steps don't count, a
+    missing middle step stops the funnel even when the last step exists,
+    equal timestamps DO advance (>= boundary), and the timestamps taken
+    are the EARLIEST valid ones."""
+    from datetime import datetime as dt
+
+    rows = [
+        # u1: full funnel, extra noise events, earliest-valid choice:
+        # second view (later) must NOT move t1
+        (1, "view", dt(2026, 1, 1, 0, 0, 0)),
+        (1, "view", dt(2026, 1, 1, 2, 0, 0)),
+        (1, "click", dt(2026, 1, 1, 1, 0, 0)),
+        (1, "purchase", dt(2026, 1, 1, 3, 0, 0)),
+        # u2: click BEFORE any view -> funnel stops at view
+        (2, "click", dt(2026, 1, 1, 0, 0, 0)),
+        (2, "view", dt(2026, 1, 1, 1, 0, 0)),
+        (2, "purchase", dt(2026, 1, 1, 2, 0, 0)),
+        # u3: purchase without click -> n_steps 1 despite purchase
+        (3, "view", dt(2026, 1, 1, 0, 0, 0)),
+        (3, "purchase", dt(2026, 1, 1, 1, 0, 0)),
+        # u4: all three at the SAME timestamp -> >= admits them all
+        (4, "view", dt(2026, 1, 1, 0, 0, 0)),
+        (4, "click", dt(2026, 1, 1, 0, 0, 0)),
+        (4, "purchase", dt(2026, 1, 1, 0, 0, 0)),
+        # u5: never viewed -> absent from output
+        (5, "click", dt(2026, 1, 1, 0, 0, 0)),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp_ntz")
+    got = {
+        r["user_id"]: (r["n_steps"], r["t1_micros"], r["t_last_micros"])
+        for r in relational.funnel_steps_frame(ev).collect()
+    }
+    import calendar
+
+    def us(*a):
+        return calendar.timegm(dt(*a).timetuple()) * 1_000_000
+
+    assert set(got) == {1, 2, 3, 4}
+    assert got[1] == (3, us(2026, 1, 1, 0), us(2026, 1, 1, 3))
+    # u2's only click precedes its first view, so step 2 never fires —
+    # and the purchase can't count without it
+    assert got[2] == (1, us(2026, 1, 1, 1), None)
+    assert got[3] == (1, us(2026, 1, 1, 0), None)
+    assert got[4] == (3, us(2026, 1, 1, 0), us(2026, 1, 1, 0))
