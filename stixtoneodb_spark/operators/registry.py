@@ -153,6 +153,23 @@ SELECT node AS mention, CAST(MIN(d) AS INT) AS hops FROM reach GROUP BY node
 """
 
 
+# Shared CTE text: the cleaned-token 3-shingle sets behind the MinHash
+# near-dup spec — must mirror dedup._minhash_pairs' shingle build exactly.
+_MINHASH_SHINGLE_CTE = """tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+              ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                  for i in range(1, len(toks) - 1)])
+         END AS sh
+  FROM tok WHERE len(toks) > 0
+)"""
+
+
 def _lpa_sql() -> str:
     """Synchronous label propagation, graph.LPA_ITERS rounds unrolled —
     each round is a neighbor-label count + deterministic argmax
@@ -482,26 +499,44 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
     # pair lies near the 0.5 boundary to flip on rounding.
     "dedup_minhash_lsh": (
         dedup.dedup_minhash_lsh,
-        """
-WITH tok AS (
-  SELECT doc_id,
-         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
-                     x -> x <> '') AS toks
-  FROM documents
-), sh AS (
-  SELECT doc_id,
-         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-              ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
-                                  for i in range(1, len(toks) - 1)])
-         END AS sh
-  FROM tok WHERE len(toks) > 0
-)
+        f"""
+WITH {_MINHASH_SHINGLE_CTE}
 SELECT id_a, id_b, jaccard FROM (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          round(len(list_intersect(a.sh, b.sh))::DOUBLE
                / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
   FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
 WHERE jaccard >= 0.5
+""",
+    ),
+    # the composed end-to-end curation decision table — lang filter +
+    # length floor + exact-dup canonical + near-dup loser removal (the
+    # near-dup set is the dedup_minhash_lsh spec, shared CTE)
+    "corpus_curate_flags": (
+        text.corpus_curate_flags,
+        f"""
+WITH {_MINHASH_SHINGLE_CTE}, pairs AS (
+  SELECT id_a, id_b FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh))::DOUBLE
+                 / len(list_distinct(a.sh || b.sh)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+  WHERE jaccard >= 0.5
+), losers AS (
+  SELECT DISTINCT id_b AS doc_id FROM pairs
+), flags AS (
+  SELECT d.doc_id,
+    (d.lang = '{text.CURATE_LANG}') AS is_lang,
+    (len(string_split(lower(d.text), ' ')) >= {text.CURATE_MIN_TOKENS})
+      AS long_enough,
+    (d.doc_id = MIN(d.doc_id) OVER (PARTITION BY md5(d.text)))
+      AS exact_canonical,
+    (l.doc_id IS NOT NULL) AS neardup_loser
+  FROM documents d LEFT JOIN losers l USING (doc_id)
+)
+SELECT doc_id, is_lang, long_enough, exact_canonical, neardup_loser,
+  (is_lang AND long_enough AND exact_canonical AND NOT neardup_loser) AS keep
+FROM flags
 """,
     ),
     # portable-hash simhash: the oracle replays the identical md5-based

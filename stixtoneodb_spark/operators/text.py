@@ -454,3 +454,60 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.withColumn("rk", F.row_number().over(w)).select(
         "doc_id", "n_terms", "score_micro", "rk"
     )
+
+
+# Corpus-curation thresholds (shared with the oracle SQL via registry
+# interpolation).
+CURATE_LANG = "en"
+CURATE_MIN_TOKENS = 20
+
+
+def corpus_curate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end curation decision — one row per document
+    with every filter verdict and the final ``keep``: language filter,
+    minimum-length floor, exact-dup canonicalization (min doc_id per
+    content hash wins), and near-dup loser removal (a doc loses iff the
+    MinHash-LSH pair set pairs it with a smaller doc_id).  This is the
+    training-data pipeline's actual decision table: the individual
+    operators are the tiers; this query is how a user runs them together.
+
+    Scale shape: the flags are one pass over the corpus (the exact-dup
+    window shuffles 16-byte md5 keys, the dedup_exact_rows pattern); the
+    near-dup loser set is pair-graph-cardinality (orders of magnitude
+    below the corpus) and joins back on doc_id — broadcastable in
+    practice, AQE-converted when small.  No step re-shuffles the corpus
+    on a skewed key.
+    """
+    from stixtoneodb_spark.operators import dedup  # local: avoid cycles
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_ws_tokens(F.col("text")))
+    w = Window.partitionBy(F.md5("text"))
+    flags = d.select(
+        "doc_id",
+        (F.col("lang") == CURATE_LANG).alias("is_lang"),
+        (n_tok >= CURATE_MIN_TOKENS).alias("long_enough"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("exact_canonical"),
+    )
+    losers = (
+        dedup.dedup_minhash_lsh(spark, sf_dir)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_loser", F.lit(True))
+    )
+    out = flags.join(losers, "doc_id", "left").withColumn(
+        "neardup_loser", F.coalesce(F.col("_loser"), F.lit(False))
+    )
+    return out.select(
+        "doc_id",
+        "is_lang",
+        "long_enough",
+        "exact_canonical",
+        "neardup_loser",
+        (
+            F.col("is_lang")
+            & F.col("long_enough")
+            & F.col("exact_canonical")
+            & ~F.col("neardup_loser")
+        ).alias("keep"),
+    )

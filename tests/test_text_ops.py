@@ -112,3 +112,24 @@ def test_bm25_topk_invariants(spark):
         )
         expect += math.floor(c)
     assert expect == top["score_micro"]
+
+
+def test_curate_flags_internal_consistency(spark):
+    """keep must equal the conjunction of its flags, every content group
+    must elect exactly one exact-canonical doc, and a near-dup loser must
+    actually have a smaller-id partner in the pair set."""
+    from stixtoneodb_spark.operators.dedup import dedup_minhash_lsh
+    from stixtoneodb_spark.operators.text import corpus_curate_flags
+
+    rows = corpus_curate_flags(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r["keep"] == (
+            r["is_lang"]
+            and r["long_enough"]
+            and r["exact_canonical"]
+            and not r["neardup_loser"]
+        )
+    losers = {r["doc_id"] for r in rows if r["neardup_loser"]}
+    pair_losers = {r["id_b"] for r in dedup_minhash_lsh(spark, SF).collect()}
+    assert losers == pair_losers
