@@ -1188,6 +1188,24 @@ SELECT doc_id, n_terms, CAST(score_micro AS BIGINT) AS score_micro, rk FROM (
 ) WHERE rk <= {text.BM25_TOP_K}
 """,
     ),
+    "retention_cohorts": (
+        relational.retention_cohorts,
+        f"""
+WITH ev AS (
+  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS d FROM events
+), first AS (
+  SELECT user_id, MIN(d) AS cohort_day FROM ev GROUP BY user_id
+), act AS (
+  SELECT DISTINCT user_id, d FROM ev
+)
+SELECT f.cohort_day,
+       date_diff('day', f.cohort_day, a.d) AS day_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM act a JOIN first f USING (user_id)
+WHERE date_diff('day', f.cohort_day, a.d) <= {relational.RETENTION_MAX_OFFSET}
+GROUP BY f.cohort_day, day_offset
+""",
+    ),
     "join_cogroup_conversion": (
         pandas_surface.join_cogroup_conversion,
         """

@@ -775,3 +775,35 @@ def funnel_steps_frame(ev: DataFrame) -> DataFrame:
             "t_last_micros"
         ),
     )
+
+
+RETENTION_MAX_OFFSET = 7
+
+
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily cohort retention matrix over the event stream: users are
+    cohorted by their FIRST event day; for each day offset 0..
+    ``RETENTION_MAX_OFFSET`` the cell counts distinct cohort members
+    active on cohort_day + offset — the standard product-analytics
+    retention triangle.
+
+    Scale shape: the cohort map is one user-cardinality MIN aggregation
+    (map-side combine absorbs per-user event skew); activity collapses
+    to DISTINCT (user, day) BEFORE the join, so the join input is
+    bounded by users x active-days, not raw events; the join keys on
+    user_id (AQE handles residual skew) and the final groupBy is
+    cohort-day x offset cardinality — tiny.  No windows over the raw
+    stream.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_day"))
+    act = ev.distinct()
+    return (
+        act.join(first, "user_id")
+        .withColumn("day_offset", F.datediff("d", "cohort_day"))
+        .where(F.col("day_offset") <= RETENTION_MAX_OFFSET)
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -244,3 +244,29 @@ def test_funnel_planted_sequences(spark):
     assert got[2] == (1, us(2026, 1, 1, 1), None)
     assert got[3] == (1, us(2026, 1, 1, 0), None)
     assert got[4] == (3, us(2026, 1, 1, 0), us(2026, 1, 1, 0))
+
+
+# -- retention cohorts ---------------------------------------------------------
+
+def test_retention_cohorts_invariants(spark):
+    """Offset-0 cells must equal the cohort sizes (every user is active on
+    their own first day), no offset can exceed its cohort's size, and
+    offsets stay within the configured window."""
+    rows = relational.retention_cohorts(spark, SF).collect()
+    assert rows
+    day0 = {r["cohort_day"]: r["n_active"] for r in rows if r["day_offset"] == 0}
+    ev = load_table(spark, SF, "events").select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("d")
+    )
+    sizes = {
+        r["cohort_day"]: r["n"]
+        for r in ev.groupBy("user_id")
+        .agg(F.min("d").alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert day0 == sizes
+    for r in rows:
+        assert 0 <= r["day_offset"] <= relational.RETENTION_MAX_OFFSET
+        assert r["n_active"] <= sizes[r["cohort_day"]]
