@@ -143,3 +143,99 @@ def join_cogroup_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cogroup(purchases.groupby("user_id"))
         .applyInPandas(_align_conversion, _COGROUP_SCHEMA)
     )
+
+
+# Heavy-hitters protocol: Misra-Gries sketch capacity and the verified
+# top-J.  Shared with the oracle SQL via registry interpolation.
+MG_CAPACITY = 64
+HH_TOP_J = 10
+
+
+def _mg_fold(counters: dict, items, weights, capacity: int) -> None:
+    """Weighted Misra-Gries fold into ``counters`` (mutated in place).
+
+    Standard mergeable form (Agarwal et al. 2012, "Mergeable summaries"):
+    add weight; when the map exceeds ``capacity``, subtract the
+    (capacity+1)-th largest weight from everything and drop non-positive
+    entries.  Guarantee: any item with true weight > n/(capacity+1)
+    survives, and stored weights under-count by at most n/(capacity+1).
+    """
+    for it, w in zip(items, weights):
+        counters[it] = counters.get(it, 0) + int(w)
+        if len(counters) > capacity:
+            # decrement by the smallest stored weight (the classic MG
+            # step generalized to weighted arrivals)
+            dec = min(counters.values())
+            for k in list(counters):
+                counters[k] -= dec
+                if counters[k] <= 0:
+                    del counters[k]
+
+
+def mg_sketch(tok: DataFrame, capacity: int) -> DataFrame:
+    """Distributed Misra-Gries heavy-hitters sketch over a single
+    ``token`` column: per-partition sketches via ``mapInPandas`` (state
+    folds across the partition's Arrow batches), then ONE weighted-merge
+    task over the bounded (n_partitions x capacity)-row summary — the
+    mergeable-sketch tree-reduce shape.  Output: (token, w) with w the
+    MG under-estimate.
+
+    Scale shape: the corpus is touched once, map-side only — the only
+    shuffle carries at most ``capacity`` rows per partition; the merge
+    task's input is summary-cardinality.  At 1000 executors the merge is
+    one task over 1000*capacity rows — microseconds.  (Deterministic
+    only in the no-eviction regime |vocab| <= capacity, which the
+    registry query is sized for; the eviction-regime GUARANTEE — every
+    token with freq > n/(capacity+1) survives any partitioning — is
+    what the planted property test pins.)
+    """
+
+    def part_sketch(batches):
+        counters: dict = {}
+        for pdf in batches:
+            _mg_fold(counters, pdf["token"], np.ones(len(pdf), dtype=np.int64),
+                     capacity)
+        yield pd.DataFrame(
+            {"token": list(counters), "w": list(counters.values())}
+        )
+
+    def merge_sketch(batches):
+        counters: dict = {}
+        for pdf in batches:
+            _mg_fold(counters, pdf["token"], pdf["w"], capacity)
+        yield pd.DataFrame(
+            {"token": list(counters), "w": list(counters.values())}
+        )
+
+    partial = tok.mapInPandas(part_sketch, schema="token string, w long")
+    return partial.repartition(1).mapInPandas(
+        merge_sketch, schema="token string, w long"
+    )
+
+
+def agg_heavy_hitters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items monitoring: the exact top-``HH_TOP_J`` tokens with
+    their frequencies, each flagged with whether the distributed
+    Misra-Gries sketch retained it.  The registry sizes ``MG_CAPACITY``
+    above the corpus vocabulary, so the sketch is exact (no eviction
+    ever fires) and ``retained_by_sketch`` is deterministically TRUE —
+    the oracle checks that equality; the eviction-regime guarantee is
+    pinned by planted property tests (vocab > capacity, multiple
+    partitionings).
+    """
+    from stixtoneodb_spark.operators.text import _ws_tokens  # local: no cycle
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(F.explode(_ws_tokens(F.col("text"))).alias("token")).where(
+        F.length("token") > 0
+    )
+    exact = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    topj = exact.orderBy(F.desc("freq"), "token").limit(HH_TOP_J)
+    sk = mg_sketch(tok, MG_CAPACITY).select(
+        "token", F.lit(True).alias("_retained")
+    )
+    return topj.join(sk, "token", "left").select(
+        "token",
+        "freq",
+        F.coalesce(F.col("_retained"), F.lit(False)).alias("retained_by_sketch"),
+    )

@@ -1188,6 +1188,24 @@ SELECT doc_id, n_terms, CAST(score_micro AS BIGINT) AS score_micro, rk FROM (
 ) WHERE rk <= {text.BM25_TOP_K}
 """,
     ),
+    # the sketch is exact in the no-eviction regime (MG_CAPACITY >= corpus
+    # vocabulary), so retained_by_sketch is deterministically TRUE and the
+    # oracle checks that equality; the eviction-regime guarantee is pinned
+    # by planted property tests
+    "agg_heavy_hitters_contract": (
+        pandas_surface.agg_heavy_hitters_contract,
+        f"""
+WITH tok AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+), exact AS (
+  SELECT token, COUNT(*) AS freq FROM tok WHERE length(token) > 0
+  GROUP BY token
+)
+SELECT token, freq, TRUE AS retained_by_sketch FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rn FROM exact
+) WHERE rn <= {pandas_surface.HH_TOP_J}
+""",
+    ),
     "retention_cohorts": (
         relational.retention_cohorts,
         f"""

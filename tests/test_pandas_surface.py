@@ -106,3 +106,50 @@ def test_cogroup_survives_count_only_pruning(spark):
     runs exactly this plan shape."""
     out = pandas_surface.join_cogroup_conversion(spark, SF)
     assert out.count() == 150
+
+
+# -- Misra-Gries heavy hitters ---------------------------------------------------
+
+def test_mg_guarantee_under_eviction_and_partitionings(spark):
+    """Eviction regime: vocab (40) > capacity (8).  The MG guarantee —
+    every token with true frequency > n/(capacity+1) survives — must
+    hold under ANY partitioning; sketch weights must under-count, never
+    over-count."""
+    from stixtoneodb_spark.operators.pandas_surface import mg_sketch
+
+    # planted heavy-tailed stream: 3 hot tokens at 5000 plus 37 cold at
+    # 50 — n=16850, threshold n/9≈1872, so exactly the hot set is
+    # guaranteed to survive capacity 8
+    rows = [(f"hot{i}",) for i in range(3) for _ in range(5000)]
+    rows += [(f"t{i:02d}",) for i in range(37) for _ in range(50)]
+    n = len(rows)
+    exact = {}
+    for (t,) in rows:
+        exact[t] = exact.get(t, 0) + 1
+    cap = 8
+    threshold = n / (cap + 1)
+    must_survive = {t for t, c in exact.items() if c > threshold}
+    assert must_survive, "planted stream must have guaranteed heavy hitters"
+
+    tok = spark.createDataFrame(rows, "token string")
+    for parts in (1, 5, 17):
+        got = {
+            r["token"]: r["w"]
+            for r in mg_sketch(tok.repartition(parts), cap).collect()
+        }
+        assert len(got) <= cap
+        assert must_survive <= set(got), (parts, must_survive - set(got))
+        for t, w in got.items():
+            assert w <= exact[t], (t, w, exact[t])
+
+
+def test_heavy_hitters_query_exact_regime(spark):
+    """Registry regime: capacity >= corpus vocabulary, so every top-J
+    token is retained and sketch weights equal exact frequencies."""
+    from stixtoneodb_spark.operators.pandas_surface import (
+        agg_heavy_hitters_contract,
+    )
+
+    rows = agg_heavy_hitters_contract(spark, SF).collect()
+    assert len(rows) > 0
+    assert all(r["retained_by_sketch"] for r in rows)
