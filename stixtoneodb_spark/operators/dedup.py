@@ -379,3 +379,94 @@ def dedup_embedding_cosine(
         return pd.DataFrame({"id_a": np.minimum(la, rb), "id_b": np.maximum(la, rb)})
 
     return rep.groupBy("bp", "bq").applyInPandas(gemm_tile, "id_a long, id_b long")
+
+
+# Prefix-filter set-similarity join: Jaccard >= SSJ_TAU_NUM/SSJ_TAU_DEN
+# over whitespace token SETS (all thresholds integer so both engines
+# compare exactly — no float Jaccard anywhere).
+SSJ_TAU_NUM = 9
+SSJ_TAU_DEN = 10
+
+
+def dedup_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT all-pairs Jaccard similarity join via prefix filtering — the
+    deterministic counterpart to MinHash-LSH (LSH is probabilistic recall;
+    this is the published exact algorithm: AllPairs/PPJoin prefix filter,
+    Bayardo et al. WWW'07 / Xiao et al. WWW'08).
+
+    Spec: token sets are the DISTINCT whitespace tokens of lowercased
+    text; emit every unordered doc pair with Jaccard >= 0.6 plus the
+    exact intersection / union sizes and jaccard scaled to integer ppm.
+
+    Prefix filter: order every doc's tokens by GLOBAL ascending document
+    frequency (rarest first, token string tie-break); two sets with
+    Jaccard >= t MUST share a token among each one's first
+    n - ceil(t*n) + 1 tokens, so only prefix tokens enter the candidate
+    self-join.  The DuckDB oracle computes the naive all-pairs form —
+    the hash match is a losslessness proof of the filter.
+
+    Scale shape: candidate generation joins PREFIX postings only (the
+    classic inverted-index build, keyed by rare tokens → small posting
+    lists by construction); frequent tokens never index anything.
+    Verification runs at candidate cardinality via sort_array +
+    array_intersect on the two token arrays, never a tokens×tokens
+    shuffle.  All integer math: ceil(t*n) = (NUM*n + DEN-1) div DEN and
+    the final threshold is cross-multiplied (inter*DEN >= NUM*union).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .distinct()
+    )
+    df_freq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    ordered = toks.join(F.broadcast(df_freq), "token").withColumn(
+        "pos",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df", "token")
+        ),
+    )
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
+    pref_len = (
+        F.col("n_tok")
+        - ((F.lit(SSJ_TAU_NUM) * F.col("n_tok") + F.lit(SSJ_TAU_DEN - 1))
+           .cast("long") / F.lit(SSJ_TAU_DEN)).cast("long")
+        + F.lit(1)
+    )
+    prefix = (
+        ordered.join(F.broadcast(sizes), "doc_id")
+        .where(F.col("pos") <= pref_len)
+        .select("token", "doc_id")
+    )
+    cand = (
+        prefix.alias("pa")
+        .join(prefix.alias("pb"), "token")
+        .where(F.col("pa.doc_id") < F.col("pb.doc_id"))
+        .select(
+            F.col("pa.doc_id").alias("doc_a"), F.col("pb.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    tok_arr = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("token")).alias("toks")
+    )
+    verified = (
+        cand.join(tok_arr.select(F.col("doc_id").alias("doc_a"),
+                                 F.col("toks").alias("ta")), "doc_a")
+        .join(tok_arr.select(F.col("doc_id").alias("doc_b"),
+                             F.col("toks").alias("tb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("ta", "tb")).alias("inter"),
+            (F.size("ta") + F.size("tb")
+             - F.size(F.array_intersect("ta", "tb"))).alias("uni"),
+        )
+        .where(F.col("inter") * SSJ_TAU_DEN >= F.lit(SSJ_TAU_NUM) * F.col("uni"))
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        "inter",
+        "uni",
+        F.expr("CAST(inter * 1000000 AS BIGINT) div uni").alias("jaccard_ppm"),
+    )

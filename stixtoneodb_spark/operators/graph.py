@@ -307,3 +307,56 @@ def label_propagation(edges: DataFrame, iters: int) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return labels.select(F.col("node").alias("mention"), F.col("label").alias("community"))
+
+
+def kg_pmi_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information weights for KG co-occurrence edges —
+    the standard edge-scoring step between extraction and materialize
+    (raw co-occurrence counts over-weight frequent entities; PMI
+    normalizes by marginal frequency so "rare pair that always co-occurs"
+    outranks "two ubiquitous entities that collide by chance").
+
+    PMI(a,b) = ln( P(a,b) / (P(a)·P(b)) ) = ln( n_ab·N / (n_a·n_b) )
+    with document-level probabilities: n_ab = docs containing both, n_a =
+    docs containing a, N = corpus size.  Reported rounded to 6 dp (the
+    ln argument is an exact integer ratio computed identically on both
+    engines; same convention as kg_pagerank).
+
+    Scale shape: the pair counts come from the vocabulary-bounded distinct
+    (doc, token) self-join (per-doc fan-out ≤ |V|²); marginals are a
+    vocabulary-cardinality aggregate joined back via broadcast; N rides
+    the plan as a broadcast 1-row aggregate (no count() barrier).  At
+    100 TB nothing here shuffles more than (doc_id, token) pairs once.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    m = (
+        d.select("doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token"))
+        .where(F.col("token").isin(*PR_VOCAB))
+        .distinct()
+    )
+    pair = (
+        m.select("doc_id", F.col("token").alias("src"))
+        .join(m.select("doc_id", F.col("token").alias("dst")), "doc_id")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    marg = m.groupBy("token").agg(F.count("*").alias("n_tok"))
+    n_docs = d.agg(F.count("*").alias("n_docs"))
+    return (
+        pair.join(F.broadcast(marg.withColumnRenamed("token", "src")
+                  .withColumnRenamed("n_tok", "n_a")), "src")
+        .join(F.broadcast(marg.withColumnRenamed("token", "dst")
+              .withColumnRenamed("n_tok", "n_b")), "dst")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "src",
+            "dst",
+            "n_ab",
+            F.round(
+                F.log((F.col("n_ab") * F.col("n_docs"))
+                      / (F.col("n_a") * F.col("n_b"))),
+                6,
+            ).alias("pmi"),
+        )
+    )

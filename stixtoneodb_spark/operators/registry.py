@@ -1241,4 +1241,107 @@ SELECT u.user_id,
 FROM u
 """,
     ),
+    "kg_pmi_edge_weights": (
+        graph.kg_pmi_edge_weights,
+        None,  # replaced below (needs the shared vocab interpolation)
+    ),
+    "events_max_concurrency": (
+        relational.events_max_concurrency,
+        """
+WITH ev AS (
+  SELECT event_id, event_type, epoch_us(ts) AS t0,
+         epoch_us(ts) + CAST(floor(value * 10) AS BIGINT) * 1000000 AS t1
+  FROM events
+), deltas AS (
+  SELECT event_type, t0 AS t, 1 AS delta, event_id FROM ev
+  UNION ALL
+  SELECT event_type, t1 AS t, -1 AS delta, event_id FROM ev
+), run AS (
+  SELECT event_type,
+         SUM(delta) OVER (PARTITION BY event_type ORDER BY t, delta, event_id
+                          ROWS UNBOUNDED PRECEDING) AS run
+  FROM deltas
+)
+SELECT event_type, CAST(MAX(run) AS BIGINT) AS max_concurrent
+FROM run GROUP BY event_type
+""",
+    ),
+    "dedup_set_similarity_prefix": (
+        dedup.dedup_set_similarity_prefix,
+        f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, unnest(string_split(lower(text), ' ')) AS token
+  FROM documents
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id
+), ix AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.doc_a, i.doc_b, CAST(i.inter AS BIGINT) AS inter,
+       CAST(sa.n_tok + sb.n_tok - i.inter AS BIGINT) AS uni,
+       CAST((i.inter * 1000000) // (sa.n_tok + sb.n_tok - i.inter) AS BIGINT)
+         AS jaccard_ppm
+FROM ix i
+JOIN sizes sa ON sa.doc_id = i.doc_a
+JOIN sizes sb ON sb.doc_id = i.doc_b
+WHERE i.inter * {dedup.SSJ_TAU_DEN}
+      >= {dedup.SSJ_TAU_NUM} * (sa.n_tok + sb.n_tok - i.inter)
+""",
+    ),
+    "profile_table_stats": (
+        relational.profile_table_stats,
+        "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS col_name,
+  COUNT({c}) AS n_rows,
+  CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+  COUNT(DISTINCT {c}) AS n_distinct,
+  CAST(MIN({c}) AS VARCHAR) AS min_str,
+  CAST(MAX({c}) AS VARCHAR) AS max_str
+FROM documents"""
+            for c in relational.PROFILE_COLUMNS
+        ),
+    ),
+    "corpus_sample_weighted_priority": (
+        text.corpus_sample_weighted_priority,
+        f"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         n_chars::DOUBLE /
+           (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+           AS priority
+  FROM documents
+)
+SELECT doc_id, lang, n_chars,
+       CAST(ROW_NUMBER() OVER (ORDER BY priority DESC, doc_id) AS INT)
+         AS sample_rank
+FROM scored ORDER BY priority DESC, doc_id LIMIT {text.PRIORITY_SAMPLE_K}
+""",
+    ),
 }
+
+REGISTRY["kg_pmi_edge_weights"] = (
+    graph.kg_pmi_edge_weights,
+    f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  WHERE token IN ({",".join(f"'{t}'" for t in graph.PR_VOCAB)})
+), pair AS (
+  SELECT a.token AS src, b.token AS dst, COUNT(*) AS n_ab
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+), marg AS (
+  SELECT token, COUNT(*) AS n_tok FROM m GROUP BY token
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+)
+SELECT p.src, p.dst, p.n_ab,
+       round(ln((p.n_ab * nd.n_docs)::DOUBLE / (ma.n_tok * mb.n_tok)), 6) AS pmi
+FROM pair p
+JOIN marg ma ON ma.token = p.src
+JOIN marg mb ON mb.token = p.dst
+CROSS JOIN nd
+""",
+)

@@ -807,3 +807,120 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+# Sweep-line concurrency: sessions last floor(value*10) seconds; buckets
+# carve the time axis so running sums stay partition-local (see docstring).
+CONCURRENCY_BUCKET_S = 3600
+
+
+def events_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Max concurrent sessions per event type — the interval sweep-line
+    primitive (peak-load / capacity analytics; also the shape of
+    "how many conversations were open at once" over transcript spans).
+
+    Each event opens a half-open session interval [ts, ts + floor(value
+    *10) s): +1 at start, -1 at end, sorted by time with ends before
+    starts (half-open semantics), running sum = live sessions, max = peak
+    concurrency.
+
+    Scale shape: a single global ordered window is the textbook
+    implementation and the textbook 100-TB bottleneck (one task sees
+    every delta).  Instead the sweep runs as a TWO-PASS PREFIX SUM:
+    deltas land in fixed time buckets (CONCURRENCY_BUCKET_S); pass 1
+    computes each bucket's LOCAL running max and LOCAL total inside a
+    (type, bucket) window — partition-local, arbitrarily parallel; pass
+    2 prefix-sums the per-bucket totals over a bucket-cardinality frame
+    (rows = types x active-hours, thousands of rows per day at any
+    corpus size) and adds the carried offset to each bucket's local max.
+    The identity max(global running sum) = max over buckets of
+    (carry-in + local max) is exact; the DuckDB oracle computes the
+    naive single-window form, so the decomposition itself is what the
+    hash match proves.
+
+    Epoch arithmetic rides integer microseconds on both engines
+    (unix_micros / epoch_us) — no float timestamps anywhere.
+    """
+    # ts is TIMESTAMP_NTZ; the UTC-session cast is the identity wall-clock
+    # mapping DuckDB's epoch_us uses (same convention as join_asof/funnel).
+    t_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        t_us.alias("t0"),
+        (t_us + F.floor(F.col("value") * 10).cast("long") * F.lit(1_000_000)
+         ).alias("t1"),
+    )
+    deltas = ev.select(
+        "event_type", F.col("t0").alias("t"), F.lit(1).alias("delta"), "event_id"
+    ).unionByName(
+        ev.select(
+            "event_type", F.col("t1").alias("t"), F.lit(-1).alias("delta"),
+            "event_id",
+        )
+    ).withColumn(
+        "bucket", F.floor(F.col("t") / F.lit(CONCURRENCY_BUCKET_S * 1_000_000))
+    )
+    w_local = (
+        Window.partitionBy("event_type", "bucket")
+        .orderBy("t", "delta", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.withColumn("run", F.sum("delta").over(w_local))
+    per_bucket = local.groupBy("event_type", "bucket").agg(
+        F.max("run").alias("local_max"), F.sum("delta").alias("local_tot")
+    )
+    w_carry = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    carried = per_bucket.withColumn(
+        "carry", F.coalesce(F.sum("local_tot").over(w_carry), F.lit(0))
+    )
+    return carried.groupBy("event_type").agg(
+        F.max(F.col("carry") + F.col("local_max")).alias("max_concurrent")
+    )
+
+
+PROFILE_COLUMNS = ("doc_id", "text", "lang", "source", "n_chars")
+
+
+def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-profiling summary of the documents table — the
+    schema-health pass every curation pipeline runs before training
+    (null rates, cardinality, value range drift between corpus drops).
+
+    One row per column: non-null count, null count, exact distinct count,
+    min/max rendered as strings (computed on the NATIVE type first, cast
+    after — so numeric columns profile numerically, not lexically).
+
+    Scale shape: a single full-table aggregate produces every statistic
+    in ONE pass (no per-column scans — all expressions ride the same
+    partial-aggregation map side), then a 1-row → |columns| stack()
+    unpivot.  Exact countDistinct over multiple columns expands to an
+    O(|columns|) plan; the docstring-documented 100-TB swap-in is
+    approx_count_distinct per column, which keeps everything single-pass
+    mergeable.  At oracle scale exact is the point (cross-engine hash).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    aggs = []
+    for c in PROFILE_COLUMNS:
+        aggs += [
+            F.count(c).alias(f"{c}__n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__dist"),
+            F.min(c).cast("string").alias(f"{c}__min"),
+            F.max(c).cast("string").alias(f"{c}__max"),
+        ]
+    one = d.agg(*aggs)
+    stack = ", ".join(
+        f"'{c}', {c}__n, {c}__nulls, {c}__dist, {c}__min, {c}__max"
+        for c in PROFILE_COLUMNS
+    )
+    return one.select(
+        F.expr(
+            f"stack({len(PROFILE_COLUMNS)}, {stack}) AS "
+            "(col_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
+        )
+    )

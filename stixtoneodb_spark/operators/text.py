@@ -511,3 +511,43 @@ def corpus_curate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.col("neardup_loser")
         ).alias("keep"),
     )
+
+
+PRIORITY_SAMPLE_K = 50
+
+
+def corpus_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement via priority sampling
+    (Duffield–Lund–Thorup, JACM 2007): each doc draws a deterministic
+    pseudo-uniform u_i from md5(doc_id) and gets priority q_i = w_i / u_i
+    (weight = n_chars); the sample is the top-``PRIORITY_SAMPLE_K`` docs
+    by priority — inclusion probability is weight-proportional, and the
+    scheme is mergeable (a top-k of per-partition top-ks), which is what
+    makes it the 100-TB weighted sampler.
+
+    Portability: u_i is an INTEGER in [1, 2^32] (first 8 md5 hex digits
+    + 1); q_i = w/u is ONE correctly-rounded IEEE double division of two
+    exactly-representable integers — bit-identical on every engine, no
+    transcendentals (contrast A-ES exponential keys, which need ln()).
+
+    Scale shape: map-side per-partition heaps via TakeOrderedAndProject —
+    no global sort, no shuffle beyond k rows per partition.  The rank is
+    re-derived AFTER the top-k on k rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + F.lit(1)
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        (F.col("n_chars").cast("double") / u.cast("double")).alias("priority"),
+    )
+    topk = scored.orderBy(F.desc("priority"), "doc_id").limit(PRIORITY_SAMPLE_K)
+    w = Window.orderBy(F.desc("priority"), "doc_id")
+    return topk.select(
+        "doc_id", "lang", "n_chars", F.row_number().over(w).alias("sample_rank")
+    )

@@ -1,0 +1,250 @@
+"""Round-4 continuation operators: prefix-filter set-similarity join,
+sweep-line concurrency, PMI edge weights, priority sampling, profiler.
+
+All five carry FULL DuckDB oracles (registry.py, driver-compared at
+sf0.01); these tests pin the regimes the fixture can't reach — planted
+prefix-filter corner cases, intervals that CROSS the prefix-sum bucket
+boundary (the carry path), PMI against an independent math.log
+computation, priority-sampling mergeability, and null profiling.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import itertools
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from stixtoneodb_spark.operators import dedup, graph, relational, text
+
+SF = "/root/testdata/sf0.01"
+
+
+def _write_docs(tmp, texts, langs=None):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": langs if langs is not None else ["en"] * len(texts),
+            "source": "planted",
+            "n_chars": [len(t) if t is not None else 0 for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp / "documents.parquet")
+    return str(tmp)
+
+
+# ---- dedup_set_similarity_prefix ------------------------------------------
+
+
+def test_prefix_filter_lossless_on_planted_borderline_pairs(spark, tmp_path):
+    """Pairs engineered to sit exactly at/above/below tau=0.9, including
+    sets whose ONLY shared prefix token is the globally rarest one (the
+    regime where a buggy prefix length silently loses pairs)."""
+    texts = []
+    # family A: 20 docs = 17 shared tokens + 1 unique -> J = 17/19 < 0.9
+    for i in range(20):
+        texts.append(" ".join([f"a{j}" for j in range(17)] + [f"ua{i}"]))
+    # family B: 15 docs = 29 shared tokens + 1 unique -> J = 29/31 >= 0.9
+    for i in range(15):
+        texts.append(" ".join([f"b{j}" for j in range(29)] + [f"ub{i}"]))
+    # identical twins -> J = 1
+    texts += ["c0 c1 c2 c3 c4 c5 c6 c7 c8 c9"] * 2
+    d = _write_docs(tmp_path, texts)
+
+    sets = [frozenset(t.split(" ")) for t in texts]
+    truth = set()
+    for x, y in itertools.combinations(range(len(texts)), 2):
+        inter = len(sets[x] & sets[y])
+        uni = len(sets[x] | sets[y])
+        if inter * dedup.SSJ_TAU_DEN >= dedup.SSJ_TAU_NUM * uni:
+            truth.add((x, y))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_set_similarity_prefix(spark, d).collect()
+    }
+    assert got == truth
+    # sanity on the construction itself: B-family and twins survive, A dies
+    assert (20, 21) in truth and (35, 36) in truth and (0, 1) not in truth
+
+
+def test_prefix_filter_exact_scores(spark, tmp_path):
+    shared = " ".join(f"t{j}" for j in range(19))
+    d = _write_docs(tmp_path, [f"{shared} x", f"{shared} y"])
+    rows = dedup.dedup_set_similarity_prefix(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["inter"], r["uni"]) == (19, 21)  # 19/21 = 0.9047 >= 0.9
+    assert r["jaccard_ppm"] == 19 * 1_000_000 // 21
+
+
+# ---- events_max_concurrency ------------------------------------------------
+
+
+def _write_events(tmp, rows):
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            # microsecond precision: Spark's parquet reader rejects NANOS
+            "ts": pd.to_datetime([r[0] for r in rows], unit="s").astype(
+                "datetime64[us]"
+            ),
+            "user_id": np.int64(1),
+            "event_type": [r[2] for r in rows],
+            "value": [float(r[1]) for r in rows],
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp / "events.parquet")
+    return str(tmp)
+
+
+def _naive_max_concurrency(rows):
+    out = {}
+    for typ in {r[2] for r in rows}:
+        deltas = []
+        for i, (t0, v, t) in enumerate(rows):
+            if t != typ:
+                continue
+            dur = math.floor(v * 10)
+            deltas.append((t0 * 1_000_000, 1, i))
+            deltas.append(((t0 + dur) * 1_000_000, -1, i))
+        deltas.sort()
+        run = best = 0
+        for _, d, _ in deltas:
+            run += d
+            best = max(best, run)
+        out[typ] = best
+    return out
+
+
+def test_concurrency_carry_across_bucket_boundary(spark, tmp_path):
+    """Sessions opened in hour-bucket k that stay open into bucket k+1:
+    the two-pass decomposition is only correct if the carry-in offset is
+    added — a local-window-only implementation reports max=1 here."""
+    b = relational.CONCURRENCY_BUCKET_S
+    rows = [
+        # three sessions opened late in bucket 0, each 1000s long -> all
+        # still open at the bucket boundary; one more opens in bucket 1
+        (b - 300, 100.0, "click"),
+        (b - 200, 100.0, "click"),
+        (b - 100, 100.0, "click"),
+        (b + 50, 10.0, "click"),  # overlaps the three carried sessions
+        # a type whose peak is entirely inside one bucket
+        (10, 5.0, "view"),
+        (20, 5.0, "view"),
+    ]
+    d = _write_events(tmp_path, rows)
+    got = {
+        r["event_type"]: r["max_concurrent"]
+        for r in relational.events_max_concurrency(spark, d).collect()
+    }
+    assert got == _naive_max_concurrency(rows)
+    assert got["click"] == 4  # proves the carry was applied
+
+
+def test_concurrency_halfopen_touching_intervals(spark, tmp_path):
+    """[0,10) and [10,20): end applies before start at t=10 -> never 2."""
+    rows = [(0, 1.0, "click"), (10, 1.0, "click")]
+    d = _write_events(tmp_path, rows)
+    got = relational.events_max_concurrency(spark, d).collect()
+    assert {(r["event_type"], r["max_concurrent"]) for r in got} == {("click", 1)}
+
+
+# ---- kg_pmi_edge_weights ----------------------------------------------------
+
+
+def test_pmi_against_independent_log_computation(spark, tmp_path):
+    """Planted marginals: 'join hash' in 4 docs, 'join' alone in 4 more,
+    'hash' alone in 2 more, 10 filler docs (N=20).  PMI computed
+    independently with math.log."""
+    texts = (
+        ["join hash"] * 4 + ["join alone"] * 4 + ["hash alone"] * 2
+        + ["filler text"] * 10
+    )
+    d = _write_docs(tmp_path, texts)
+    rows = graph.kg_pmi_edge_weights(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["src"], r["dst"], r["n_ab"]) == ("hash", "join", 4)
+    assert r["pmi"] == pytest.approx(round(math.log(4 * 20 / (6 * 8)), 6), abs=1e-9)
+    assert r["pmi"] > 0  # co-occurring more than independence predicts
+
+
+def test_pmi_negative_for_anti_correlated_pair(spark, tmp_path):
+    """Both tokens frequent but rarely together -> PMI < 0."""
+    texts = (
+        ["join x"] * 10 + ["hash y"] * 10 + ["join hash"] * 1 + ["filler"] * 4
+    )
+    d = _write_docs(tmp_path, texts)
+    r = graph.kg_pmi_edge_weights(spark, d).collect()[0]
+    assert r["n_ab"] == 1
+    assert r["pmi"] == pytest.approx(round(math.log(1 * 25 / (11 * 11)), 6), abs=1e-9)
+    assert r["pmi"] < 0
+
+
+# ---- corpus_sample_weighted_priority ---------------------------------------
+
+
+def _py_priority(doc_id: int, n_chars: int) -> float:
+    u = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 1
+    return n_chars / u
+
+
+def test_priority_sample_matches_independent_reference(spark):
+    """Full independent replay: hashlib md5 + python division vs the
+    Spark TakeOrderedAndProject path on the real sf0.01 corpus."""
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "n_chars"]]
+    docs["priority"] = [
+        _py_priority(i, n) for i, n in zip(docs.doc_id, docs.n_chars)
+    ]
+    expect = (
+        docs.sort_values(["priority", "doc_id"], ascending=[False, True])
+        .head(text.PRIORITY_SAMPLE_K)
+        .reset_index(drop=True)
+    )
+    got = (
+        text.corpus_sample_weighted_priority(spark, SF)
+        .orderBy("sample_rank")
+        .toPandas()
+    )
+    assert list(got.doc_id) == list(expect.doc_id)
+    assert list(got.sample_rank) == list(range(1, text.PRIORITY_SAMPLE_K + 1))
+
+
+def test_priority_sample_is_mergeable(spark):
+    """The 100-TB property: top-k over the union == top-k of the two
+    halves' top-ks (what per-partition heaps rely on)."""
+    docs = pd.read_parquet(f"{SF}/documents.parquet")[["doc_id", "n_chars"]]
+    docs["priority"] = [
+        _py_priority(i, n) for i, n in zip(docs.doc_id, docs.n_chars)
+    ]
+    k = text.PRIORITY_SAMPLE_K
+    key = lambda df: df.sort_values(  # noqa: E731
+        ["priority", "doc_id"], ascending=[False, True]
+    ).head(k)
+    half1, half2 = docs.iloc[::2], docs.iloc[1::2]
+    merged = key(pd.concat([key(half1), key(half2)]))
+    assert list(merged.doc_id) == list(key(docs).doc_id)
+
+
+# ---- profile_table_stats ----------------------------------------------------
+
+
+def test_profiler_counts_nulls_and_native_minmax(spark, tmp_path):
+    texts = ["bb", "aa", None, "cc"]
+    d = _write_docs(tmp_path, texts, langs=["en", None, None, "de"])
+    got = {
+        r["col_name"]: r
+        for r in relational.profile_table_stats(spark, d).collect()
+    }
+    assert got["text"]["n_nulls"] == 1
+    assert got["text"]["n_distinct"] == 3
+    assert got["lang"]["n_nulls"] == 2
+    assert (got["lang"]["min_str"], got["lang"]["max_str"]) == ("de", "en")
+    # numeric column profiles numerically (doc_id 0..3, min "0" not "")
+    assert (got["doc_id"]["min_str"], got["doc_id"]["max_str"]) == ("0", "3")
+    assert got["n_chars"]["n_rows"] == 4
