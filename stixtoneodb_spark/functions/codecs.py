@@ -1,10 +1,13 @@
-"""Pure-numpy decoders for codec-free media formats (BMP / PPM / WAV).
+"""Pure-numpy decoders for library-free media formats (BMP / PPM / WAV /
+PNG).
 
 The container ships no image/audio codec libraries (PIL, cv2, librosa,
-ffmpeg), but these three formats need none — their payloads are raw
-samples behind a fixed header — so the multimodal operators can run a
-REAL decode end-to-end: bytes → numpy array → transform → bytes, all
-inside Arrow-batched ``mapInPandas`` workers.
+ffmpeg), but these formats need none: BMP/PPM/WAV carry raw samples
+behind a fixed header, and PNG — a genuinely COMPRESSED format — only
+needs stdlib zlib for its DEFLATE stream plus numpy for scanline
+unfiltering.  The multimodal operators therefore run a REAL decode end
+to end: bytes → numpy array → transform → bytes, all inside
+Arrow-batched ``mapInPandas`` workers.
 
 Everything here is per-payload CPU work with no Spark dependency; the
 operators in ``operators/multimodal.py`` call it from worker-side UDF
@@ -154,6 +157,8 @@ def sniff(b: bytes) -> str | None:
         return "ppm"
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return "wav"
+    if b.startswith(_PNG_SIG):
+        return "png"
     return None
 
 
@@ -163,6 +168,8 @@ def decode_image(b: bytes) -> np.ndarray:
         return decode_bmp(b)
     if kind == "ppm":
         return decode_ppm(b)
+    if kind == "png":
+        return decode_png(b)
     raise ValueError("no codec-free image decoder for payload")
 
 
@@ -176,3 +183,148 @@ def resize_nearest(arr: np.ndarray, width: int, height: int) -> np.ndarray:
     rows = (np.arange(height) * h // height).clip(0, h - 1)
     cols = (np.arange(width) * w // width).clip(0, w - 1)
     return arr[rows][:, cols]
+
+
+# ---------------------------------------------------------------- PNG ----
+#
+# PNG is a genuinely COMPRESSED format (DEFLATE inside IDAT), decodable
+# with zero external codec libraries: stdlib zlib inflates, numpy
+# unfilters.  Supports the baseline profile: 8-bit depth, color types
+# 0 (gray) / 2 (RGB) / 6 (RGBA), no interlace — which covers every PNG
+# a synthetic or screenshot-style corpus emits.  CRCs are verified.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor (PNG spec 9.4) over int32 arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """Decode a baseline PNG → (H, W, channels) uint8 array.
+
+    Chunk walk with CRC verification, zlib inflate of concatenated IDATs,
+    then scanline unfiltering: None/Up/Sub vectorized (Sub is a per-lane
+    modular cumsum), Average/Paeth sequential per byte (their recurrence
+    is inherently serial; rows are short relative to inflate cost).
+    Raises ValueError on non-baseline profiles.
+    """
+    import zlib  # noqa: PLC0415
+
+    if not b.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, []
+    while pos + 8 <= len(b):
+        (length,) = struct.unpack_from(">I", b, pos)
+        if pos + 12 + length > len(b):
+            raise ValueError("truncated PNG chunk")
+        ctype = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", b, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in _PNG_CHANNELS or comp or filt or interlace:
+        raise ValueError(
+            f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    n = w * ch
+    if len(raw) != h * (1 + n):
+        raise ValueError("PNG scanline payload has wrong length")
+    raw_rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, 1 + n)
+    out = np.zeros((h, n), dtype=np.int32)
+    prev = np.zeros(n, dtype=np.int32)
+    for y in range(h):
+        f = int(raw_rows[y, 0])
+        row = raw_rows[y, 1:].astype(np.int32)
+        if f == 0:
+            cur = row
+        elif f == 1:  # Sub: per-lane modular prefix sum
+            cur = row.copy()
+            for k in range(ch):
+                cur[k::ch] = np.cumsum(cur[k::ch], dtype=np.int64) % 256
+        elif f == 2:  # Up
+            cur = (row + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: serial recurrence
+            cur = np.zeros(n, dtype=np.int32)
+            for i in range(n):
+                left = cur[i - ch] if i >= ch else 0
+                up = prev[i]
+                ul = prev[i - ch] if i >= ch else 0
+                if f == 3:
+                    pred = (left + up) // 2
+                else:
+                    pred = int(_paeth_vec(np.int32(left), np.int32(up), np.int32(ul)))
+                cur[i] = (row[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter byte {f}")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8).reshape(h, w, ch)
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """(H, W[, channels]) uint8 → baseline PNG bytes, every scanline
+    filtered with ``filter_type`` (0..4).  Forward filtering has no
+    serial dependency, so all five filters are pure shifted-array
+    arithmetic — which makes the encoder the adversarial test rig for
+    the decoder's serial unfilter paths (round-trip per filter type).
+    """
+    import zlib  # noqa: PLC0415
+
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    cur = arr.reshape(h, w * ch).astype(np.int32)
+    prev = np.vstack([np.zeros((1, w * ch), np.int32), cur[:-1]])
+    left = np.zeros_like(cur)
+    left[:, ch:] = cur[:, :-ch]
+    upleft = np.zeros_like(prev)
+    upleft[:, ch:] = prev[:, :-ch]
+    if filter_type == 0:
+        filtered = cur
+    elif filter_type == 1:
+        filtered = cur - left
+    elif filter_type == 2:
+        filtered = cur - prev
+    elif filter_type == 3:
+        filtered = cur - (left + prev) // 2
+    elif filter_type == 4:
+        filtered = cur - _paeth_vec(left, prev, upleft)
+    else:
+        raise ValueError(f"bad PNG filter type {filter_type}")
+    lines = np.hstack(
+        [np.full((h, 1), filter_type, np.uint8), (filtered % 256).astype(np.uint8)]
+    )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(lines.tobytes()))
+        + chunk(b"IEND", b"")
+    )

@@ -1319,6 +1319,39 @@ SELECT doc_id, lang, n_chars,
 FROM scored ORDER BY priority DESC, doc_id LIMIT {text.PRIORITY_SAMPLE_K}
 """,
     ),
+    # Closed-form replay of the PNG decode stats: height/width from the
+    # synth rule; c0 depends only on y (sum = w * Σ_y) and c1 only on x
+    # (sum = h * Σ_x) — any decode drift breaks these exact integers.
+    "media_decode_stats_png": (
+        multimodal.media_decode_stats_png,
+        """
+WITH ys AS (SELECT y FROM generate_series(0, 18) AS t(y)),
+     xs AS (SELECT x FROM generate_series(0, 22) AS t(x)),
+c0 AS (
+  SELECT d.doc_id,
+         CAST(SUM((ys.y * 5 + d.doc_id) % 256) * (13 + d.doc_id % 11) AS BIGINT)
+           AS c0_sum
+  FROM documents d JOIN ys ON ys.y <= 10 + d.doc_id % 9
+  GROUP BY d.doc_id
+), c1 AS (
+  SELECT d.doc_id,
+         CAST(SUM((xs.x * 3 + 2 * d.doc_id) % 256) * (11 + d.doc_id % 9) AS BIGINT)
+           AS c1_sum
+  FROM documents d JOIN xs ON xs.x <= 12 + d.doc_id % 11
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+  CAST(11 + d.doc_id % 9 AS BIGINT) AS height,
+  CAST(13 + d.doc_id % 11 AS BIGINT) AS width,
+  CAST(d.doc_id % 5 AS BIGINT) AS filter_type,
+  c0.c0_sum AS c0_sum,
+  c1.c1_sum AS c1_sum
+FROM documents d
+JOIN c0 ON c0.doc_id = d.doc_id
+JOIN c1 ON c1.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+    ),
 }
 
 REGISTRY["kg_pmi_edge_weights"] = (

@@ -78,3 +78,79 @@ def test_resize_nearest_semantics():
     rows = (np.arange(4) * 8 // 4).clip(0, 7)
     cols = (np.arange(3) * 6 // 3).clip(0, 5)
     assert np.array_equal(out, arr[rows][:, cols])
+
+
+# ---------------------------------------------------------------- PNG ----
+
+
+@pytest.mark.parametrize("ft", [0, 1, 2, 3, 4])
+@pytest.mark.parametrize("shape", [(1, 1, 3), (7, 5, 3), (9, 4, 1), (6, 6, 4)])
+def test_png_roundtrip_every_filter(ft, shape):
+    """Encoder filters with shifted-array arithmetic, decoder unfilters
+    with cumsum/serial recurrences — agreement is a two-implementation
+    cross-check of the PNG filter algebra, per filter type."""
+    rng = np.random.RandomState(ft * 10 + shape[0])
+    arr = rng.randint(0, 256, size=shape, dtype=np.uint8)
+    assert np.array_equal(codecs.decode_png(codecs.encode_png(arr, ft)), arr)
+
+
+def test_png_known_answer_vector():
+    """Hand-built PNG, independent of encode_png: 2x1 RGB, Sub filter.
+    Raw pixels (10,20,30),(250,8,130); Sub stores the second pixel as
+    deltas mod 256: (240, 244, 100)."""
+    import struct
+    import zlib
+
+    scanline = bytes([1, 10, 20, 30, 240, 244, 100])  # filter=1 + 2 px
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    b = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(scanline))
+        + chunk(b"IEND", b"")
+    )
+    out = codecs.decode_png(b)
+    assert out.shape == (1, 2, 3)
+    assert out[0, 0].tolist() == [10, 20, 30]
+    assert out[0, 1].tolist() == [250, 8, 130]
+
+
+def test_png_rejects_bad_crc_and_profiles():
+    arr = _img(4, 4, seed=9)
+    b = bytearray(codecs.encode_png(arr))
+    b[40] ^= 0xFF  # corrupt inside IDAT region -> CRC mismatch
+    with pytest.raises(ValueError):
+        codecs.decode_png(bytes(b))
+    with pytest.raises(ValueError):
+        codecs.decode_png(b"\x89PNG\r\n\x1a\nnot-really")
+    # 16-bit depth is out of the baseline profile
+    import struct
+    import zlib
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    deep = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(7)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError):
+        codecs.decode_png(deep)
+
+
+def test_png_sniff_and_dispatch():
+    arr = _img(3, 3, seed=1)
+    b = codecs.encode_png(arr)
+    assert codecs.sniff(b) == "png"
+    assert np.array_equal(codecs.decode_image(b), arr)
