@@ -1352,6 +1352,29 @@ JOIN c1 ON c1.doc_id = d.doc_id
 ORDER BY d.doc_id
 """,
     ),
+    "layout_zorder_keys": (
+        relational.layout_zorder_keys,
+        f"""
+WITH xy AS (
+  SELECT event_id,
+         user_id % {1 << relational.ZORDER_BITS} AS x,
+         CAST(floor(value * 100) AS BIGINT) % {1 << relational.ZORDER_BITS} AS y
+  FROM events
+), zz AS (
+  SELECT event_id, x, y,
+         ({" | ".join(
+             f"(((x >> {k}) & 1) << {2 * k}) | (((y >> {k}) & 1) << {2 * k + 1})"
+             for k in range(relational.ZORDER_BITS)
+         )}) AS z_key
+  FROM xy
+)
+SELECT event_id, x, y, z_key,
+       z_key >> {2 * relational.ZORDER_BITS
+                 - relational.ZORDER_FILE_BUCKETS.bit_length() + 1}
+         AS file_bucket
+FROM zz
+""",
+    ),
 }
 
 REGISTRY["kg_pmi_edge_weights"] = (

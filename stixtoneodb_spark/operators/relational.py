@@ -924,3 +924,44 @@ def profile_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "(col_name, n_rows, n_nulls, n_distinct, min_str, max_str)"
         )
     )
+
+
+ZORDER_BITS = 16
+ZORDER_FILE_BUCKETS = 64
+
+
+def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) layout keys over (user_id, value) — the
+    multi-dimensional data-layout primitive behind Delta/Iceberg
+    ``ZORDER BY``: sorting files by the bit-interleaved key makes
+    min/max file statistics selective in BOTH dimensions at once, so a
+    100-TB scan with predicates on either column prunes most files.
+
+    z = interleave of the low ``ZORDER_BITS`` bits of x = user_id mod
+    2^16 and y = floor(value*100) mod 2^16 (x even bit positions, y odd);
+    file_bucket = the top log2(ZORDER_FILE_BUCKETS) bits — the write-time
+    range-partitioning key.
+
+    Scale shape: pure per-row JVM bit arithmetic (32 shift/and/or terms,
+    whole-stage codegen, no UDF, no shuffle); the only shuffle a writer
+    would add is the repartitionByRange on z itself.  The DuckDB oracle
+    recomputes the interleave with the same integer expression tree.
+    """
+    e = load_table(spark, sf_dir, "events")
+    x = F.pmod(F.col("user_id"), F.lit(1 << ZORDER_BITS)).cast("long")
+    y = F.pmod(F.floor(F.col("value") * 100), F.lit(1 << ZORDER_BITS)).cast("long")
+    z = F.lit(0).cast("long")
+    for k in range(ZORDER_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x, k).bitwiseAND(F.lit(1)), 2 * k)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y, k).bitwiseAND(F.lit(1)), 2 * k + 1)
+        )
+    shift = (2 * ZORDER_BITS) - ZORDER_FILE_BUCKETS.bit_length() + 1
+    return e.select(
+        "event_id",
+        x.alias("x"),
+        y.alias("y"),
+        z.alias("z_key"),
+        F.shiftright(z, shift).alias("file_bucket"),
+    )

@@ -378,3 +378,102 @@ def stream_static_enrich(stream: DataFrame, dim: DataFrame) -> DataFrame:
     return turns.join(broadcast(dim), "role", "left").select(
         "conv_id", "turn_idx", "role", "ts", "weight"
     )
+
+
+def start_heavy_hitters_sink(
+    stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    capacity: int = 64,
+):
+    """foreachBatch sink maintaining a RUNNING Misra-Gries heavy-hitters
+    sketch over the stream's mention surfaces — the streaming face of
+    ``pandas_surface.mg_sketch``.  Mergeability (Agarwal et al. 2012) is
+    exactly what makes a stream sketch correct:
+    sketch(prefix + batch) ⊒ merge(sketch(prefix), sketch(batch)), with
+    the same freq > n/(capacity+1) retention guarantee over the whole
+    prefix.
+
+    Per micro-batch: sketch the batch distributed (map-side partials,
+    one bounded merge task), weighted-merge with the newest persisted
+    sketch version, and write the result as
+    ``{state_dir}/v<batch_id>`` — versioning BY BATCH ID makes replay
+    idempotent: a re-delivered batch rewrites its own version from the
+    same predecessor state instead of double-counting (the
+    exactly-once discipline the MERGE sink uses, expressed for a
+    non-idempotent aggregate).  State size is ≤ capacity rows per
+    version — reading and rewriting it is O(capacity), never O(stream).
+
+    Returns the StreamingQuery (AvailableNow; caller awaits).
+    """
+    import os  # noqa: PLC0415
+
+    from stixtoneodb_spark.operators.pandas_surface import mg_sketch  # noqa: PLC0415
+
+    def _versions(spark: SparkSession) -> list[int]:
+        try:
+            names = [
+                n for n in os.listdir(state_dir)
+                if n.startswith("v") and n[1:].isdigit()
+            ]
+        except FileNotFoundError:
+            return []
+        return sorted(int(n[1:]) for n in names)
+
+    def sketch_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        tok = batch_df.select(F.col("surface").alias("token"))
+        batch_sketch = mg_sketch(tok, capacity)
+        prev = [v for v in _versions(spark) if v < batch_id]
+        if prev:
+            prior = spark.read.parquet(f"{state_dir}/v{prev[-1]}")
+            merged_in = batch_sketch.unionByName(prior)
+        else:
+            merged_in = batch_sketch
+        merged = mg_sketch_merge(merged_in, capacity)
+        merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{state_dir}/v{batch_id}"
+        )
+
+    mentions = streaming_mentions(stream)
+    return (
+        mentions.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def mg_sketch_merge(weighted: DataFrame, capacity: int):
+    """Weighted MG merge of an already-summarized (token, w) frame —
+    one bounded task (input is ≤ a few sketches' worth of rows)."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from stixtoneodb_spark.operators.pandas_surface import _mg_fold  # noqa: PLC0415
+
+    def merge(batches):
+        counters: dict = {}
+        for pdf in batches:
+            _mg_fold(counters, pdf["token"], np.asarray(pdf["w"]), capacity)
+        yield pd.DataFrame({"token": list(counters), "w": list(counters.values())})
+
+    return weighted.repartition(1).mapInPandas(merge, schema="token string, w long")
+
+
+def read_heavy_hitters_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Newest persisted sketch version (empty frame when none exists)."""
+    import os  # noqa: PLC0415
+
+    try:
+        versions = sorted(
+            int(n[1:]) for n in os.listdir(state_dir)
+            if n.startswith("v") and n[1:].isdigit()
+        )
+    except FileNotFoundError:
+        versions = []
+    if not versions:
+        return spark.createDataFrame([], schema="token string, w long")
+    return spark.read.parquet(f"{state_dir}/v{versions[-1]}")

@@ -248,3 +248,53 @@ def test_profiler_counts_nulls_and_native_minmax(spark, tmp_path):
     # numeric column profiles numerically (doc_id 0..3, min "0" not "")
     assert (got["doc_id"]["min_str"], got["doc_id"]["max_str"]) == ("0", "3")
     assert got["n_chars"]["n_rows"] == 4
+
+
+# ---- layout_zorder_keys -----------------------------------------------------
+
+
+def _py_morton(x: int, y: int, bits: int) -> int:
+    z = 0
+    for k in range(bits):
+        z |= ((x >> k) & 1) << (2 * k)
+        z |= ((y >> k) & 1) << (2 * k + 1)
+    return z
+
+
+def test_zorder_matches_independent_bit_interleave(spark):
+    rows = relational.layout_zorder_keys(spark, SF).limit(500).collect()
+    assert rows
+    for r in rows:
+        assert r["z_key"] == _py_morton(r["x"], r["y"], relational.ZORDER_BITS)
+        assert r["file_bucket"] == r["z_key"] >> 26
+
+
+def test_zorder_buckets_localize_both_dimensions(spark, tmp_path):
+    """The reason Z-order exists: range-bucketing the interleaved key
+    bounds EACH dimension's per-bucket spread (~1/sqrt(buckets) of the
+    domain for uniform data), where a single-column sort leaves the
+    other dimension's spread at ~the full domain."""
+    rng = np.random.default_rng(5)
+    n = 4096
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(np.zeros(n), unit="s").astype("datetime64[us]"),
+            "user_id": rng.integers(0, 1 << 16, n),
+            "event_type": "click",
+            # value*100 spans the full 16-bit y domain
+            "value": rng.integers(0, 1 << 16, n) / 100.0,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    got = relational.layout_zorder_keys(spark, str(tmp_path)).toPandas()
+    spread = got.groupby("file_bucket").agg(
+        x_spread=("x", lambda s: s.max() - s.min()),
+        y_spread=("y", lambda s: s.max() - s.min()),
+    )
+    domain = float(1 << 16)
+    # 64 buckets = 8x8 grid on the top 3 bits of each dim -> per-bucket
+    # spread ~ domain/8; allow 2x slack for uniform-sampling noise
+    assert spread.x_spread.mean() < domain / 4
+    assert spread.y_spread.mean() < domain / 4
