@@ -1377,6 +1377,55 @@ FROM zz
     ),
 }
 
+
+def _bpe_sql() -> str:
+    """Full unrolled replay of the BPE training loop (text.BPE_MERGES
+    chained CTE steps): pair-count argmax with the same (pc DESC, l, r)
+    tie-break over the same sentinel-wrapped encoding, literal-replace
+    rewrite, one UNION ALL row per learned merge."""
+    s1, s2 = text._BPE_S1, text._BPE_S2
+
+    def strip(col: str) -> str:
+        return f"replace(replace({col}, '{s1}', ''), '{s2}', '')"
+
+    parts = [
+        f"""
+WITH words AS (
+  SELECT token AS word, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  WHERE length(token) > 0 GROUP BY token
+), w0 AS (
+  SELECT word, cnt,
+         rtrim(regexp_replace(word, '(.)', '{s1}\\1{s2}  ', 'g')) AS seq
+  FROM words
+)"""
+    ]
+    for k in range(1, text.BPE_MERGES + 1):
+        parts.append(
+            f""", p{k} AS (
+  SELECT pz[1] AS l, pz[2] AS r, CAST(SUM(cnt) AS BIGINT) AS pc
+  FROM (SELECT cnt, unnest(list_zip(ls, ls[2:])) AS pz
+        FROM (SELECT cnt, string_split(seq, '  ') AS ls FROM w{k - 1}))
+  WHERE pz[2] IS NOT NULL
+  GROUP BY 1, 2 ORDER BY pc DESC, l, r LIMIT 1
+), w{k} AS (
+  SELECT word, cnt,
+         replace(seq, p{k}.l || '  ' || p{k}.r,
+                 '{s1}' || {strip(f"p{k}.l || p{k}.r")} || '{s2}') AS seq
+  FROM w{k - 1} CROSS JOIN p{k}
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"""SELECT CAST({k} AS INT) AS step, {strip("l")} AS "left",
+  {strip("r")} AS "right", {strip("l || r")} AS merged, pc AS pair_count
+FROM p{k}"""
+        for k in range(1, text.BPE_MERGES + 1)
+    )
+    return "".join(parts) + "\n" + selects
+
+
+REGISTRY["tokenizer_bpe_merges"] = (text.tokenizer_bpe_merges, _bpe_sql())
+
 REGISTRY["kg_pmi_edge_weights"] = (
     graph.kg_pmi_edge_weights,
     f"""

@@ -551,3 +551,99 @@ def corpus_sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFra
     return topk.select(
         "doc_id", "lang", "n_chars", F.row_number().over(w).alias("sample_rank")
     )
+
+
+BPE_MERGES = 10
+# sentinel-wrapped token encoding: every token rides as \x01<text>\x02 and
+# tokens are joined by TWO spaces, so a literal pair replace can never
+# match inside another token or consume a neighbor's separator
+_BPE_S1, _BPE_S2 = "\x01", "\x02"
+
+
+def _bpe_strip(s: str) -> str:
+    return s.replace(_BPE_S1, "").replace(_BPE_S2, "")
+
+
+def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training: learn the first ``BPE_MERGES``
+    byte-pair merges over the corpus vocabulary — the vocabulary-
+    construction step of every modern tokenizer (Sennrich et al. 2016),
+    run as Spark aggregations instead of a single-machine counter.
+
+    Spec: words = non-empty whitespace tokens of lowercased text,
+    weighted by corpus frequency; each step counts ADJACENT symbol pairs
+    over all word symbol sequences (weighted by word count), merges the
+    most frequent pair (ties: lexicographically smallest), and rewrites
+    the sequences.  Output: one row per learned merge
+    (step, left, right, merged, pair_count).
+
+    Distribution shape: the expensive part of each step — the pair-count
+    aggregation over the vocabulary — is a map-side explode + shuffle on
+    (l, r); the argmax is TakeOrderedAndProject and lands on the driver
+    as ONE row per step (the merge decision is globally sequential by
+    definition — that single-row sync point is the algorithm, not a
+    bottleneck; everything corpus-scale stays distributed).  Sequence
+    rewriting is a LITERAL string replace (JVM codegen) — the sentinel
+    encoding makes boundary-safe literal replace possible, avoiding the
+    serialized-flat regexp path (BENCH.md round-3 lesson).  Each step
+    re-persists the vocabulary-scale frame and unpersists its parent.
+
+    The DuckDB oracle unrolls all ``BPE_MERGES`` steps as chained CTEs
+    with scalar argmax subqueries — a full independent replay of the
+    training loop.  Precondition (holds for any natural-language corpus,
+    documented rather than handled): the corpus admits at least
+    BPE_MERGES merges; both engines would otherwise diverge on the
+    empty-argmax step.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_ws_tokens(F.col("text"))).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wrap = F.expr(
+        f"rtrim(regexp_replace(word, '(.)', '{_BPE_S1}$1{_BPE_S2}  '))"
+    )
+    prev = words.select("word", "cnt", wrap.alias("seq")).persist()
+    merges: list[tuple] = []
+    for step in range(1, BPE_MERGES + 1):
+        arr = F.split("seq", "  ")
+        pz = F.arrays_zip(arr, F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(1))))
+        best = (
+            prev.select("cnt", F.explode(pz).alias("pz"))
+            .select(
+                "cnt",
+                F.col("pz")["0"].alias("l"),
+                F.col("pz")["1"].alias("r"),
+            )
+            .where(F.col("r").isNotNull())
+            .groupBy("l", "r")
+            .agg(F.sum("cnt").alias("pc"))
+            .orderBy(F.desc("pc"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:  # corpus exhausted (see precondition)
+            break
+        b = best[0]
+        merged = _bpe_strip(b["l"]) + _bpe_strip(b["r"])
+        merges.append(
+            (step, _bpe_strip(b["l"]), _bpe_strip(b["r"]), merged, b["pc"])
+        )
+        nxt = prev.select(
+            "word",
+            "cnt",
+            F.replace(
+                "seq",
+                F.lit(b["l"] + "  " + b["r"]),
+                F.lit(_BPE_S1 + merged + _BPE_S2),
+            ).alias("seq"),
+        ).persist()
+        nxt.count()
+        prev.unpersist()
+        prev = nxt
+    prev.unpersist()
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count long"
+    )

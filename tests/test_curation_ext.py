@@ -298,3 +298,73 @@ def test_zorder_buckets_localize_both_dimensions(spark, tmp_path):
     # spread ~ domain/8; allow 2x slack for uniform-sampling noise
     assert spread.x_spread.mean() < domain / 4
     assert spread.y_spread.mean() < domain / 4
+
+
+# ---- tokenizer_bpe_merges ---------------------------------------------------
+
+
+def _py_bpe(word_counts: dict, n_merges: int):
+    """Independent reference BPE trainer (classic dict-of-tuples form,
+    Sennrich et al. fig. 1) — no shared code with the Spark loop or the
+    SQL oracle."""
+    vocab = {tuple(w): c for w, c in word_counts.items()}
+    out = []
+    for step in range(1, n_merges + 1):
+        pairs: dict = {}
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + c
+        if not pairs:
+            break
+        # max count, ties -> lexicographically smallest pair
+        best = min(pairs, key=lambda p: (-pairs[p], p))
+        out.append((step, best[0], best[1], best[0] + best[1], pairs[best]))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            merged, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == best:
+                    merged.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    merged.append(syms[i])
+                    i += 1
+            new_vocab[tuple(merged)] = new_vocab.get(tuple(merged), 0) + c
+        vocab = new_vocab
+    return out
+
+
+def test_bpe_matches_independent_reference_on_planted_corpus(spark, tmp_path):
+    texts = (
+        ["low lower lowest"] * 5
+        + ["new newer newest"] * 4
+        + ["wide wider widest"] * 3
+    )
+    d = _write_docs(tmp_path, texts)
+    counts: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    expect = _py_bpe(counts, text.BPE_MERGES)
+    got = [
+        (r["step"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in text.tokenizer_bpe_merges(spark, d).orderBy("step").collect()
+    ]
+    assert got == expect
+    # the reference corpus's signature merge: 'est' assembled from e+s+t
+    assert any(m[3] == "est" for m in got) or any(
+        m[3] in ("es", "st") for m in got
+    )
+
+
+def test_bpe_merged_tokens_compose_and_counts_bounded(spark):
+    rows = text.tokenizer_bpe_merges(spark, SF).orderBy("step").collect()
+    assert len(rows) == text.BPE_MERGES
+    known = set()
+    for r in rows:
+        # each side is a single char or a previously learned merge
+        for side in (r["left"], r["right"]):
+            assert len(side) == 1 or side in known
+        assert r["merged"] == r["left"] + r["right"]
+        known.add(r["merged"])
+        assert r["pair_count"] > 0
