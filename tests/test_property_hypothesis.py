@@ -176,3 +176,118 @@ def test_sq8_matches_numpy(vecs):
         if mx > mn:
             recon = mn + codes * (mx - mn) / 255.0
             assert np.abs(recon - x).max() <= (mx - mn) / 255.0 / 2 + 1e-9 * (mx - mn)
+
+
+# -- prefix-filter set-similarity join ---------------------------------------
+
+docs_strategy = st.lists(
+    st.lists(
+        st.sampled_from([f"t{i}" for i in range(12)]),  # small alphabet ->
+        min_size=1, max_size=10,                        # dense near-dup space
+    ),
+    min_size=2,
+    max_size=14,
+)
+
+
+@given(docs_strategy)
+@SETTINGS
+def test_prefix_filter_join_equals_bruteforce(token_lists):
+    """Losslessness of the AllPairs/PPJoin prefix filter on random
+    corpora: result set == brute-force exact Jaccard >= tau over all
+    pairs (duplicates, subsets, singletons, shared-rare-token-only
+    pairs all arise from the generator)."""
+    import tempfile
+
+    import pandas as pd
+
+    from stixtoneodb_spark.operators import dedup
+
+    spark = _get_spark()
+    texts = [" ".join(toks) for toks in token_lists]
+    d = tempfile.mkdtemp(prefix="ssj_hyp_")
+    pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "lang": "en",
+            "source": "hyp",
+            "n_chars": [len(t) for t in texts],
+        }
+    ).to_parquet(f"{d}/documents.parquet")
+
+    sets = [frozenset(t.split(" ")) for t in texts]
+    truth = {}
+    for a in range(len(sets)):
+        for b in range(a + 1, len(sets)):
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if inter * dedup.SSJ_TAU_DEN >= dedup.SSJ_TAU_NUM * uni:
+                truth[(a, b)] = (inter, uni)
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["inter"], r["uni"])
+        for r in dedup.dedup_set_similarity_prefix(spark, d).collect()
+    }
+    assert got == truth
+
+
+# -- sweep-line max concurrency ------------------------------------------------
+
+events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=9000),   # spans 3 hour-buckets
+        st.integers(min_value=0, max_value=5000),   # durations cross buckets
+        st.sampled_from(["a", "b"]),
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@given(events_strategy)
+@SETTINGS
+def test_concurrency_two_pass_equals_naive_sweep(evs):
+    """The bucketed two-pass prefix-sum decomposition equals a naive
+    single-pass python sweep on random interval sets — including zero
+    durations, identical timestamps, and intervals spanning multiple
+    carry buckets."""
+    import tempfile
+
+    import pandas as pd
+
+    spark = _get_spark()
+    d = tempfile.mkdtemp(prefix="conc_hyp_")
+    pd.DataFrame(
+        {
+            "event_id": range(len(evs)),
+            "ts": pd.to_datetime([e[0] for e in evs], unit="s").astype(
+                "datetime64[us]"
+            ),
+            "user_id": 1,
+            "event_type": [e[2] for e in evs],
+            # value*10 must floor back to the integer duration
+            "value": [e[1] / 10.0 for e in evs],
+            "props": "{}",
+        }
+    ).to_parquet(f"{d}/events.parquet")
+
+    expect = {}
+    for typ in {e[2] for e in evs}:
+        deltas = []
+        for t0, dur10, t in evs:
+            if t != typ:
+                continue
+            dur = math.floor((dur10 / 10.0) * 10)  # replay the operator spec
+            deltas.append((t0 * 1_000_000, 1))
+            deltas.append(((t0 + dur) * 1_000_000, -1))
+        deltas.sort()
+        run = best = 0
+        for _t, dl in deltas:
+            run += dl
+            best = max(best, run)
+        expect[typ] = best
+    got = {
+        r["event_type"]: r["max_concurrent"]
+        for r in relational.events_max_concurrency(spark, d).collect()
+    }
+    assert got == expect
