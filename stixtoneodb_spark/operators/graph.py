@@ -20,7 +20,7 @@ oracle SQL lives in ``registry.py``.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from stixtoneodb_spark.operators import dedup
@@ -359,4 +359,64 @@ def kg_pmi_edge_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("pmi"),
         )
+    )
+
+
+NEG_SAMPLES_K = 4
+
+
+def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative sampling for KG-embedding training (TransE/DistMult
+    style): for every true co-occurrence edge, propose ``NEG_SAMPLES_K``
+    corrupted tails drawn DETERMINISTICALLY from the entity vocabulary
+    (md5 of (src, dst, k) — reproducible across engines, partitionings
+    and reruns; no rand()), then keep only corruptions that are NOT true
+    edges and not self-loops — the filtered-negative protocol.
+
+    Scale shape: the vocabulary index is a vocabulary-cardinality frame
+    (broadcast); candidate generation is a map-side explode (K rows per
+    edge); the only non-broadcast join is the LEFT ANTI against the true
+    edge set on (src, neg_dst) — the standard negatives-vs-truth check,
+    keyed exactly like the edge table so it co-partitions with it at
+    100 TB.  Output: (src, dst, k, neg_dst) for surviving corruptions.
+    """
+    half = _cooccurrence_edges(spark, sf_dir).where(F.col("src") < F.col("dst"))
+    edges = _cooccurrence_edges(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(_ws_tokens(F.col("text"))).alias("entity"))
+        .where(F.length("entity") > 0)
+        .distinct()
+        .withColumn(
+            "vidx",
+            F.row_number().over(Window.orderBy("entity")) - 1,
+        )
+    )
+    n_vocab = vocab.agg(F.count("*").alias("n_vocab"))
+    cand = (
+        half.select("src", "dst", F.explode(F.sequence(F.lit(0), F.lit(NEG_SAMPLES_K - 1))).alias("k"))
+        .crossJoin(F.broadcast(n_vocab))
+        .withColumn(
+            "vidx",
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat_ws("|", "src", "dst", F.col("k").cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.col("n_vocab"),
+            ),
+        )
+        .join(F.broadcast(vocab), "vidx")
+        .select("src", "dst", "k", F.col("entity").alias("neg_dst"))
+        .where((F.col("neg_dst") != F.col("src")) & (F.col("neg_dst") != F.col("dst")))
+    )
+    return cand.join(
+        edges.select(F.col("src"), F.col("dst").alias("neg_dst")),
+        ["src", "neg_dst"],
+        "left_anti",
     )

@@ -1426,6 +1426,36 @@ FROM p{k}"""
 
 REGISTRY["tokenizer_bpe_merges"] = (text.tokenizer_bpe_merges, _bpe_sql())
 
+REGISTRY["kg_negative_samples"] = (
+    graph.kg_negative_samples,
+    f"""
+WITH {_coocc_edges_cte()}, edges AS (
+  SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half
+), vocab AS (
+  SELECT entity, ROW_NUMBER() OVER (ORDER BY entity) - 1 AS vidx
+  FROM (SELECT DISTINCT token AS entity FROM (
+          SELECT unnest(string_split(lower(text), ' ')) AS token
+          FROM documents)
+        WHERE length(token) > 0)
+), nv AS (
+  SELECT COUNT(*) AS n_vocab FROM vocab
+), cand AS (
+  SELECT h.src, h.dst, CAST(t.k AS INT) AS k,
+         (('0x' || substr(md5(h.src || '|' || h.dst || '|' ||
+                              CAST(t.k AS VARCHAR)), 1, 8))::BIGINT)
+           % nv.n_vocab AS vidx
+  FROM half h
+  CROSS JOIN nv
+  CROSS JOIN generate_series(0, {graph.NEG_SAMPLES_K - 1}) AS t(k)
+)
+SELECT c.src, c.dst, c.k, v.entity AS neg_dst
+FROM cand c JOIN vocab v USING (vidx)
+WHERE v.entity != c.src AND v.entity != c.dst
+  AND NOT EXISTS (SELECT 1 FROM edges e
+                  WHERE e.src = c.src AND e.dst = v.entity)
+""",
+)
+
 REGISTRY["kg_pmi_edge_weights"] = (
     graph.kg_pmi_edge_weights,
     f"""

@@ -368,3 +368,28 @@ def test_bpe_merged_tokens_compose_and_counts_bounded(spark):
         assert r["merged"] == r["left"] + r["right"]
         known.add(r["merged"])
         assert r["pair_count"] > 0
+
+
+# ---- kg_negative_samples ----------------------------------------------------
+
+
+def test_negative_samples_filtered_protocol(spark):
+    """Filtered-negative invariants on the real corpus: every survivor
+    is vocabulary-drawn, never a self-loop, never a true co-occurrence
+    edge; sampling is deterministic; and the filter actually fired
+    (fewer survivors than raw candidates)."""
+    edges = {
+        (r["src"], r["dst"])
+        for r in graph._cooccurrence_edges(spark, SF).collect()
+    }
+    half = {(s, d) for s, d in edges if s < d}
+    got = graph.kg_negative_samples(spark, SF).collect()
+    assert got
+    for r in got:
+        assert (r["src"], r["dst"]) in half
+        assert 0 <= r["k"] < graph.NEG_SAMPLES_K
+        assert r["neg_dst"] != r["src"] and r["neg_dst"] != r["dst"]
+        assert (r["src"], r["neg_dst"]) not in edges
+    assert len(got) < len(half) * graph.NEG_SAMPLES_K  # anti-join fired
+    again = graph.kg_negative_samples(spark, SF).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
