@@ -90,6 +90,15 @@ HEADLINE_QUERIES = [
     "dedup_repeated_ngrams",
     "embedding_quantize_codes",
     "kg_triangle_count",
+    # round-4 post-stall additions (measured 1.6-10.1s at sf0.1; the two
+    # heavy ones stay out of the budget: dedup_set_similarity_prefix is
+    # ~100s because the synthetic corpus is pathologically self-similar
+    # (964k true pairs), media_decode_stats_png is ~15s of worker-side
+    # Python decode)
+    "events_max_concurrency",
+    "layout_zorder_keys",
+    "kg_negative_samples",
+    "tokenizer_bpe_merges",
 ]
 
 
