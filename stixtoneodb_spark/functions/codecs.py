@@ -228,6 +228,8 @@ def decode_png(b: bytes) -> np.ndarray:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
+            if len(data) != 13:
+                raise ValueError("bad IHDR length")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat.append(data)
@@ -242,7 +244,10 @@ def decode_png(b: bytes) -> np.ndarray:
             f"unsupported PNG (depth={depth}, color={color}, interlace={interlace})"
         )
     ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as ex:  # truncated/garbled DEFLATE must not escape
+        raise ValueError(f"PNG inflate failed: {ex}") from ex
     n = w * ch
     if len(raw) != h * (1 + n):
         raise ValueError("PNG scanline payload has wrong length")

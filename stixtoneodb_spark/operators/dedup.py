@@ -410,7 +410,9 @@ def dedup_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists by construction); frequent tokens never index anything.
     Verification runs at candidate cardinality via sort_array +
     array_intersect on the two token arrays, never a tokens×tokens
-    shuffle.  All integer math: ceil(t*n) = (NUM*n + DEN-1) div DEN and
+    shuffle.  The df/size joins are plain shuffle joins on token/doc_id —
+    both frames are corpus/vocabulary-cardinality, far beyond broadcast
+    limits at scale; AQE may still broadcast them at small inputs.  All integer math: ceil(t*n) = (NUM*n + DEN-1) div DEN and
     the final threshold is cross-multiplied (inter*DEN >= NUM*union).
     """
     d = load_table(spark, sf_dir, "documents")
@@ -419,7 +421,7 @@ def dedup_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     df_freq = toks.groupBy("token").agg(F.count("*").alias("df"))
-    ordered = toks.join(F.broadcast(df_freq), "token").withColumn(
+    ordered = toks.join(df_freq, "token").withColumn(
         "pos",
         F.row_number().over(
             Window.partitionBy("doc_id").orderBy("df", "token")
@@ -433,7 +435,7 @@ def dedup_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(1)
     )
     prefix = (
-        ordered.join(F.broadcast(sizes), "doc_id")
+        ordered.join(sizes, "doc_id")
         .where(F.col("pos") <= pref_len)
         .select("token", "doc_id")
     )

@@ -380,17 +380,40 @@ def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed exactly like the edge table so it co-partitions with it at
     100 TB.  Output: (src, dst, k, neg_dst) for surviving corruptions.
     """
-    half = _cooccurrence_edges(spark, sf_dir).where(F.col("src") < F.col("dst"))
     edges = _cooccurrence_edges(spark, sf_dir)
+    half = edges.where(F.col("src") < F.col("dst"))
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(F.explode(_ws_tokens(F.col("text"))).alias("entity"))
         .where(F.length("entity") > 0)
         .distinct()
+    )
+    # global rank WITHOUT a single-task window: rank within a first-char
+    # bucket (distributed), then add broadcast per-bucket offsets — the
+    # same two-pass prefix-sum shape events_max_concurrency uses; equals
+    # the global ORDER BY entity rank because the bucket is a prefix of
+    # the sort key.
+    vocab = vocab.withColumn("vb", F.substring("entity", 1, 1))
+    local = F.row_number().over(Window.partitionBy("vb").orderBy("entity"))
+    offs = (
+        vocab.groupBy("vb").agg(F.count("*").alias("bn"))
         .withColumn(
-            "vidx",
-            F.row_number().over(Window.orderBy("entity")) - 1,
+            "off",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("vb").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow - 1
+                    )
+                ),
+                F.lit(0),
+            ),
         )
+        .select("vb", "off")
+    )
+    vocab = (
+        vocab.withColumn("lrn", local)
+        .join(F.broadcast(offs), "vb")
+        .select("entity", (F.col("off") + F.col("lrn") - 1).alias("vidx"))
     )
     n_vocab = vocab.agg(F.count("*").alias("n_vocab"))
     cand = (

@@ -199,6 +199,16 @@ def mg_sketch(tok: DataFrame, capacity: int) -> DataFrame:
             {"token": list(counters), "w": list(counters.values())}
         )
 
+    partial = tok.mapInPandas(part_sketch, schema="token string, w long")
+    return mg_merge_summaries(partial, capacity)
+
+
+def mg_merge_summaries(weighted: DataFrame, capacity: int) -> DataFrame:
+    """Weighted MG merge of already-summarized (token, w) frames in ONE
+    bounded task — the mergeable-summaries reduce step, shared by the
+    batch sketch above and the streaming foreachBatch sink
+    (streaming/ingest.py) so the two paths cannot drift."""
+
     def merge_sketch(batches):
         counters: dict = {}
         for pdf in batches:
@@ -207,8 +217,7 @@ def mg_sketch(tok: DataFrame, capacity: int) -> DataFrame:
             {"token": list(counters), "w": list(counters.values())}
         )
 
-    partial = tok.mapInPandas(part_sketch, schema="token string, w long")
-    return partial.repartition(1).mapInPandas(
+    return weighted.repartition(1).mapInPandas(
         merge_sketch, schema="token string, w long"
     )
 

@@ -1356,9 +1356,12 @@ ORDER BY d.doc_id
         relational.layout_zorder_keys,
         f"""
 WITH xy AS (
+  -- sign-consistent modulo (matches Spark's pmod for negative inputs)
   SELECT event_id,
-         user_id % {1 << relational.ZORDER_BITS} AS x,
-         CAST(floor(value * 100) AS BIGINT) % {1 << relational.ZORDER_BITS} AS y
+         ((user_id % {1 << relational.ZORDER_BITS})
+          + {1 << relational.ZORDER_BITS}) % {1 << relational.ZORDER_BITS} AS x,
+         ((CAST(floor(value * 100) AS BIGINT) % {1 << relational.ZORDER_BITS})
+          + {1 << relational.ZORDER_BITS}) % {1 << relational.ZORDER_BITS} AS y
   FROM events
 ), zz AS (
   SELECT event_id, x, y,
@@ -1396,7 +1399,7 @@ WITH words AS (
   WHERE length(token) > 0 GROUP BY token
 ), w0 AS (
   SELECT word, cnt,
-         rtrim(regexp_replace(word, '(.)', '{s1}\\1{s2}  ', 'g')) AS seq
+         rtrim(regexp_replace(word, '([\\s\\S])', '{s1}\\1{s2}  ', 'g')) AS seq
   FROM words
 )"""
     ]

@@ -603,7 +603,7 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
     )
     wrap = F.expr(
-        f"rtrim(regexp_replace(word, '(.)', '{_BPE_S1}$1{_BPE_S2}  '))"
+        f"rtrim(regexp_replace(word, '([\\\\s\\\\S])', '{_BPE_S1}$1{_BPE_S2}  '))"
     )
     prev = words.select("word", "cnt", wrap.alias("seq")).persist()
     merges: list[tuple] = []

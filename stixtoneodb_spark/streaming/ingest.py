@@ -430,7 +430,11 @@ def start_heavy_hitters_sink(
             merged_in = batch_sketch.unionByName(prior)
         else:
             merged_in = batch_sketch
-        merged = mg_sketch_merge(merged_in, capacity)
+        from stixtoneodb_spark.operators.pandas_surface import (  # noqa: PLC0415
+            mg_merge_summaries,
+        )
+
+        merged = mg_merge_summaries(merged_in, capacity)
         merged.coalesce(1).write.mode("overwrite").parquet(
             f"{state_dir}/v{batch_id}"
         )
@@ -442,23 +446,6 @@ def start_heavy_hitters_sink(
         .trigger(availableNow=True)
         .start()
     )
-
-
-def mg_sketch_merge(weighted: DataFrame, capacity: int):
-    """Weighted MG merge of an already-summarized (token, w) frame —
-    one bounded task (input is ≤ a few sketches' worth of rows)."""
-    import numpy as np  # noqa: PLC0415
-    import pandas as pd  # noqa: PLC0415
-
-    from stixtoneodb_spark.operators.pandas_surface import _mg_fold  # noqa: PLC0415
-
-    def merge(batches):
-        counters: dict = {}
-        for pdf in batches:
-            _mg_fold(counters, pdf["token"], np.asarray(pdf["w"]), capacity)
-        yield pd.DataFrame({"token": list(counters), "w": list(counters.values())})
-
-    return weighted.repartition(1).mapInPandas(merge, schema="token string, w long")
 
 
 def read_heavy_hitters_state(

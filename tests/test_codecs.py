@@ -154,3 +154,36 @@ def test_png_sniff_and_dispatch():
     b = codecs.encode_png(arr)
     assert codecs.sniff(b) == "png"
     assert np.array_equal(codecs.decode_image(b), arr)
+
+
+def test_png_truncated_deflate_raises_valueerror_not_zlib_error():
+    """A CRC-valid PNG whose DEFLATE stream is cut short (partial
+    download) must surface as ValueError so media_metadata's try_decode
+    flags decoded_ok=False instead of killing the Spark task."""
+    import struct
+    import zlib
+
+    b = codecs.encode_png(_img(8, 8, seed=2))
+    sig, pos, chunks = b[:8], 8, []
+    while pos < len(b):
+        (ln,) = struct.unpack_from(">I", b, pos)
+        ct, data = b[pos + 4 : pos + 8], b[pos + 8 : pos + 8 + ln]
+        if ct == b"IDAT":
+            data = data[: len(data) // 2]
+        chunks.append((ct, data))
+        pos += 12 + ln
+    cut = sig + b"".join(
+        struct.pack(">I", len(d)) + t + d
+        + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        for t, d in chunks
+    )
+    with pytest.raises(ValueError):
+        codecs.decode_png(cut)
+    # malformed IHDR length (CRC-valid) is also a ValueError
+    bad_ihdr = sig + b"".join(
+        struct.pack(">I", len(d)) + t + d
+        + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        for t, d in [(b"IHDR", b"\x00" * 12), (b"IEND", b"")]
+    )
+    with pytest.raises(ValueError):
+        codecs.decode_png(bad_ihdr)
