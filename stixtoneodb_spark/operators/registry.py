@@ -1429,6 +1429,11 @@ FROM p{k}"""
 
 REGISTRY["tokenizer_bpe_merges"] = (text.tokenizer_bpe_merges, _bpe_sql())
 
+REGISTRY["text_token_count_arrow"] = (
+    text.text_token_count_arrow,
+    REGISTRY["text_token_count"][1],  # identical spec, shared oracle
+)
+
 REGISTRY["kg_negative_samples"] = (
     graph.kg_negative_samples,
     f"""

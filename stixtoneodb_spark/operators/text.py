@@ -647,3 +647,53 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "step int, left string, right string, merged string, pair_count long"
     )
+
+
+def text_token_count_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``mapInArrow`` variant of ``text_token_count`` — the zero-pandas
+    Arrow path: batches arrive as ``pyarrow.RecordBatch`` and every
+    statistic is a pyarrow.compute kernel (utf8_length, split_pattern,
+    list_value_length, integer arithmetic), with no pandas conversion on
+    either side of the boundary.  This is the documented swap-in for
+    pandas-UDF stages whose cost is the Arrow↔pandas transfer itself
+    (SURVEY §7.1 watch list) — completing the engine's Python API
+    surface: scalar pandas UDF, GROUPED_AGG, grouped/cogrouped
+    applyInPandas, applyInPandasWithState, mapInPandas, UDTF, and now
+    mapInArrow.
+
+    Identical spec to ``text_token_count`` (same oracle SQL; an equality
+    test pins the two implementations against each other), same scale
+    shape: embarrassingly parallel, no shuffle.
+    """
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.compute as pc  # noqa: PLC0415
+
+    from collections.abc import Iterator as _It  # noqa: PLC0415
+
+    def stats(batches: _It["pa.RecordBatch"]) -> _It["pa.RecordBatch"]:
+        for batch in batches:
+            text_arr = batch.column("text")
+            n_chars = pc.utf8_length(text_arr)
+            n_tok = pc.list_value_length(
+                pc.split_pattern(pc.utf8_lower(text_arr), " ")
+            )
+            bpe = pc.divide(
+                pc.add(pc.cast(n_chars, pa.int64()), 3), 4
+            )  # ceil(chars/4) on non-negative ints
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.cast(n_tok, pa.int32()),
+                    pc.cast(bpe, pa.int64()),
+                    pc.cast(n_chars, pa.int32()),
+                ],
+                names=[
+                    "doc_id", "n_tokens_ws", "n_tokens_bpe_est", "n_chars_actual"
+                ],
+            )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return d.mapInArrow(
+        stats,
+        "doc_id long, n_tokens_ws int, n_tokens_bpe_est long, n_chars_actual int",
+    )

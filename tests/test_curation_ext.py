@@ -393,3 +393,17 @@ def test_negative_samples_filtered_protocol(spark):
     assert len(got) < len(half) * graph.NEG_SAMPLES_K  # anti-join fired
     again = graph.kg_negative_samples(spark, SF).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+# ---- text_token_count_arrow -------------------------------------------------
+
+
+def test_arrow_token_count_equals_jvm_path(spark):
+    """The mapInArrow implementation must emit exactly the JVM built-in
+    path's rows — two independent implementations of the same spec."""
+    a = text.text_token_count_arrow(spark, SF)
+    b = text.text_token_count(spark, SF)
+    assert a.schema == b.schema
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+    assert a.count() == 500
