@@ -229,9 +229,20 @@ def _run_worker(args: list[str], pin_cores: int | None = None) -> dict:
             # must not destroy the round's official bench artifact.  The
             # stderr tail goes to OUR stderr so the failure is diagnosable.
             last_err = e
+            # a bare tail shows only JVM lazy-execute scaffolding; pull the
+            # root-cause lines explicitly so the failure is diagnosable
+            # (observed: a 0.38-probe window produced a truncated trace
+            # whose actual exception was cut off by the tail window)
+            err = e.stderr or ""
+            causes = "\n".join(
+                ln for ln in err.splitlines()
+                if ("Caused by" in ln or "Error" in ln or "Exception" in ln)
+                and not ln.lstrip().startswith("at ")
+            )[-2000:]
             sys.stderr.write(
                 f"bench worker failed (attempt {attempt + 1}) {args}:\n"
-                f"{(e.stderr or '')[-2000:]}\n"
+                f"--- root-cause lines ---\n{causes}\n"
+                f"--- stderr tail ---\n{err[-2000:]}\n"
             )
             time.sleep(20)
     raise last_err
