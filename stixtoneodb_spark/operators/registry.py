@@ -1429,6 +1429,27 @@ FROM p{k}"""
 
 REGISTRY["tokenizer_bpe_merges"] = (text.tokenizer_bpe_merges, _bpe_sql())
 
+REGISTRY["agg_anomaly_zscore"] = (
+    relational.agg_anomaly_zscore,
+    f"""
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+), m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vc) AS BIGINT) AS s1,
+         CAST(SUM(vc * vc) AS BIGINT) AS s2
+  FROM v GROUP BY event_type
+)
+SELECT v.event_id, v.event_type, v.vc
+FROM v JOIN m USING (event_type)
+WHERE CAST(v.vc * m.n - m.s1 AS DOUBLE) * CAST(v.vc * m.n - m.s1 AS DOUBLE)
+      > {float(relational.ZSCORE_SIGMA**2)!r}
+        * CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+""",
+)
+
 REGISTRY["text_token_count_arrow"] = (
     text.text_token_count_arrow,
     REGISTRY["text_token_count"][1],  # identical spec, shared oracle

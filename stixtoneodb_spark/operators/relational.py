@@ -965,3 +965,47 @@ def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_key"),
         F.shiftright(z, shift).alias("file_bucket"),
     )
+
+
+ZSCORE_SIGMA = 3
+
+
+def agg_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging — the statistical QC pass a
+    curation pipeline runs on numeric signals (drop events whose value
+    sits more than ``ZSCORE_SIGMA`` population standard deviations from
+    the group mean).
+
+    Cross-engine exactness: values ride as integer cents (one identical
+    double round-half on both engines), the group moments (n, Σv, Σv²)
+    are EXACT integer aggregates, and the test is the cross-multiplied
+    square form (v·n − Σv)² > σ²·(n·Σv² − (Σv)²) — no float mean/stddev
+    anywhere; the two squared sides are compared as doubles built from
+    identical int64 values.  Moments fit int64 comfortably at bench
+    scales (Σv ≈ 1e9 at sf0.1 → (Σv)² ≈ 1e18 < 2^63); at 100 TB promote
+    the moment columns to decimal(38,0) — same plan shape.
+
+    Scale shape: one map-side-combined aggregate per group + a broadcast
+    moments join back (group cardinality is tiny); the filter is
+    per-row codegen arithmetic.  Output: the flagged rows.
+    """
+    v = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    m = v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vc").alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).alias("s2"),
+    )
+    dev = (F.col("vc") * F.col("n") - F.col("s1")).cast("double")
+    bound = (
+        F.lit(float(ZSCORE_SIGMA * ZSCORE_SIGMA))
+        * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    )
+    return (
+        v.join(F.broadcast(m), "event_type")
+        .where(dev * dev > bound)
+        .select("event_id", "event_type", "vc")
+    )

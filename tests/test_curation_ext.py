@@ -407,3 +407,38 @@ def test_arrow_token_count_equals_jvm_path(spark):
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
     assert a.count() == 500
+
+
+# ---- agg_anomaly_zscore -----------------------------------------------------
+
+
+def test_zscore_matches_independent_numpy_reference(spark, tmp_path):
+    """Planted distribution with KNOWN outliers, checked against an
+    independent numpy population-z computation."""
+    rng = np.random.default_rng(9)
+    base = rng.normal(100.0, 5.0, 400).round(2)
+    planted = np.array([500.0, 480.0, -200.0])  # unambiguous outliers
+    vals = np.concatenate([base, planted])
+    rows = [(int(i), float(v)) for i, v in enumerate(vals)]
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(np.zeros(len(rows)), unit="s").astype(
+                "datetime64[us]"
+            ),
+            "user_id": 1,
+            "event_type": "click",
+            "value": [r[1] for r in rows],
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    got = {
+        r["event_id"]
+        for r in relational.agg_anomaly_zscore(spark, str(tmp_path)).collect()
+    }
+    vc = np.floor(vals * 100 + 0.5).astype(np.int64)
+    z = (vc - vc.mean()) / vc.std()  # population std, like the operator
+    expect = {int(i) for i in np.where(np.abs(z) > relational.ZSCORE_SIGMA)[0]}
+    assert got == expect
+    assert {400, 401, 402} <= got  # the planted outliers are flagged
