@@ -472,3 +472,94 @@ def dedup_set_similarity_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "uni",
         F.expr("CAST(inter * 1000000 AS BIGINT) div uni").alias("jaccard_ppm"),
     )
+
+
+SNM_WINDOW = 8       # sorted-neighborhood width
+SNM_TAU_NUM = 5      # verify floor: token Jaccard >= 5/10
+SNM_TAU_DEN = 10
+SNM_KEY_LEN = 24     # sort key: first chars of normalized text
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD'95) — the
+    classic blocking alternative to LSH: sort the corpus by a
+    discriminating key, compare only records within a fixed-width
+    window of the sort order, verify candidates exactly.
+
+    Spec: sort key = first ``SNM_KEY_LEN`` chars of lowercased text;
+    global rank = ROW_NUMBER over (key, doc_id); candidates = pairs with
+    0 < rank_b − rank_a ≤ ``SNM_WINDOW``; verify = whitespace-token-set
+    Jaccard ≥ SNM_TAU (integer cross-multiplied, like the prefix-filter
+    join).  Output (doc_a, doc_b, rank_gap, jaccard_ppm).
+
+    Scale shape: the global rank uses the TWO-PASS bucketed form (rank
+    within a first-char key bucket + broadcast bucket offsets — no
+    single-task window; same decomposition as events_max_concurrency);
+    the window join is the bucketized ±1-bin equi-join on
+    floor(rank / W) (each rank meets only its own and adjacent rank
+    buckets — candidate count is W·n, linear); verification joins token
+    arrays at candidate cardinality.  The DuckDB oracle computes the
+    naive global ROW_NUMBER + theta self-join, so the hash match proves
+    both decompositions.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring(F.lower("text"), 1, SNM_KEY_LEN).alias("sk"),
+        F.lower("text").alias("lt"),
+    )
+    d = d.withColumn("kb", F.substring("sk", 1, 1))
+    local = F.row_number().over(Window.partitionBy("kb").orderBy("sk", "doc_id"))
+    offs = (
+        d.groupBy("kb").agg(F.count("*").alias("bn"))
+        .withColumn(
+            "off",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("kb").rowsBetween(
+                        Window.unboundedPreceding, Window.currentRow - 1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("kb", "off")
+    )
+    ranked = (
+        d.withColumn("lrn", local)
+        .join(F.broadcast(offs), "kb")
+        .select("doc_id", "lt", (F.col("off") + F.col("lrn")).alias("rk"))
+        .withColumn("rb", F.floor(F.col("rk") / F.lit(SNM_WINDOW)))
+    )
+    # bucketized window join: each row joins its own + next rank bucket
+    left = ranked.select(
+        F.col("doc_id").alias("doc_a"), F.col("lt").alias("la"),
+        F.col("rk").alias("ra"), F.explode(F.array(F.col("rb"), F.col("rb") + 1)).alias("jb"),
+    )
+    right = ranked.select(
+        F.col("doc_id").alias("doc_b"), F.col("lt").alias("lb"),
+        F.col("rk").alias("rb2"), F.col("rb").alias("jb"),
+    )
+    cand = (
+        left.join(right, "jb")
+        .where(
+            (F.col("rb2") > F.col("ra"))
+            & (F.col("rb2") - F.col("ra") <= SNM_WINDOW)
+        )
+        .select("doc_a", "doc_b", "la", "lb",
+                (F.col("rb2") - F.col("ra")).alias("rank_gap"))
+    )  # each pair matches on exactly one rank bucket — no dedup needed
+    ta = F.array_distinct(F.split(F.col("la"), " "))
+    tb = F.array_distinct(F.split(F.col("lb"), " "))
+    inter = F.size(F.array_intersect(ta, tb))
+    uni = F.size(ta) + F.size(tb) - inter
+    return (
+        cand.withColumn("inter", inter)
+        .withColumn("uni", uni)
+        .where(F.col("inter") * SNM_TAU_DEN >= F.lit(SNM_TAU_NUM) * F.col("uni"))
+        .select(
+            "doc_a",
+            "doc_b",
+            "rank_gap",
+            F.expr("CAST(inter * 1000000 AS BIGINT) div uni").alias("jaccard_ppm"),
+        )
+    )

@@ -1429,6 +1429,34 @@ FROM p{k}"""
 
 REGISTRY["tokenizer_bpe_merges"] = (text.tokenizer_bpe_merges, _bpe_sql())
 
+REGISTRY["dedup_sorted_neighborhood"] = (
+    dedup.dedup_sorted_neighborhood,
+    f"""
+WITH d AS (
+  SELECT doc_id, lower(text) AS lt,
+         substr(lower(text), 1, {dedup.SNM_KEY_LEN}) AS sk
+  FROM documents
+), r AS (
+  SELECT doc_id, lt, ROW_NUMBER() OVER (ORDER BY sk, doc_id) AS rk FROM d
+), cand AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(b.rk - a.rk AS BIGINT) AS rank_gap,
+         list_distinct(string_split(a.lt, ' ')) AS ta,
+         list_distinct(string_split(b.lt, ' ')) AS tb
+  FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk <= {dedup.SNM_WINDOW}
+), scored AS (
+  SELECT doc_a, doc_b, rank_gap,
+         len(list_intersect(ta, tb)) AS inter,
+         len(ta) + len(tb) - len(list_intersect(ta, tb)) AS uni
+  FROM cand
+)
+SELECT doc_a, doc_b, rank_gap,
+       CAST((inter * 1000000) // uni AS BIGINT) AS jaccard_ppm
+FROM scored
+WHERE inter * {dedup.SNM_TAU_DEN} >= {dedup.SNM_TAU_NUM} * uni
+""",
+)
+
 REGISTRY["embedding_gram_matrix"] = (
     similarity.embedding_gram_matrix,
     f"""

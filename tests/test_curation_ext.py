@@ -464,3 +464,49 @@ def test_gram_matrix_matches_numpy_and_partitioning_invariant(spark):
     iu = np.triu_indices(full.shape[0])
     expect = {(int(a), int(b)): int(full[a, b]) for a, b in zip(*iu)}
     assert got == expect
+
+
+# ---- dedup_sorted_neighborhood ----------------------------------------------
+
+
+def test_snm_window_semantics_on_planted_corpus(spark, tmp_path):
+    """Independent replay of the full SNM spec (python sort + window +
+    jaccard) on a planted corpus that includes near-dups adjacent in
+    sort order AND a near-dup pair pushed farther apart than the window
+    by interleaved keys — the documented recall limit of SNM (the pair
+    must NOT appear; LSH would find it)."""
+    texts = []
+    # 5 near-identical docs sharing a sort-key prefix (adjacent ranks)
+    for i in range(5):
+        texts.append("aaa common body tokens shared by the family " + f"v{i}")
+    # a near-dup pair separated by > SNM_WINDOW interleaved 'b*' keys
+    texts.append("bbb 0 pair first half tokens mostly common here")
+    for i in range(dedup.SNM_WINDOW + 2):
+        texts.append(f"bbb {i+1} filler interleaved row number {i} unique{i}")
+    texts.append("bbb z pair first half tokens mostly common here")
+    d = _write_docs(tmp_path, texts)
+
+    # independent reference
+    ranked = sorted(
+        range(len(texts)), key=lambda i: (texts[i][: dedup.SNM_KEY_LEN], i)
+    )
+    sets = [frozenset(t.split(" ")) for t in texts]
+    truth = set()
+    for p in range(len(ranked)):
+        for q in range(p + 1, min(p + dedup.SNM_WINDOW + 1, len(ranked))):
+            a, b = ranked[p], ranked[q]
+            inter = len(sets[a] & sets[b])
+            uni = len(sets[a] | sets[b])
+            if inter * dedup.SNM_TAU_DEN >= dedup.SNM_TAU_NUM * uni:
+                truth.add((a, b))
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.dedup_sorted_neighborhood(spark, d).collect()
+    }
+    assert got == truth
+    # family pairs found; the far-apart bbb pair missed (SNM recall limit)
+    assert (0, 1) in got
+    far_pair = (5, len(texts) - 1)
+    sa, sb = sets[far_pair[0]], sets[far_pair[1]]
+    assert len(sa & sb) * dedup.SNM_TAU_DEN >= dedup.SNM_TAU_NUM * len(sa | sb)
+    assert far_pair not in got  # similar but outside the window
