@@ -443,3 +443,57 @@ def kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["src", "neg_dst"],
         "left_anti",
     )
+
+
+CLOSE_MAX_D = 4
+
+
+def kg_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality over the co-occurrence graph:
+    C(v) = Σ_{u≠v reachable within CLOSE_MAX_D} 1/d(v,u) — the KG "hub
+    quality" metric (which canonical entities sit near everything).
+
+    Algorithm: ALL-SOURCES bounded BFS — the kg_khop_reach loop
+    generalized to a multi-source frontier keyed (source, node); every
+    round expands every source's ring simultaneously through one
+    frontier⋈edges join + one (source, node) anti-join.  Harmonic terms
+    ride as integer micro-units (1000000 div d — truncating division IS
+    the spec, identically on both engines; no float reciprocals).
+
+    Scale shape: state and shuffles are keyed (source, node) — the same
+    frontier-ring discipline as single-source BFS, |sources| times the
+    rows, which is the honest cost of all-pairs distances (at 100 TB one
+    runs this over the vocabulary-scale canonical graph, not raw
+    mentions; the loop is CLOSE_MAX_D fixed rounds with per-round
+    lineage truncation).  The DuckDB oracle replays the bounded
+    min-distance closure as a recursive CTE.
+    """
+    edges = _cooccurrence_edges(spark, sf_dir).select(
+        F.col("src").alias("e_src"), F.col("dst").alias("e_dst")
+    ).localCheckpoint(eager=True)
+    reached = (
+        edges.select(F.col("e_src").alias("s"))
+        .distinct()
+        .select("s", F.col("s").alias("node"), F.lit(0).alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    frontier = reached
+    for k in range(1, CLOSE_MAX_D + 1):
+        nxt = (
+            frontier.join(edges, frontier.node == edges.e_src)
+            .select("s", F.col("e_dst").alias("node"))
+            .distinct()
+            .join(reached.select("s", "node"), ["s", "node"], "left_anti")
+            .withColumn("d", F.lit(k))
+        )
+        frontier = nxt.localCheckpoint(eager=True)
+        reached = reached.unionByName(frontier).localCheckpoint(eager=True)
+    return (
+        reached.where(F.col("d") > 0)
+        .groupBy("s")
+        .agg(
+            F.count("*").alias("n_reachable"),
+            F.sum(F.expr("1000000 div d")).alias("harmonic_x1e6"),
+        )
+        .select(F.col("s").alias("mention"), "n_reachable", "harmonic_x1e6")
+    )

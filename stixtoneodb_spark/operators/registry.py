@@ -1429,6 +1429,27 @@ FROM p{k}"""
 
 REGISTRY["tokenizer_bpe_merges"] = (text.tokenizer_bpe_merges, _bpe_sql())
 
+REGISTRY["kg_closeness_centrality"] = (
+    graph.kg_closeness_centrality,
+    f"""
+WITH RECURSIVE {_coocc_edges_cte()}, edges AS (
+  SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half
+), walk AS (
+  SELECT DISTINCT src AS s, src AS node, 0 AS d FROM edges
+  UNION ALL
+  SELECT w.s, e.dst AS node, w.d + 1 AS d
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.d < {graph.CLOSE_MAX_D}
+), dist AS (
+  SELECT s, node, MIN(d) AS d FROM walk GROUP BY s, node
+)
+SELECT s AS mention,
+       COUNT(*) AS n_reachable,
+       CAST(SUM(1000000 // d) AS BIGINT) AS harmonic_x1e6
+FROM dist WHERE d > 0 GROUP BY s
+""",
+)
+
 REGISTRY["dedup_sorted_neighborhood"] = (
     dedup.dedup_sorted_neighborhood,
     f"""

@@ -510,3 +510,46 @@ def test_snm_window_semantics_on_planted_corpus(spark, tmp_path):
     sa, sb = sets[far_pair[0]], sets[far_pair[1]]
     assert len(sa & sb) * dedup.SNM_TAU_DEN >= dedup.SNM_TAU_NUM * len(sa | sb)
     assert far_pair not in got  # similar but outside the window
+
+
+# ---- kg_closeness_centrality ------------------------------------------------
+
+
+def test_closeness_on_planted_path_graph(spark, tmp_path):
+    """The oracle corpus's co-occurrence graph is complete (every pair
+    d=1); this plants a PATH a-b-c-d (via PR_VOCAB members 'join',
+    'hash', 'row', 'batch') so multi-hop distances and the truncating
+    1e6 div d harmonic terms are actually exercised, against an
+    independent python BFS."""
+    texts = (
+        ["join hash"] * 3 + ["hash row"] * 3 + ["row batch"] * 3
+        + ["filler doc"] * 4
+    )
+    d = _write_docs(tmp_path, texts)
+    adj = {
+        "join": {"hash"}, "hash": {"join", "row"},
+        "row": {"hash", "batch"}, "batch": {"row"},
+    }
+
+    def bfs(src):
+        dist, frontier = {src: 0}, {src}
+        for k in range(1, graph.CLOSE_MAX_D + 1):
+            frontier = {
+                v for u in frontier for v in adj[u] if v not in dist
+            }
+            for v in frontier:
+                dist[v] = k
+        return dist
+
+    expect = {}
+    for s in adj:
+        dist = bfs(s)
+        terms = [1_000_000 // dd for v, dd in dist.items() if dd > 0]
+        expect[s] = (len(terms), sum(terms))
+    got = {
+        r["mention"]: (r["n_reachable"], r["harmonic_x1e6"])
+        for r in graph.kg_closeness_centrality(spark, d).collect()
+    }
+    assert got == expect
+    # end nodes are strictly less central than middle nodes
+    assert got["join"][1] < got["hash"][1]
