@@ -1429,6 +1429,32 @@ FROM p{k}"""
 
 REGISTRY["tokenizer_bpe_merges"] = (text.tokenizer_bpe_merges, _bpe_sql())
 
+REGISTRY["events_association_rules"] = (
+    relational.events_association_rules,
+    """
+WITH b AS (
+  SELECT DISTINCT user_id, event_type FROM events
+), pairs AS (
+  SELECT a.event_type AS ante, c.event_type AS cons,
+         CAST(COUNT(*) AS BIGINT) AS support_ab
+  FROM b a JOIN b c ON a.user_id = c.user_id AND a.event_type != c.event_type
+  GROUP BY 1, 2
+), marg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM b GROUP BY 1
+), nu AS (
+  SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM b
+)
+SELECT p.ante, p.cons, p.support_ab,
+       CAST((p.support_ab * 1000000) // ma.n_t AS BIGINT) AS confidence_ppm,
+       CAST((p.support_ab * nu.n_users * 1000000) // (ma.n_t * mc.n_t) AS BIGINT)
+         AS lift_ppm
+FROM pairs p
+JOIN marg ma ON ma.event_type = p.ante
+JOIN marg mc ON mc.event_type = p.cons
+CROSS JOIN nu
+""",
+)
+
 REGISTRY["kg_closeness_centrality"] = (
     graph.kg_closeness_centrality,
     f"""

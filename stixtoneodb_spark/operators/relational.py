@@ -1009,3 +1009,52 @@ def agg_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dev * dev > bound)
         .select("event_id", "event_type", "vc")
     )
+
+
+def events_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over user event-type sets:
+    for every ordered pair (antecedent A, consequent B) the support
+    count, confidence and lift — the co-behavior mining primitive
+    (Agrawal-Srikant Apriori's 2-itemset tier; with a 5-type alphabet
+    the candidate lattice is the pair set itself).
+
+    Integer contract: confidence = |A∩B| / |A| and lift =
+    |A∩B|·N / (|A|·|B|) ride as ppm via truncating integer division —
+    no float ratios cross engines.
+
+    Scale shape: baskets collapse to DISTINCT (user, type) first (the
+    raw stream never enters the pair join); pairs come from a per-user
+    self-join whose fan-out is bounded by the type-alphabet size;
+    marginals and N are broadcast 1-row/|types|-row aggregates.
+    """
+    b = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    pairs = (
+        b.select("user_id", F.col("event_type").alias("ante"))
+        .join(b.select("user_id", F.col("event_type").alias("cons")), "user_id")
+        .where(F.col("ante") != F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("support_ab"))
+    )
+    marg = b.groupBy("event_type").agg(F.count("*").alias("n_t"))
+    n_users = b.select("user_id").distinct().agg(F.count("*").alias("n_users"))
+    return (
+        pairs.join(F.broadcast(marg.select(F.col("event_type").alias("ante"),
+                                           F.col("n_t").alias("n_a"))), "ante")
+        .join(F.broadcast(marg.select(F.col("event_type").alias("cons"),
+                                      F.col("n_t").alias("n_b"))), "cons")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "ante",
+            "cons",
+            "support_ab",
+            F.expr("CAST(support_ab * 1000000 AS BIGINT) div n_a")
+            .alias("confidence_ppm"),
+            F.expr(
+                "CAST(support_ab * n_users * 1000000 AS BIGINT) div (n_a * n_b)"
+            ).alias("lift_ppm"),
+        )
+    )

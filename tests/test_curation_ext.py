@@ -553,3 +553,46 @@ def test_closeness_on_planted_path_graph(spark, tmp_path):
     assert got == expect
     # end nodes are strictly less central than middle nodes
     assert got["join"][1] < got["hash"][1]
+
+
+# ---- events_association_rules -----------------------------------------------
+
+
+def test_association_rules_planted_lift(spark, tmp_path):
+    """Planted baskets with a known positive- and negative-lift pair,
+    checked against hand-computed support/confidence/lift."""
+    # users 0-9: {click, purchase}; users 10-19: {view}; user 20: {click}
+    rows = []
+    eid = 0
+    for u in range(10):
+        for t in ("click", "purchase"):
+            rows.append((eid, u, t)); eid += 1
+    for u in range(10, 20):
+        rows.append((eid, u, "view")); eid += 1
+    rows.append((eid, 20, "click")); eid += 1
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime(np.zeros(len(rows)), unit="s").astype(
+                "datetime64[us]"
+            ),
+            "user_id": [r[1] for r in rows],
+            "event_type": [r[2] for r in rows],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    got = {
+        (r["ante"], r["cons"]): (r["support_ab"], r["confidence_ppm"], r["lift_ppm"])
+        for r in relational.events_association_rules(spark, str(tmp_path)).collect()
+    }
+    # |click|=11, |purchase|=10, |both|=10, N=21
+    assert got[("click", "purchase")] == (
+        10, 10 * 1_000_000 // 11, 10 * 21 * 1_000_000 // (11 * 10)
+    )
+    assert got[("purchase", "click")] == (10, 1_000_000, 21 * 1_000_000 // 11)
+    # click/view never co-occur -> pair absent entirely
+    assert ("click", "view") not in got
+    # lift > 1e6 (positive association) for the planted pair
+    assert got[("click", "purchase")][2] > 1_000_000
