@@ -1604,3 +1604,23 @@ JOIN marg mb ON mb.token = p.dst
 CROSS JOIN nd
 """,
 )
+
+REGISTRY["corpus_decontaminate_ngrams"] = (
+    text.corpus_decontaminate_ngrams,
+    f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i:i + {text.NGRAM_SPAN - 1}], ' ') AS gram
+  FROM toks, UNNEST(range(1, len(t) - {text.NGRAM_SPAN - 2})) AS u(i)
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {text.DECON_MOD} = 0
+)
+SELECT g.doc_id,
+       COUNT(DISTINCT g.gram) AS n_grams_hit,
+       COUNT(*) AS n_gram_occurrences
+FROM grams g JOIN bench b USING (gram)
+WHERE g.doc_id % {text.DECON_MOD} <> 0
+GROUP BY g.doc_id
+""",
+)

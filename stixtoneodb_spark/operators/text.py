@@ -697,3 +697,65 @@ def text_token_count_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats,
         "doc_id long, n_tokens_ws int, n_tokens_bpe_est long, n_chars_actual int",
     )
+
+
+DECON_MOD = 11
+
+
+def decontaminate_grams(docs: DataFrame, mod: int = DECON_MOD) -> DataFrame:
+    """Core of ``corpus_decontaminate_ngrams`` over an arbitrary documents
+    frame — factored out so property tests can plant contamination."""
+    toks = _ws_tokens(F.col("text"))
+    n = F.size(toks)
+    grams = F.when(
+        n >= NGRAM_SPAN,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(NGRAM_SPAN - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM_SPAN)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = docs.select("doc_id", F.explode(grams).alias("gram"))
+    bench = (
+        g.where(F.col("doc_id") % mod == 0).select("gram").distinct()
+    )
+    train = g.where(F.col("doc_id") % mod != 0)
+    hits = train.join(F.broadcast(bench), "gram")
+    return hits.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_grams_hit"),
+        F.count("*").alias("n_gram_occurrences"),
+    )
+
+
+def corpus_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag every training document that shares
+    at least one whitespace 8-gram with the held-out benchmark subset —
+    the eval-leakage hygiene pass every frontier training corpus runs
+    (GPT-3 appendix C uses 13-gram overlap; Llama / FineWeb run the same
+    sliding-n-gram containment check against eval suites).  The benchmark
+    set here is the deterministic ``doc_id % DECON_MOD == 0`` slice so
+    both engines derive it identically; in production it is the external
+    eval corpus.
+
+    Returns one row per CONTAMINATED training doc: (doc_id, n_grams_hit =
+    distinct leaked grams, n_gram_occurrences = total leaked windows).
+
+    Spark shape: tokens → ``transform(sequence(...))`` sliding windows →
+    explode (the dedup_repeated_ngrams builder), then a BROADCAST inner
+    join against the distinct benchmark grams — the benchmark side is
+    small by construction (eval suites are ~10^5 grams even when the
+    training corpus is 100 TB), so the training-side scan never shuffles:
+    the only exchange is the survivor-scale per-doc aggregate.  The
+    single-pass countDistinct+count agg is safe here (unlike the
+    repeated-ngrams full-corpus agg) because it runs AFTER the broadcast
+    join has reduced cardinality to actual leak windows.  At 100 TB the
+    gram string is xxhash64-compressed exactly as in
+    dedup_repeated_ngrams_hashed; string form kept at oracle scale for
+    readability.
+
+    Reference parity: the reference loader has no decontamination stage
+    (StixToNeoDB.scala is a pure loader); this extends the training-data
+    tier per the builder brief.
+    """
+    return decontaminate_grams(
+        load_table(spark, sf_dir, "documents"), DECON_MOD
+    )

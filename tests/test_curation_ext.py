@@ -19,6 +19,7 @@ import pandas as pd
 import pytest
 
 from stixtoneodb_spark.operators import dedup, graph, relational, text
+from stixtoneodb_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.01"
 
@@ -596,3 +597,29 @@ def test_association_rules_planted_lift(spark, tmp_path):
     assert ("click", "view") not in got
     # lift > 1e6 (positive association) for the planted pair
     assert got[("click", "purchase")][2] > 1_000_000
+
+
+# ---- corpus_decontaminate_ngrams ------------------------------------------
+
+
+def test_decontaminate_planted_leak(spark, tmp_path):
+    """Planted leak regimes the sf fixture can't isolate: an exact 8-gram
+    leak is flagged, a 7-token overlap (one short of the span) is NOT,
+    a doubly-occurring leaked window counts occurrences but one distinct
+    gram, and benchmark docs never appear in the output."""
+    leak = "w1 w2 w3 w4 w5 w6 w7 w8"
+    texts = [
+        leak + " tail0 tail1",                 # doc 0: benchmark (0 % 3)
+        "pre0 " + leak + " post0",             # doc 1: one leaked window
+        "w1 w2 w3 w4 w5 w6 w7 x8 y9 z10",      # doc 2: 7-token overlap only
+        "a0 " + leak + " mid " + leak,         # doc 3: benchmark (3 % 3)
+        "b0 " + leak + " b1 " + leak + " b2",  # doc 4: leak twice
+    ]
+    d = _write_docs(tmp_path, texts)
+    out = {
+        r["doc_id"]: (r["n_grams_hit"], r["n_gram_occurrences"])
+        for r in text.decontaminate_grams(
+            load_table(spark, d, "documents"), mod=3
+        ).collect()
+    }
+    assert out == {1: (1, 1), 4: (1, 2)}
