@@ -497,3 +497,93 @@ def kg_closeness_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("s").alias("mention"), "n_reachable", "harmonic_x1e6")
     )
+
+
+RA_COOCC_PCT = 65
+
+
+def _thresholded_cooccurrence_half(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRONG co-occurrence half-edges (src < dst): entity pairs whose
+    co-mention count reaches RA_COOCC_PCT percent of the corpus — the
+    sparse 'attested association' graph link prediction runs on (the raw
+    co-occurrence graph is complete at vocabulary scale, so thresholding
+    is what creates predictive structure).  The corpus size rides the
+    plan as a broadcast 1-row aggregate, not a driver count() barrier."""
+    d = load_table(spark, sf_dir, "documents")
+    m = (
+        d.select("doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token"))
+        .where(F.col("token").isin(*PR_VOCAB))
+        .distinct()
+    )
+    a = m.select("doc_id", F.col("token").alias("src"))
+    b = m.select("doc_id", F.col("token").alias("dst"))
+    pair = (
+        a.join(b, "doc_id")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_ab"))
+    )
+    nd = d.agg(F.count("*").alias("n_docs"))
+    return pair.join(F.broadcast(nd)).where(
+        F.col("n_ab") * 100 >= F.lit(RA_COOCC_PCT) * F.col("n_docs")
+    ).select("src", "dst")
+
+
+def resource_allocation(half: DataFrame) -> DataFrame:
+    """Core resource-allocation link predictor over an undirected graph
+    given as deduplicated (src < dst) half-edges — factored out so
+    property tests can plant sparse graphs.
+
+    For every NON-adjacent pair (a, b) with at least one common neighbor
+    z, RA(a,b) = Σ_z 1/deg(z) (Zhou, Lü & Zhang 2009, 'Predicting missing
+    links via local information') — the common-neighbor family's
+    strongest simple member.  Scores ride as integer ppm (1000000 div
+    deg, truncating division IS the spec) so the cross-engine value hash
+    can't be broken by float summation order.
+    """
+    full = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = full.groupBy(F.col("src").alias("z")).agg(F.count("*").alias("deg"))
+    e1 = full.select(F.col("src").alias("a"), F.col("dst").alias("z"))
+    e2 = full.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    wedges = e1.join(e2, "z").where(F.col("a") < F.col("b"))
+    open_w = wedges.join(
+        half.select(F.col("src").alias("a"), F.col("dst").alias("b")),
+        ["a", "b"],
+        "left_anti",
+    )
+    return (
+        open_w.join(deg, "z")
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(F.expr("1000000 div deg")).alias("ra_score_ppm"),
+        )
+        .select(
+            F.col("a").alias("src"), F.col("b").alias("dst"),
+            "n_common", "ra_score_ppm",
+        )
+    )
+
+
+def kg_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-link prediction over the KG: resource-allocation scores
+    for non-adjacent entity pairs of the STRONG co-occurrence graph —
+    the 'which relationships does the graph imply but not yet contain'
+    query a KG-construction pipeline runs to propose new edges for
+    verification (relationship discovery over the loader's SRO-style
+    edge set; the reference loader materializes only explicit refs —
+    StixToNeoDB.scala:24-38 — so this extends it with the standard
+    inference tier).
+
+    Plan shape: the wedge enumeration is two self-joins of the adjacency
+    list — bounded by the THRESHOLDED degree, which is the point of the
+    strong-edge cut (on a raw power-law graph one orients wedges through
+    the lower-degree endpoint and salts hot nodes exactly like the
+    triangle counter, kg_triangle_count's docstring).  Vocabulary-scale
+    here: every join side is broadcastable; the only real shuffle is the
+    per-pair aggregate.  Degrees, candidates, and scores all stay
+    integer; no float crosses the engine boundary.
+    """
+    return resource_allocation(_thresholded_cooccurrence_half(spark, sf_dir))

@@ -1624,3 +1624,38 @@ WHERE g.doc_id % {text.DECON_MOD} <> 0
 GROUP BY g.doc_id
 """,
 )
+
+REGISTRY["kg_link_prediction_ra"] = (
+    graph.kg_link_prediction_ra,
+    f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  WHERE token IN ({",".join(f"'{t}'" for t in graph.PR_VOCAB)})
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), pair AS (
+  SELECT a.token AS src, b.token AS dst, COUNT(*) AS n_ab
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+), half AS (
+  SELECT src, dst FROM pair, nd WHERE n_ab * 100 >= {graph.RA_COOCC_PCT} * nd.n_docs
+), full_e AS (
+  SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half
+), deg AS (
+  SELECT src AS z, COUNT(*) AS deg FROM full_e GROUP BY src
+), wedge AS (
+  SELECT e1.src AS a, e1.dst AS z, e2.dst AS b
+  FROM full_e e1 JOIN full_e e2 ON e1.dst = e2.src AND e1.src < e2.dst
+), open_w AS (
+  SELECT w.a, w.z, w.b FROM wedge w
+  LEFT JOIN half h ON h.src = w.a AND h.dst = w.b
+  WHERE h.src IS NULL
+)
+SELECT o.a AS src, o.b AS dst,
+       COUNT(*) AS n_common,
+       SUM(1000000 // d.deg) AS ra_score_ppm
+FROM open_w o JOIN deg d ON d.z = o.z
+GROUP BY o.a, o.b
+""",
+)

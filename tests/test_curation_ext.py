@@ -623,3 +623,30 @@ def test_decontaminate_planted_leak(spark, tmp_path):
         ).collect()
     }
     assert out == {1: (1, 1), 4: (1, 2)}
+
+
+# ---- kg_link_prediction_ra -------------------------------------------------
+
+
+def test_resource_allocation_planted_graph(spark):
+    """Path + star components: RA scores equal 10^6 div deg(z) summed over
+    common neighbors, adjacent pairs are excluded, and pairs with no
+    common neighbor never appear."""
+    half = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"), ("c", "d"),      # path a-b-c-d
+            ("z", "x1"), ("z", "x2"), ("z", "x3"),   # star around z
+        ],
+        "src string, dst string",
+    )
+    out = {
+        (r["src"], r["dst"]): (r["n_common"], r["ra_score_ppm"])
+        for r in graph.resource_allocation(half).collect()
+    }
+    assert out == {
+        ("a", "c"): (1, 500000),      # via b, deg(b)=2
+        ("b", "d"): (1, 500000),      # via c, deg(c)=2
+        ("x1", "x2"): (1, 333333),    # via z, deg(z)=3
+        ("x1", "x3"): (1, 333333),
+        ("x2", "x3"): (1, 333333),
+    }
