@@ -587,3 +587,57 @@ def kg_link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer; no float crosses the engine boundary.
     """
     return resource_allocation(_thresholded_cooccurrence_half(spark, sf_dir))
+
+
+KCORE_K = 3
+KCORE_ITERS = 3
+
+
+def kcore_peel(half: DataFrame, k: int = KCORE_K, iters: int = KCORE_ITERS) -> DataFrame:
+    """K-core peeling over deduplicated (src < dst) half-edges: ITERS
+    fixed rounds of 'drop every node whose degree in the surviving
+    subgraph is < k', then report survivors with their degree in the
+    FINAL induced subgraph.
+
+    The iteration count is FIXED (not run-to-convergence) so the DuckDB
+    oracle can unroll the identical spec — both engines agree on any
+    input, converged or not.  Production swaps the fixed bound for a
+    convergence check (dropped-this-round count == 0, riding an
+    ``observe()`` metric, with per-round localCheckpoint lineage
+    truncation like the CC loop); peeling converges in at most |V|
+    rounds and in practice a handful on power-law graphs.
+
+    Scale shape per round: one map-side-combinable degree aggregate plus
+    two semi-joins (alive set is node-cardinality, broadcastable long
+    before the edge list is small) — the standard distributed k-core
+    (Montresor et al. 2013 'Distributed k-core decomposition' is the
+    message-passing refinement; the batch peel is its synchronous form).
+    """
+    full = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges = full
+    for _ in range(iters):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        alive = deg.where(F.col("deg") >= k).select("src")
+        edges = edges.join(F.broadcast(alive), "src", "left_semi")
+        edges = edges.join(
+            F.broadcast(alive.select(F.col("src").alias("dst"))),
+            "dst",
+            "left_semi",
+        )
+    return (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("core_degree"))
+        .select(F.col("src").alias("mention"), "core_degree")
+    )
+
+
+def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core decomposition of the strong co-occurrence graph: which
+    entities survive KCORE_ITERS rounds of degree-{KCORE_K} peeling —
+    the KG 'dense nucleus' query (core entities are canonicalization
+    anchors; peripheral mentions peel away), run on the same thresholded
+    edge set as kg_link_prediction_ra.
+    """
+    return kcore_peel(_thresholded_cooccurrence_half(spark, sf_dir))

@@ -1659,3 +1659,42 @@ FROM open_w o JOIN deg d ON d.z = o.z
 GROUP BY o.a, o.b
 """,
 )
+
+_KCORE_EDGE_CTE = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  WHERE token IN ({",".join(f"'{t}'" for t in graph.PR_VOCAB)})
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), pair AS (
+  SELECT a.token AS src, b.token AS dst, COUNT(*) AS n_ab
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+), f0 AS (
+  SELECT src, dst FROM pair, nd WHERE n_ab * 100 >= {graph.RA_COOCC_PCT} * nd.n_docs
+  UNION ALL
+  SELECT dst, src FROM pair, nd WHERE n_ab * 100 >= {graph.RA_COOCC_PCT} * nd.n_docs
+)"""
+
+
+def _kcore_sql() -> str:
+    """graph.KCORE_ITERS peel rounds unrolled: a_i = nodes with degree >=
+    K in f_{i-1}; f_i = f_{i-1} induced on a_i — the exact kcore_peel
+    spec, then final-subgraph degrees."""
+    k, iters = graph.KCORE_K, graph.KCORE_ITERS
+    parts = [_KCORE_EDGE_CTE]
+    for i in range(1, iters + 1):
+        parts.append(f""", a{i} AS (
+  SELECT src AS node FROM f{i - 1} GROUP BY src HAVING COUNT(*) >= {k}
+), f{i} AS (
+  SELECT e.src, e.dst FROM f{i - 1} e
+  JOIN a{i} x ON e.src = x.node JOIN a{i} y ON e.dst = y.node
+)""")
+    parts.append(f"""
+SELECT src AS mention, COUNT(*) AS core_degree FROM f{iters} GROUP BY src
+""")
+    return "".join(parts)
+
+
+REGISTRY["kg_kcore"] = (graph.kg_kcore, _kcore_sql())

@@ -650,3 +650,31 @@ def test_resource_allocation_planted_graph(spark):
         ("x1", "x3"): (1, 333333),
         ("x2", "x3"): (1, 333333),
     }
+
+
+# ---- kg_kcore ---------------------------------------------------------------
+
+
+def test_kcore_planted_cascade(spark):
+    """Regimes the fixture can't reach (it peels in one round): a path
+    whose peel CASCADES to empty across three rounds, and a triangle
+    that sheds a pendant then stabilizes."""
+    # path a-b-c-d-e at k=2: round1 drops a,e; round2 drops b,d; round3 c
+    path = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "src string, dst string",
+    )
+    assert graph.kcore_peel(path, k=2, iters=3).count() == 0
+    # one round short: c survives round 2 with degree 0 edges -> absent
+    # too (no incident edges left), b/d already gone
+    assert graph.kcore_peel(path, k=2, iters=2).count() == 0
+
+    tri = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("x", "z"), ("w", "x")],
+        "src string, dst string",
+    )
+    out = {
+        r["mention"]: r["core_degree"]
+        for r in graph.kcore_peel(tri, k=2, iters=3).collect()
+    }
+    assert out == {"x": 2, "y": 2, "z": 2}
