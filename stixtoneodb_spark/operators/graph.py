@@ -641,3 +641,78 @@ def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge set as kg_link_prediction_ra.
     """
     return kcore_peel(_thresholded_cooccurrence_half(spark, sf_dir))
+
+
+BF_ITERS = 3
+
+
+def bellman_ford(edges_w: DataFrame, seed: str, iters: int = BF_ITERS) -> DataFrame:
+    """Single-source weighted shortest paths, ITERS synchronous min-plus
+    rounds (Bellman-Ford): dist_{i+1}(v) = min(dist_i(v), min_u dist_i(u)
+    + w(u,v)) — after k rounds dist holds the exact shortest distance
+    over paths of <= k edges, which IS the spec (fixed rounds, so the
+    DuckDB oracle unrolls identically; production runs to convergence
+    with an observe()-metric change counter, <= |V|-1 rounds).
+
+    ``edges_w`` carries BOTH orientations (src, dst, w) with integer
+    weights.  Each round shuffles one join keyed on the reached set plus
+    one min-aggregate — the relaxed stream is map-side combinable.  For
+    long horizons add per-round localCheckpoint exactly like the CC/BFS
+    loops; at BF_ITERS=3 the lineage stays shallow.
+    """
+    dist = edges_w.sparkSession.createDataFrame(
+        [(seed, 0)], "node string, dist long"
+    )
+    for _ in range(iters):
+        # alias-qualified: after round 1 dist's lineage contains edges_w,
+        # so bare column refs would be ambiguous in the re-join
+        relaxed = (
+            dist.alias("d")
+            .join(edges_w.alias("e"), F.col("d.node") == F.col("e.src"))
+            .select(
+                F.col("e.dst").alias("node"),
+                (F.col("d.dist") + F.col("e.w")).alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
+def kg_shortest_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted shortest paths from KHOP_SEED over the co-occurrence
+    graph with RARITY distances w = 1000000 div n_ab (strongly
+    co-mentioned entities are 'close') — the KG proximity query behind
+    'which entities are semantically nearest this one', the weighted
+    refinement of kg_khop_reach's hop counts.
+
+    Integer weights end-to-end: truncating division is the spec on both
+    engines, and min-plus over integers is associativity-safe for the
+    value hash (no float path sums).  Returns (mention, dist_x1e6) for
+    every node reachable within BF_ITERS edges, seed included at 0.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    m = (
+        d.select("doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token"))
+        .where(F.col("token").isin(*PR_VOCAB))
+        .distinct()
+    )
+    a = m.select("doc_id", F.col("token").alias("src"))
+    b = m.select("doc_id", F.col("token").alias("dst"))
+    half = (
+        a.join(b, "doc_id")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.expr("1000000 div count(*)").alias("w"))
+    )
+    edges_w = half.unionByName(
+        half.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+        )
+    )
+    return bellman_ford(edges_w, KHOP_SEED, BF_ITERS).select(
+        F.col("node").alias("mention"), F.col("dist").alias("dist_x1e6")
+    )

@@ -1698,3 +1698,38 @@ SELECT src AS mention, COUNT(*) AS core_degree FROM f{iters} GROUP BY src
 
 
 REGISTRY["kg_kcore"] = (graph.kg_kcore, _kcore_sql())
+
+
+def _bf_sql() -> str:
+    """graph.BF_ITERS min-plus rounds unrolled — the exact bellman_ford
+    spec over rarity-weighted co-occurrence edges."""
+    head = f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  WHERE token IN ({",".join(f"'{t}'" for t in graph.PR_VOCAB)})
+), halfw AS (
+  SELECT a.token AS src, b.token AS dst, 1000000 // COUNT(*) AS w
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+), e AS (
+  SELECT src, dst, w FROM halfw UNION ALL SELECT dst, src, w FROM halfw
+), d0 AS (
+  SELECT '{graph.KHOP_SEED}' AS node, CAST(0 AS BIGINT) AS dist
+)"""
+    rounds = []
+    for i in range(1, graph.BF_ITERS + 1):
+        rounds.append(f""", d{i} AS (
+  SELECT node, MIN(dist) AS dist FROM (
+    SELECT node, dist FROM d{i - 1}
+    UNION ALL
+    SELECT e.dst AS node, d.dist + e.w AS dist
+    FROM d{i - 1} d JOIN e ON e.src = d.node
+  ) GROUP BY node
+)""")
+    return head + "".join(rounds) + f"""
+SELECT node AS mention, dist AS dist_x1e6 FROM d{graph.BF_ITERS}
+"""
+
+
+REGISTRY["kg_shortest_paths_weighted"] = (graph.kg_shortest_paths_weighted, _bf_sql())

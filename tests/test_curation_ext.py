@@ -678,3 +678,34 @@ def test_kcore_planted_cascade(spark):
         for r in graph.kcore_peel(tri, k=2, iters=3).collect()
     }
     assert out == {"x": 2, "y": 2, "z": 2}
+
+
+# ---- kg_shortest_paths_weighted ---------------------------------------------
+
+
+def test_bellman_ford_planted_weighted_graph(spark):
+    """Weighted regimes the near-complete fixture can't isolate: a 2-hop
+    detour CHEAPER than the direct edge, and the <=k-edge horizon
+    returning a TRUNCATED (not final) distance for a node whose cheapest
+    path needs k+1 edges."""
+    rows = [
+        ("s", "a", 10), ("a", "s", 10),
+        ("a", "b", 10), ("b", "a", 10),
+        ("s", "b", 100), ("b", "s", 100),  # direct s-b costs 100; s-a-b 20
+        ("b", "c", 1), ("c", "b", 1),      # c: best 21 via 3 edges
+        ("c", "d", 1), ("d", "c", 1),      # d: best 22 via 4 edges
+    ]
+    edges = spark.createDataFrame(rows, "src string, dst string, w long")
+    out = {
+        r["node"]: r["dist"]
+        for r in graph.bellman_ford(edges, "s", iters=3).collect()
+    }
+    # d's cheapest path (s-a-b-c-d = 22) has 4 edges; at horizon 3 the
+    # spec returns the best <=3-edge path (s-b-c-d = 102) — exactly what
+    # the unrolled oracle computes too
+    assert out == {"s": 0, "a": 10, "b": 20, "c": 21, "d": 102}
+    out4 = {
+        r["node"]: r["dist"]
+        for r in graph.bellman_ford(edges, "s", iters=4).collect()
+    }
+    assert out4["d"] == 22  # one more round finds the true distance
