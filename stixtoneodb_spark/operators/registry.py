@@ -1733,3 +1733,33 @@ SELECT node AS mention, dist AS dist_x1e6 FROM d{graph.BF_ITERS}
 
 
 REGISTRY["kg_shortest_paths_weighted"] = (graph.kg_shortest_paths_weighted, _bf_sql())
+
+REGISTRY["scd2_user_history"] = (
+    relational.scd2_user_history,
+    """
+WITH marked AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), runs_m AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS run_id
+  FROM marked
+), runs AS (
+  SELECT user_id, run_id,
+         MIN(event_type) AS event_type,  -- constant within a run
+         MIN(ts) AS valid_from,
+         COUNT(*) AS n_events
+  FROM runs_m GROUP BY user_id, run_id
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       n_events,
+       CASE WHEN lead(valid_from) OVER w2 IS NULL THEN 1 ELSE 0 END AS is_current
+FROM runs
+WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
+""",
+)

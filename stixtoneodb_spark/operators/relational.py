@@ -1058,3 +1058,52 @@ def events_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift_ppm"),
         )
     )
+
+
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension TYPE 2 build from the event stream: per
+    user, collapse consecutive runs of equal event_type (ordered by ts,
+    event_id tiebreak) into versioned dimension rows (user_id,
+    event_type, valid_from, valid_to, n_events, is_current) — the
+    standard warehouse history-table materialization (Kimball SCD2),
+    here as the 'what was this user doing during [t1, t2)' dimension a
+    KG pipeline joins provenance against.
+
+    Plan: gaps-and-islands — one lag() to mark change points, a running
+    sum over the same window for run ids (both ride ONE partitionBy
+    (user_id) sort), one per-run aggregate, one lead() for valid_to.
+    Two shuffles total, both keyed user_id; no UDF, no skew (run count
+    per user is bounded by event count).  At 100 TB the ts sort rides
+    the same user_id partitioning every window already needs, and
+    incremental maintenance appends only each user's open run (the
+    is_current=1 row), the standard MERGE pattern of plans/catalog.py.
+    is_current is an INT (not boolean) so the value hash is portable.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.withColumn(
+        "chg",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn("run_id", F.sum("chg").over(w))
+    runs = marked.groupBy("user_id", "run_id").agg(
+        F.first("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count("*").alias("n_events"),
+    )
+    w2 = Window.partitionBy("user_id").orderBy("run_id")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        "n_events",
+        F.when(F.lead("valid_from").over(w2).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("is_current"),
+    )

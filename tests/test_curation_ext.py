@@ -709,3 +709,29 @@ def test_bellman_ford_planted_weighted_graph(spark):
         for r in graph.bellman_ford(edges, "s", iters=4).collect()
     }
     assert out4["d"] == 22  # one more round finds the true distance
+
+
+# ---- scd2_user_history ------------------------------------------------------
+
+
+def test_scd2_reopened_type_gets_new_version(spark, tmp_path):
+    """A user going click -> view -> click must produce THREE versions
+    (gaps-and-islands), not two groupBy-type rows; valid_to chains to the
+    next run's valid_from and only the last run is current."""
+    rows = [
+        (100, 1.0, "click"),
+        (200, 1.0, "click"),
+        (300, 1.0, "view"),
+        (400, 1.0, "click"),
+    ]
+    d = _write_events(tmp_path, rows)
+    out = sorted(
+        relational.scd2_user_history(spark, d).collect(),
+        key=lambda r: r["valid_from"],
+    )
+    assert [r["event_type"] for r in out] == ["click", "view", "click"]
+    assert [r["n_events"] for r in out] == [2, 1, 1]
+    assert [r["is_current"] for r in out] == [0, 0, 1]
+    assert out[0]["valid_to"] == out[1]["valid_from"]
+    assert out[1]["valid_to"] == out[2]["valid_from"]
+    assert out[2]["valid_to"] is None
