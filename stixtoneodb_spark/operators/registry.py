@@ -1763,3 +1763,31 @@ FROM runs
 WINDOW w2 AS (PARTITION BY user_id ORDER BY run_id)
 """,
 )
+
+REGISTRY["text_repetition_signals"] = (
+    text.text_repetition_signals,
+    """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+), uni AS (
+  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS top_c, COUNT(*) AS n_distinct
+  FROM (SELECT doc_id, token, COUNT(*) AS c FROM
+          (SELECT doc_id, unnest(t) AS token FROM toks)
+        GROUP BY doc_id, token)
+  GROUP BY doc_id
+), bi AS (
+  SELECT doc_id, SUM(c) AS n_2grams, SUM(c - 1) AS dup_2grams
+  FROM (SELECT doc_id, gram, COUNT(*) AS c FROM
+          (SELECT doc_id, array_to_string(t[i:i + 1], ' ') AS gram
+           FROM toks, UNNEST(range(1, len(t))) AS u(i))
+        GROUP BY doc_id, gram)
+  GROUP BY doc_id
+)
+SELECT u.doc_id, u.n_tokens,
+       u.top_c * 1000000 // u.n_tokens AS top_token_ppm,
+       CAST(coalesce(b.dup_2grams * 1000000 // b.n_2grams, 0) AS BIGINT)
+         AS dup_2gram_ppm,
+       u.n_distinct * 1000000 // u.n_tokens AS distinct_ratio_ppm
+FROM uni u LEFT JOIN bi b ON b.doc_id = u.doc_id
+""",
+)

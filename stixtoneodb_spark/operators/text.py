@@ -759,3 +759,69 @@ def corpus_decontaminate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate_grams(
         load_table(spark, sf_dir, "documents"), DECON_MOD
     )
+
+
+def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (Rae et al. 2021, 'Scaling
+    Language Models: ... Gopher', table A1 repetition filters): per doc,
+    the fraction of tokens taken by the single most frequent token, the
+    duplicate-2-gram fraction, and the distinct-token ratio — the
+    filters that kill boilerplate/spam before training.  All ratios ride
+    as integer ppm (truncating division) so the cross-engine value hash
+    is float-free.
+
+    Returns (doc_id, n_tokens, top_token_ppm, dup_2gram_ppm,
+    distinct_ratio_ppm); docs shorter than 2 tokens report 0 for the
+    2-gram signal (no windows) rather than null.
+
+    Plan: one explode for unigram counts (two-level agg: (doc, token)
+    partial then per-doc max/sum/countDistinct shapes collapse map-side),
+    one lead-window-free 2-gram pass via the transform(sequence(...))
+    builder — all JVM built-ins, shuffles keyed doc_id, embarrassingly
+    parallel at any corpus size.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    uni = (
+        d.select("doc_id", F.explode(toks).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.max("c").alias("top_c"),
+            F.count("*").alias("n_distinct"),
+        )
+    )
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = (
+        d.select("doc_id", F.explode(grams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_2grams"),
+            F.sum(F.col("c") - F.lit(1)).alias("dup_2grams"),
+        )
+    )
+    return (
+        uni.join(bi, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.expr("top_c * 1000000 div n_tokens").alias("top_token_ppm"),
+            F.coalesce(
+                F.expr("dup_2grams * 1000000 div n_2grams"), F.lit(0)
+            ).cast("long").alias("dup_2gram_ppm"),
+            F.expr("n_distinct * 1000000 div n_tokens").alias(
+                "distinct_ratio_ppm"
+            ),
+        )
+    )

@@ -735,3 +735,29 @@ def test_scd2_reopened_type_gets_new_version(spark, tmp_path):
     assert out[0]["valid_to"] == out[1]["valid_from"]
     assert out[1]["valid_to"] == out[2]["valid_from"]
     assert out[2]["valid_to"] is None
+
+
+# ---- text_repetition_signals ------------------------------------------------
+
+
+def test_repetition_signals_planted_extremes(spark, tmp_path):
+    """Closed-form extremes: an all-same-token doc, an all-distinct doc,
+    and a single-token doc (no 2-gram windows -> 0, not null)."""
+    texts = [
+        "x x x x",           # top=4/4, 2grams: 'x x'×3 -> dup 2/3, distinct 1/4
+        "a b c d",           # top 1/4, no dup 2grams, distinct 4/4
+        "solo",              # 1 token: no 2-grams at all
+    ]
+    d = _write_docs(tmp_path, texts)
+    out = {
+        r["doc_id"]: (
+            r["n_tokens"], r["top_token_ppm"],
+            r["dup_2gram_ppm"], r["distinct_ratio_ppm"],
+        )
+        for r in text.text_repetition_signals(spark, d).collect()
+    }
+    assert out == {
+        0: (4, 1000000, 2 * 1000000 // 3, 250000),
+        1: (4, 250000, 0, 1000000),
+        2: (1, 1000000, 0, 1000000),
+    }
