@@ -716,3 +716,58 @@ def kg_shortest_paths_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bellman_ford(edges_w, KHOP_SEED, BF_ITERS).select(
         F.col("node").alias("mention"), F.col("dist").alias("dist_x1e6")
     )
+
+
+def kg_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural-equivalence scores over the strong co-occurrence graph:
+    for every entity pair (a < b) sharing at least one neighbor, the
+    Jaccard similarity of their neighbor SETS in integer ppm — the
+    graph-context alias detector (two surface forms of one entity
+    co-occur with the same things even when they never co-occur with
+    each other), the standard companion to string-distance blocking in
+    entity canonicalization (plans/canonicalize.py handles the string
+    side; this is the structural side).
+
+    |N(a) ∩ N(b)| is the wedge count through common neighbors (one
+    adjacency self-join); |N(a) ∪ N(b)| = deg(a) + deg(b) − common, so
+    no union ever materializes.  Degrees broadcast (node-cardinality).
+    All-integer output: (src, dst, n_common, jaccard_ppm).
+    """
+    return neighbor_jaccard(_thresholded_cooccurrence_half(spark, sf_dir))
+
+
+def neighbor_jaccard(half: DataFrame) -> DataFrame:
+    """Core neighborhood-Jaccard over (src < dst) half-edges — factored
+    out so property tests can plant alias-shaped graphs."""
+    full = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = full.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").alias("deg")
+    )
+    e1 = full.select(F.col("src").alias("a"), F.col("dst").alias("z"))
+    e2 = full.select(F.col("src").alias("z"), F.col("dst").alias("b"))
+    common = (
+        e1.join(e2, "z")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(
+            F.broadcast(deg.select(F.col("node").alias("a"), F.col("deg").alias("deg_a"))),
+            "a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("node").alias("b"), F.col("deg").alias("deg_b"))),
+            "b",
+        )
+        .select(
+            F.col("a").alias("src"),
+            F.col("b").alias("dst"),
+            "n_common",
+            F.expr(
+                "n_common * 1000000 div (deg_a + deg_b - n_common)"
+            ).alias("jaccard_ppm"),
+        )
+    )

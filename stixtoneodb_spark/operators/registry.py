@@ -1791,3 +1791,35 @@ SELECT u.doc_id, u.n_tokens,
 FROM uni u LEFT JOIN bi b ON b.doc_id = u.doc_id
 """,
 )
+
+REGISTRY["kg_neighbor_jaccard"] = (
+    graph.kg_neighbor_jaccard,
+    f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  WHERE token IN ({",".join(f"'{t}'" for t in graph.PR_VOCAB)})
+), nd AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), pair AS (
+  SELECT a.token AS src, b.token AS dst, COUNT(*) AS n_ab
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+), half AS (
+  SELECT src, dst FROM pair, nd WHERE n_ab * 100 >= {graph.RA_COOCC_PCT} * nd.n_docs
+), full_e AS (
+  SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half
+), deg AS (
+  SELECT src AS node, COUNT(*) AS deg FROM full_e GROUP BY src
+), common AS (
+  SELECT e1.src AS a, e2.dst AS b, COUNT(*) AS n_common
+  FROM full_e e1 JOIN full_e e2 ON e1.dst = e2.src AND e1.src < e2.dst
+  GROUP BY 1, 2
+)
+SELECT c.a AS src, c.b AS dst, c.n_common,
+       c.n_common * 1000000 // (da.deg + db.deg - c.n_common) AS jaccard_ppm
+FROM common c
+JOIN deg da ON da.node = c.a
+JOIN deg db ON db.node = c.b
+""",
+)

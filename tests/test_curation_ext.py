@@ -761,3 +761,25 @@ def test_repetition_signals_planted_extremes(spark, tmp_path):
         1: (4, 250000, 0, 1000000),
         2: (1, 1000000, 0, 1000000),
     }
+
+
+# ---- kg_neighbor_jaccard ----------------------------------------------------
+
+
+def test_neighbor_jaccard_detects_nonadjacent_twins(spark):
+    """Alias-shaped structure: x and y never co-occur but share all
+    neighbors -> jaccard 1e6; adding one extra neighbor to x drops the
+    pair to 3/4; pairs with disjoint neighborhoods never appear."""
+    half = spark.createDataFrame(
+        [("x", "z1"), ("x", "z2"), ("x", "z3"),
+         ("y", "z1"), ("y", "z2"), ("y", "z3"),
+         ("w", "x")],
+        "src string, dst string",
+    )
+    out = {
+        (r["src"], r["dst"]): (r["n_common"], r["jaccard_ppm"])
+        for r in graph.neighbor_jaccard(half).collect()
+    }
+    assert out[("x", "y")] == (3, 3 * 1000000 // 4)  # x has w too: 3/(4+3-3)
+    assert out[("z1", "z2")] == (2, 1000000)          # true twins
+    assert ("x", "z1") not in out                      # disjoint neighborhoods
