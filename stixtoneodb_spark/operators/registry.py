@@ -1823,3 +1823,32 @@ JOIN deg da ON da.node = c.a
 JOIN deg db ON db.node = c.b
 """,
 )
+
+REGISTRY["window_rolling_range_sum"] = (
+    relational.window_rolling_range_sum,
+    f"""
+SELECT event_id, user_id,
+       SUM(CAST(floor(value * 100) AS BIGINT)) OVER w AS trailing_cents,
+       COUNT(*) OVER w AS n_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN {relational.ROLLING_RANGE_S} PRECEDING
+                       AND CURRENT ROW)
+""",
+)
+
+REGISTRY["unpivot_event_counts"] = (
+    relational.unpivot_event_counts,
+    f"""
+WITH wide AS (
+  SELECT user_id,
+  {",".join(
+      f"COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS {t}"
+      for t in relational.EVENT_TYPES
+  )}
+  FROM events GROUP BY user_id
+)
+UNPIVOT wide ON {", ".join(relational.EVENT_TYPES)}
+INTO NAME event_type VALUE n_events
+""",
+)

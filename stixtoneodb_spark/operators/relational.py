@@ -1107,3 +1107,69 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .alias("is_current"),
     )
+
+
+ROLLING_RANGE_S = 3600
+
+
+def window_rolling_range_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour aggregate via a RANGE window frame: for
+    every event, the sum (integer cents) and count of the same user's
+    events in the preceding ROLLING_RANGE_S seconds INCLUSIVE of now —
+    the time-based frame (rangeBetween), distinct from every rows-frame
+    window already covered (row_number/lag/running sum use ROWS
+    semantics; a RANGE frame includes ALL ties of the boundary value and
+    spans gaps correctly when event spacing is irregular).
+
+    Value rides as floor(value*100) cents (the events_max_concurrency
+    precedent): both engines do identical double→int truncation on the
+    same parquet doubles, so the value hash is safe.
+
+    Plan: ONE window over (user_id, epoch-second order) — a single
+    user-keyed sort shuffle, map-side frame evaluation; at 100 TB this
+    is the same partitioning every per-user window shares.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-ROLLING_RANGE_S, 0)
+    )
+    cents = F.floor(F.col("value") * 100).cast("long")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.sum(cents).over(w).alias("trailing_cents"),
+        F.count("*").over(w).alias("n_trailing"),
+    )
+
+
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip pivot → UNPIVOT (melt): widen per-user event counts to
+    one column per EVENT_TYPES member, then melt back to long form —
+    the DataFrame.unpivot API surface (wide→long is the standard last
+    step before ML feature tables and the inverse of
+    pivot_event_type_counts).  Null counts are coalesced to 0 BEFORE the
+    melt so both engines keep all |EVENT_TYPES| rows per user (Spark
+    keeps null value rows, DuckDB's UNPIVOT drops them — the fill makes
+    the question moot).
+    """
+    e = load_table(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).alias(t)
+                for t in EVENT_TYPES
+            ],
+        )
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=list(EVENT_TYPES),
+        variableColumnName="event_type",
+        valueColumnName="n_events",
+    )

@@ -783,3 +783,20 @@ def test_neighbor_jaccard_detects_nonadjacent_twins(spark):
     assert out[("x", "y")] == (3, 3 * 1000000 // 4)  # x has w too: 3/(4+3-3)
     assert out[("z1", "z2")] == (2, 1000000)          # true twins
     assert ("x", "z1") not in out                      # disjoint neighborhoods
+
+
+# ---- window_rolling_range_sum / unpivot_event_counts ------------------------
+
+
+def test_rolling_range_inclusive_boundary(spark, tmp_path):
+    """RANGE frame semantics: the event exactly ROLLING_RANGE_S seconds
+    earlier is INSIDE the frame; one second later it falls out."""
+    r = relational.ROLLING_RANGE_S
+    rows = [(0, 1.0, "click"), (r, 2.0, "click"), (r + 1, 4.0, "click")]
+    d = _write_events(tmp_path, rows)
+    out = {
+        e["event_id"]: (e["trailing_cents"], e["n_trailing"])
+        for e in relational.window_rolling_range_sum(spark, d).collect()
+    }
+    assert out[1] == (300, 2)   # t=r sees t=0 (boundary inclusive)
+    assert out[2] == (600, 2)   # t=r+1 sees t=r only, not t=0
