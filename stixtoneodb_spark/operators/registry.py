@@ -1852,3 +1852,102 @@ UNPIVOT wide ON {", ".join(relational.EVENT_TYPES)}
 INTO NAME event_type VALUE n_events
 """,
 )
+
+REGISTRY["events_transition_matrix"] = (
+    relational.events_transition_matrix,
+    """
+WITH seq AS (
+  SELECT event_type AS src_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS dst_type
+  FROM events
+), pairs AS (
+  SELECT src_type, dst_type, COUNT(*) AS n_transitions
+  FROM seq WHERE dst_type IS NOT NULL GROUP BY src_type, dst_type
+), totals AS (
+  SELECT src_type, SUM(n_transitions) AS n_from_src FROM pairs GROUP BY src_type
+)
+SELECT p.src_type, p.dst_type, p.n_transitions,
+       p.n_transitions * 1000000 // t.n_from_src AS prob_ppm
+FROM pairs p JOIN totals t USING (src_type)
+""",
+)
+
+REGISTRY["dim_calendar"] = (
+    relational.dim_calendar,
+    """
+WITH span AS (
+  SELECT MIN(CAST(ts AS DATE)) AS d0, MAX(CAST(ts AS DATE)) AS d1 FROM events
+), days AS (
+  SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM span
+)
+SELECT day,
+       CAST(year(day) AS INT) AS year,
+       CAST(month(day) AS INT) AS month,
+       CAST(day(day) AS INT) AS day_of_month,
+       CAST((month(day) - 1) // 3 + 1 AS INT) AS quarter,
+       CAST(((day - DATE '1970-01-05') % 7 + 7) % 7 AS INT) AS dow_monday0
+FROM days
+""",
+)
+
+REGISTRY["text_feature_hashing"] = (
+    text.text_feature_hashing,
+    f"""
+SELECT doc_id,
+       ((('0x' || substr(md5(token), 1, 8))::BIGINT % {text.FH_BUCKETS})
+        + {text.FH_BUCKETS}) % {text.FH_BUCKETS} AS bucket,
+       COUNT(*) AS n
+FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+      FROM documents)
+GROUP BY doc_id, bucket
+""",
+)
+
+REGISTRY["embedding_pq_codes"] = (
+    similarity.embedding_pq_codes,
+    f"""
+WITH p AS (
+  SELECT MAX(len(embedding)) // {similarity.PQ_M} AS sd FROM embeddings
+), seeds AS (
+  SELECT rk - 1 AS code, embedding AS sv
+  FROM (SELECT embedding,
+               ROW_NUMBER() OVER (ORDER BY md5('pqseed:' || vec_id)) AS rk
+        FROM embeddings)
+  WHERE rk <= {similarity.PQ_KS}
+), sub AS (
+  SELECT range AS m FROM range({similarity.PQ_M})
+), a0 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, sub.m, s.code,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id, sub.m
+        ORDER BY list_distance(
+                   e.embedding[sub.m * p.sd + 1 : sub.m * p.sd + p.sd]::DOUBLE[],
+                   s.sv[sub.m * p.sd + 1 : sub.m * p.sd + p.sd]::DOUBLE[]) ASC,
+                 s.code) AS rn
+    FROM embeddings e, seeds s, sub, p)
+  WHERE rn = 1
+), slices AS (
+  SELECT a0.vec_id, a0.m, a0.code,
+         e.embedding[a0.m * p.sd + 1 : a0.m * p.sd + p.sd]::DOUBLE[] AS sl
+  FROM a0 JOIN embeddings e USING (vec_id), p
+), centavg AS (
+  SELECT m, code, dim, AVG(val) AS v FROM (
+    SELECT m, code, generate_subscripts(sl, 1) AS dim, unnest(sl) AS val
+    FROM slices)
+  GROUP BY m, code, dim
+), cent AS (
+  SELECT m, code, list(v ORDER BY dim) AS cv FROM centavg GROUP BY m, code
+)
+SELECT vec_id, subspace, code FROM (
+  SELECT e.vec_id, c.m AS subspace, c.code,
+    ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.m
+      ORDER BY list_distance(
+                 e.embedding[c.m * p.sd + 1 : c.m * p.sd + p.sd]::DOUBLE[],
+                 c.cv) ASC,
+               c.code) AS rn
+  FROM embeddings e, cent c, p)
+WHERE rn = 1
+""",
+)

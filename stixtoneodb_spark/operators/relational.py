@@ -1173,3 +1173,71 @@ def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="event_type",
         valueColumnName="n_events",
     )
+
+
+
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition counts over per-user event streams:
+    for each (event_type -> next event_type) pair, the transition count
+    and row-conditional probability in integer ppm — the sequence-mining
+    primitive behind 'what do users do after X' (and the KG analogue:
+    which relationship tends to follow which in a provenance chain).
+
+    Plan: ONE lead() window on the (user_id, ts, event_id) sort every
+    per-user operator shares, then a pair aggregate; the per-source
+    totals ride a second tiny aggregate joined back broadcast (the pair
+    alphabet is |event_types|^2).  Truncating-integer ppm keeps the
+    cross-engine hash float-free.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.col("event_type").alias("src_type"),
+            F.lead("event_type").over(w).alias("dst_type"),
+        )
+        .where(F.col("dst_type").isNotNull())
+        .groupBy("src_type", "dst_type")
+        .agg(F.count("*").alias("n_transitions"))
+    )
+    totals = pairs.groupBy("src_type").agg(
+        F.sum("n_transitions").alias("n_from_src")
+    )
+    return pairs.join(F.broadcast(totals), "src_type").select(
+        "src_type",
+        "dst_type",
+        "n_transitions",
+        F.expr("n_transitions * 1000000 div n_from_src").alias("prob_ppm"),
+    )
+
+
+def dim_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar dimension generation: one row per day spanning the event
+    stream's [min, max] date with PORTABLE derived attributes — the
+    warehouse date-dimension build (every star schema's smallest, most
+    joined table), generated from data instead of loaded.
+
+    Spark: the span rides as a 1-row min/max aggregate whose sequence()
+    of days explodes into the dimension — no driver barrier, no range
+    loop.  Day-of-week is computed ARITHMETICALLY (days since Monday
+    1970-01-05, mod 7) because Spark's dayofweek() and DuckDB's
+    dayofweek() disagree on the week origin; epoch-day arithmetic is
+    identical everywhere.  0 = Monday.
+    """
+    e = load_table(spark, sf_dir, "events")
+    span = e.agg(
+        F.min(F.to_date("ts")).alias("d0"), F.max(F.to_date("ts")).alias("d1")
+    )
+    days = span.select(
+        F.explode(F.sequence("d0", "d1")).alias("day")
+    )
+    return days.select(
+        "day",
+        F.year("day").alias("year"),
+        F.month("day").alias("month"),
+        F.dayofmonth("day").alias("day_of_month"),
+        ((F.month("day") - 1) / 3 + 1).cast("int").alias("quarter"),
+        F.pmod(F.datediff("day", F.lit("1970-01-05").cast("date")), F.lit(7))
+        .cast("int")
+        .alias("dow_monday0"),
+    )

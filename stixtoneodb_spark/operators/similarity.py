@@ -620,3 +620,106 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i", "j")
         .agg(F.sum("gram").alias("gram"))
     )
+
+
+PQ_M = 4        # subspaces
+PQ_KS = 4       # centroids per subspace (codebook size)
+
+
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codes (Jégou, Douze & Schmid 2011, 'Product
+    Quantization for Nearest Neighbor Search'): split each embedding into
+    PQ_M contiguous subvectors, learn a tiny per-subspace codebook
+    (deterministic seeds + ONE Lloyd step, the ann_ivf_topk training
+    recipe applied per subspace), and emit each vector's code word per
+    subspace — the memory tier below SQ8 (embedding_quantize_codes):
+    PQ_M * log2(PQ_KS) bits per vector instead of 8 bits per dimension.
+
+    Deterministic and fully cross-engine: seeds are the PQ_KS vectors
+    with smallest md5('pqseed:' || vec_id) (codebook row = rank in that
+    order, shared by ALL subspaces — each contributes its m-th
+    subvector); assignment is squared-L2 argmin with ties to the lowest
+    code; a (subspace, code) cell that loses every member in the Lloyd
+    step is dropped on both engines exactly like IVF's emptied cells.
+    Output: (vec_id, subspace, code) — integers only, hash-safe.
+
+    Scale shape: codebooks are driver-side (PQ_M x PQ_KS x subdim —
+    broadcast by construction); both assignment passes are one numpy
+    matmul-free distance computation per Arrow batch, map-side; the only
+    shuffle is the tiny per-(subspace, code, dim) mean aggregate
+    (bounded by PQ_M * PQ_KS * dim rows).  At 10^9 vectors this is the
+    exact FAISS PQ training/encoding shape with sampling replacing the
+    full-corpus Lloyd pass (docstring spec: train on a TABLESAMPLE,
+    encode everything).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    seeds = (
+        emb.withColumn(
+            "sk", F.md5(F.concat(F.lit("pqseed:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("sk")
+        .limit(PQ_KS)
+        .collect()
+    )
+    S0 = np.stack([r["embedding"] for r in seeds]).astype(np.float64)
+    dim = S0.shape[1]
+    subdim = dim // PQ_M
+
+    def assign_udf(books: dict[int, tuple[np.ndarray, np.ndarray]], keep_sub: bool):
+        """books: subspace -> (code_ids ascending, centroid matrix rows
+        in that order).  Squared-L2 argmin; np.argmin takes the first
+        (= lowest code id) on exact ties."""
+
+        def assign(batches):
+            for pdf in batches:
+                v = _stack(pdf["embedding"])
+                frames = []
+                for m, (ids, C) in books.items():
+                    sub = v[:, m * subdim : (m + 1) * subdim]
+                    d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                    code = ids[np.argmin(d2, axis=1)]
+                    out = {
+                        "vec_id": pdf["vec_id"],
+                        "subspace": np.full(len(pdf), m, dtype=np.int32),
+                        "code": code.astype(np.int32),
+                    }
+                    if keep_sub:
+                        out["subvec"] = list(sub)
+                    frames.append(pd.DataFrame(out))
+                yield pd.concat(frames, ignore_index=True)
+
+        return assign
+
+    books0 = {
+        m: (np.arange(PQ_KS, dtype=np.int64),
+            S0[:, m * subdim : (m + 1) * subdim])
+        for m in range(PQ_M)
+    }
+    a0 = emb.mapInPandas(
+        assign_udf(books0, keep_sub=True),
+        schema="vec_id long, subspace int, code int, subvec array<double>",
+    )
+    cent_rows = (
+        a0.select("subspace", "code", F.posexplode("subvec").alias("dim", "val"))
+        .groupBy("subspace", "code", "dim")
+        .agg(F.avg("val").alias("v"))
+        .collect()
+    )
+    # drop emptied (subspace, code) cells exactly like IVF's cent CTE
+    books1: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    by_ms: dict[tuple[int, int], dict[int, float]] = {}
+    for r in cent_rows:
+        by_ms.setdefault((r["subspace"], r["code"]), {})[r["dim"]] = r["v"]
+    for m in range(PQ_M):
+        live = sorted(c for (mm, c) in by_ms if mm == m)
+        C = np.zeros((len(live), subdim), dtype=np.float64)
+        for i, c in enumerate(live):
+            for dpos, val in by_ms[(m, c)].items():
+                C[i, dpos] = val
+        books1[m] = (np.array(live, dtype=np.int64), C)
+
+    return emb.mapInPandas(
+        assign_udf(books1, keep_sub=False),
+        schema="vec_id long, subspace int, code int",
+    )

@@ -825,3 +825,35 @@ def text_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+FH_BUCKETS = 64
+
+
+def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009, 'Feature
+    Hashing for Large Scale Multitask Learning'): each token maps to
+    bucket md5(token)[:8] mod FH_BUCKETS and the per-doc bucket counts
+    ARE the fixed-width sparse feature vector — the vocabulary-free
+    featurizer for corpus-scale classifiers (no dictionary to build,
+    broadcast, or version).
+
+    md5-derived buckets are the repo's portable-hash convention (same
+    conv(substr(md5,1,8)) ↔ ('0x'||substr)::BIGINT pair as the
+    dedup/sampling operators), so the DuckDB oracle replays the exact
+    bucket assignment.  One explode + one (doc, bucket) aggregate that
+    collapses map-side; output rows bounded by docs × FH_BUCKETS.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token")
+    )
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5("token"), 1, 8), 16, 10).cast("long"),
+        F.lit(FH_BUCKETS),
+    )
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )

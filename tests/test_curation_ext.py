@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from stixtoneodb_spark.operators import dedup, graph, relational, text
+from stixtoneodb_spark.operators import dedup, graph, relational, similarity, text
 from stixtoneodb_spark.sources.tables import load_table
 
 SF = "/root/testdata/sf0.01"
@@ -800,3 +800,115 @@ def test_rolling_range_inclusive_boundary(spark, tmp_path):
     }
     assert out[1] == (300, 2)   # t=r sees t=0 (boundary inclusive)
     assert out[2] == (600, 2)   # t=r+1 sees t=r only, not t=0
+
+
+# ---- events_transition_matrix ----------------------------------------------
+
+
+def test_transition_matrix_planted_chain(spark, tmp_path):
+    """click,view,click,error for one user: transitions click->view,
+    view->click, click->error; click's two outgoing edges split the
+    conditional ppm 50/50."""
+    rows = [(0, 1.0, "click"), (10, 1.0, "view"),
+            (20, 1.0, "click"), (30, 1.0, "error")]
+    d = _write_events(tmp_path, rows)
+    out = {
+        (r["src_type"], r["dst_type"]): (r["n_transitions"], r["prob_ppm"])
+        for r in relational.events_transition_matrix(spark, d).collect()
+    }
+    assert out == {
+        ("click", "view"): (1, 500000),
+        ("click", "error"): (1, 500000),
+        ("view", "click"): (1, 1000000),
+    }
+
+
+# ---- dim_calendar -----------------------------------------------------------
+
+
+def test_calendar_spans_and_portable_dow(spark, tmp_path):
+    """Two events 3 days apart -> 4 calendar rows; 2024-01-01 is a
+    Monday (dow_monday0 = 0) and the arithmetic dow increments mod 7."""
+    rows = [(0, 1.0, "click"), (3 * 86400, 1.0, "view")]  # epoch 1970 base
+    d = _write_events(tmp_path, rows)
+    out = sorted(
+        relational.dim_calendar(spark, d).collect(), key=lambda r: r["day"]
+    )
+    assert len(out) == 4
+    # 1970-01-01 was a Thursday -> days since Monday 1970-01-05 mod 7 = 3
+    assert [r["dow_monday0"] for r in out] == [3, 4, 5, 6]
+    assert out[0]["year"] == 1970 and out[0]["quarter"] == 1
+
+
+# ---- text_feature_hashing ---------------------------------------------------
+
+
+def test_feature_hashing_matches_hashlib(spark, tmp_path):
+    """Bucket assignment replayed independently with hashlib + Counter."""
+    from collections import Counter  # noqa: PLC0415
+
+    texts = ["the quick brown fox the fox", "lazy dog dog dog"]
+    d = _write_docs(tmp_path, texts)
+    truth = {}
+    for i, t in enumerate(texts):
+        c = Counter(
+            int(hashlib.md5(tok.encode()).hexdigest()[:8], 16)
+            % text.FH_BUCKETS
+            for tok in t.lower().split(" ")
+        )
+        for b, n in c.items():
+            truth[(i, b)] = n
+    got = {
+        (r["doc_id"], r["bucket"]): r["n"]
+        for r in text.text_feature_hashing(spark, d).collect()
+    }
+    assert got == truth
+
+
+# ---- embedding_pq_codes -----------------------------------------------------
+
+
+def test_pq_codes_planted_subspace_structure(spark, tmp_path):
+    """Vectors built so each SUBSPACE independently matches a different
+    seed: PQ must emit different codes per subspace for the same vector
+    (the property scalar quantization cannot express)."""
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.parquet as pq_  # noqa: PLC0415
+
+    n, dim = 12, 8  # PQ_M=4 subspaces of 2 dims each
+    sd = dim // similarity.PQ_M
+    # seed ids = the PQ_KS smallest md5('pqseed:'||i)
+    order = sorted(range(n), key=lambda i: hashlib.md5(
+        f"pqseed:{i}".encode()).hexdigest())
+    seed_ids = order[: similarity.PQ_KS]
+    # 4 well-separated subspace prototypes in R^sd
+    protos = np.array([[10.0, 0.0], [0.0, 10.0], [-10.0, 0.0], [0.0, -10.0]])
+    vecs = np.zeros((n, dim))
+    for k, sid in enumerate(seed_ids):
+        for m in range(similarity.PQ_M):
+            vecs[sid, m * sd : (m + 1) * sd] = protos[k]
+    # one probe vector per rotation: subspace m matches proto (m % 4)
+    probe_ids = [i for i in range(n) if i not in seed_ids]
+    for j, pid in enumerate(probe_ids):
+        for m in range(similarity.PQ_M):
+            vecs[pid, m * sd : (m + 1) * sd] = protos[(m + j) % 4] * 0.9
+    pq_.write_table(
+        pa.table({
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = {
+        (r["vec_id"], r["subspace"]): r["code"]
+        for r in similarity.embedding_pq_codes(spark, str(tmp_path)).collect()
+    }
+    # seed k gets code k in every subspace (it IS the codebook row)
+    for k, sid in enumerate(seed_ids):
+        for m in range(similarity.PQ_M):
+            assert out[(sid, m)] == k
+    # probe j's subspace m matches prototype (m + j) % 4
+    for j, pid in enumerate(probe_ids):
+        for m in range(similarity.PQ_M):
+            assert out[(pid, m)] == (m + j) % 4
