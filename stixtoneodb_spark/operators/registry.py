@@ -1951,3 +1951,70 @@ SELECT vec_id, subspace, code FROM (
 WHERE rn = 1
 """,
 )
+
+REGISTRY["ann_pq_adc_topk"] = (
+    similarity.ann_pq_adc_topk,
+    f"""
+WITH p AS (
+  SELECT MAX(len(embedding)) // {similarity.PQ_M} AS sd FROM embeddings
+), seeds AS (
+  SELECT rk - 1 AS code, embedding AS sv
+  FROM (SELECT embedding,
+               ROW_NUMBER() OVER (ORDER BY md5('pqseed:' || vec_id)) AS rk
+        FROM embeddings)
+  WHERE rk <= {similarity.PQ_KS}
+), sub AS (
+  SELECT range AS m FROM range({similarity.PQ_M})
+), a0 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, sub.m, s.code,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id, sub.m
+        ORDER BY list_distance(
+                   e.embedding[sub.m * p.sd + 1 : sub.m * p.sd + p.sd]::DOUBLE[],
+                   s.sv[sub.m * p.sd + 1 : sub.m * p.sd + p.sd]::DOUBLE[]) ASC,
+                 s.code) AS rn
+    FROM embeddings e, seeds s, sub, p)
+  WHERE rn = 1
+), slices AS (
+  SELECT a0.vec_id, a0.m, a0.code,
+         e.embedding[a0.m * p.sd + 1 : a0.m * p.sd + p.sd]::DOUBLE[] AS sl
+  FROM a0 JOIN embeddings e USING (vec_id), p
+), centavg AS (
+  SELECT m, code, dim, AVG(val) AS v FROM (
+    SELECT m, code, generate_subscripts(sl, 1) AS dim, unnest(sl) AS val
+    FROM slices)
+  GROUP BY m, code, dim
+), cent AS (
+  SELECT m, code, list(v ORDER BY dim) AS cv FROM centavg GROUP BY m, code
+), a1 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT e.vec_id, c.m, c.code,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id, c.m
+        ORDER BY list_distance(
+                   e.embedding[c.m * p.sd + 1 : c.m * p.sd + p.sd]::DOUBLE[],
+                   c.cv) ASC,
+                 c.code) AS rn
+    FROM embeddings e, cent c, p)
+  WHERE rn = 1
+), qdt AS (
+  -- integer-micro distance table: floor(d2 * 1e6) at BUILD time, so the
+  -- ranking key downstream is an exact integer sum on both engines
+  SELECT q.vec_id AS query_id, c.m, c.code,
+         CAST(floor(1000000 * list_sum(list_transform(
+           generate_series(1, p.sd),
+           i -> (q.embedding[c.m * p.sd + i]::DOUBLE - c.cv[i]) ^ 2
+         ))) AS BIGINT) AS d_micro
+  FROM embeddings q, cent c, p
+  WHERE q.vec_id < {similarity.N_QUERIES}
+), adc AS (
+  SELECT d.query_id, a1.vec_id, SUM(d.d_micro) AS adc_micro
+  FROM a1 JOIN qdt d ON d.m = a1.m AND d.code = a1.code
+  WHERE a1.vec_id <> d.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, adc_micro, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_micro, vec_id) AS rank FROM adc)
+WHERE rank <= {similarity.TOP_K}
+""",
+)

@@ -653,7 +653,45 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     encode everything).
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    subdim, books1 = _pq_train(emb)
+    return emb.mapInPandas(
+        _pq_assign_udf(books1, subdim, keep_sub=False),
+        schema="vec_id long, subspace int, code int",
+    )
 
+
+def _pq_assign_udf(
+    books: dict[int, tuple[np.ndarray, np.ndarray]], subdim: int, keep_sub: bool
+):
+    """books: subspace -> (code_ids ascending, centroid matrix rows in
+    that order).  Squared-L2 argmin; np.argmin takes the first
+    (= lowest code id) on exact ties."""
+
+    def assign(batches):
+        for pdf in batches:
+            v = _stack(pdf["embedding"])
+            frames = []
+            for m, (ids, C) in books.items():
+                sub = v[:, m * subdim : (m + 1) * subdim]
+                d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                code = ids[np.argmin(d2, axis=1)]
+                out = {
+                    "vec_id": pdf["vec_id"],
+                    "subspace": np.full(len(pdf), m, dtype=np.int32),
+                    "code": code.astype(np.int32),
+                }
+                if keep_sub:
+                    out["subvec"] = list(sub)
+                frames.append(pd.DataFrame(out))
+            yield pd.concat(frames, ignore_index=True)
+
+    return assign
+
+
+def _pq_train(emb: DataFrame) -> tuple[int, dict[int, tuple[np.ndarray, np.ndarray]]]:
+    """Shared PQ codebook training (seeds + one Lloyd step) — the
+    embedding_pq_codes docstring is the spec; ann_pq_adc_topk reuses the
+    identical books so its oracle's CTEs replay one algorithm."""
     seeds = (
         emb.withColumn(
             "sk", F.md5(F.concat(F.lit("pqseed:"), F.col("vec_id").cast("string")))
@@ -666,38 +704,13 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     dim = S0.shape[1]
     subdim = dim // PQ_M
 
-    def assign_udf(books: dict[int, tuple[np.ndarray, np.ndarray]], keep_sub: bool):
-        """books: subspace -> (code_ids ascending, centroid matrix rows
-        in that order).  Squared-L2 argmin; np.argmin takes the first
-        (= lowest code id) on exact ties."""
-
-        def assign(batches):
-            for pdf in batches:
-                v = _stack(pdf["embedding"])
-                frames = []
-                for m, (ids, C) in books.items():
-                    sub = v[:, m * subdim : (m + 1) * subdim]
-                    d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                    code = ids[np.argmin(d2, axis=1)]
-                    out = {
-                        "vec_id": pdf["vec_id"],
-                        "subspace": np.full(len(pdf), m, dtype=np.int32),
-                        "code": code.astype(np.int32),
-                    }
-                    if keep_sub:
-                        out["subvec"] = list(sub)
-                    frames.append(pd.DataFrame(out))
-                yield pd.concat(frames, ignore_index=True)
-
-        return assign
-
     books0 = {
         m: (np.arange(PQ_KS, dtype=np.int64),
             S0[:, m * subdim : (m + 1) * subdim])
         for m in range(PQ_M)
     }
     a0 = emb.mapInPandas(
-        assign_udf(books0, keep_sub=True),
+        _pq_assign_udf(books0, subdim, keep_sub=True),
         schema="vec_id long, subspace int, code int, subvec array<double>",
     )
     cent_rows = (
@@ -718,8 +731,66 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             for dpos, val in by_ms[(m, c)].items():
                 C[i, dpos] = val
         books1[m] = (np.array(live, dtype=np.int64), C)
+    return subdim, books1
 
-    return emb.mapInPandas(
-        assign_udf(books1, keep_sub=False),
+
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k search — the second half of
+    the Jégou 2011 recipe and the memory-bound billion-vector scan
+    shape: queries stay full-precision, the corpus is its PQ codes, and
+    per-query distance is a TABLE LOOKUP sum, Σ_m dt[m][code_v[m]],
+    never a vector op against the corpus.
+
+    Determinism across engines: the per-(query, subspace, code) distance
+    table entries are quantized to integer MICRO-units
+    (floor(d² · 10⁶), numpy float64 on one side, DuckDB double on the
+    other — identical IEEE arithmetic) when the table is BUILT, so the
+    ranking key is an exact integer sum: no float accumulation order
+    can flip a rank, and the huge tie groups PQ creates (vectors
+    sharing all PQ_M codes have IDENTICAL approximate distances —
+    that's the compression) resolve by neighbor id on both engines.
+
+    Scale shape: the distance table is queries × PQ_M × PQ_KS rows —
+    broadcast by construction (FAISS keeps it in L1); the corpus side
+    touches only the codes frame (PQ_M small ints per vector ≈ 1 byte
+    per code at KS=256), one broadcast join + one (query, vec) integer
+    sum-agg + a bounded top-k window.  Self-match excluded.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    subdim, books = _pq_train(emb)
+    codes = emb.mapInPandas(
+        _pq_assign_udf(books, subdim, keep_sub=False),
         schema="vec_id long, subspace int, code int",
+    )
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    dt_rows = []
+    for q in queries:
+        qv = np.asarray(q["embedding"], dtype=np.float64)
+        for m, (ids, C) in books.items():
+            sub = qv[m * subdim : (m + 1) * subdim]
+            d2 = ((C - sub[None, :]) ** 2).sum(axis=1)
+            dt_rows += [
+                (int(q["vec_id"]), m, int(c), int(np.floor(d * 1e6)))
+                for c, d in zip(ids, d2)
+            ]
+    dt = F.broadcast(
+        spark.createDataFrame(
+            dt_rows, "query_id long, subspace int, code int, d_micro long"
+        )
+    )
+
+    adc = (
+        codes.join(dt, ["subspace", "code"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d_micro").alias("adc_micro"))
+        .where(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "adc_micro", "rank"
+        )
     )

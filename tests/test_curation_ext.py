@@ -912,3 +912,65 @@ def test_pq_codes_planted_subspace_structure(spark, tmp_path):
     for j, pid in enumerate(probe_ids):
         for m in range(similarity.PQ_M):
             assert out[(pid, m)] == (m + j) % 4
+
+
+# ---- ann_pq_adc_topk --------------------------------------------------------
+
+
+def test_pq_adc_matches_independent_numpy_replay(spark):
+    """THIRD engine: the entire PQ train + encode + ADC search replayed
+    in pure numpy/hashlib (no Spark, no DuckDB) on the real sf0.001
+    corpus; every output row must match exactly."""
+    sf = "/root/testdata/sf0.001"
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    V = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    M, KS = similarity.PQ_M, similarity.PQ_KS
+    NQ, K = similarity.N_QUERIES, similarity.TOP_K
+    sd = V.shape[1] // M
+
+    order = sorted(range(len(ids)), key=lambda i: hashlib.md5(
+        f"pqseed:{ids[i]}".encode()).hexdigest())
+    S0 = V[order[:KS]]
+
+    def assign(C_by_m):
+        codes = np.zeros((len(ids), M), dtype=np.int64)
+        for m, (cid, C) in C_by_m.items():
+            sub = V[:, m * sd : (m + 1) * sd]
+            d2 = ((sub[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            codes[:, m] = cid[np.argmin(d2, axis=1)]
+        return codes
+
+    books0 = {m: (np.arange(KS), S0[:, m * sd : (m + 1) * sd]) for m in range(M)}
+    c0 = assign(books0)
+    books1 = {}
+    for m in range(M):
+        live = sorted(set(c0[:, m]))
+        C = np.stack([
+            V[c0[:, m] == c, m * sd : (m + 1) * sd].mean(axis=0) for c in live
+        ])
+        books1[m] = (np.array(live), C)
+    c1 = assign(books1)
+
+    truth = set()
+    for qpos in np.where(ids < NQ)[0]:
+        qid = ids[qpos]
+        dt = {}
+        for m, (cid, C) in books1.items():
+            sub = V[qpos, m * sd : (m + 1) * sd]
+            d2 = ((C - sub[None, :]) ** 2).sum(axis=1)
+            for c, d in zip(cid, d2):
+                dt[(m, c)] = int(np.floor(d * 1e6))
+        adc = [
+            (sum(dt[(m, c1[i, m])] for m in range(M)), int(ids[i]))
+            for i in range(len(ids)) if ids[i] != qid
+        ]
+        adc.sort()
+        for rank, (micro, nid) in enumerate(adc[:K], start=1):
+            truth.add((int(qid), nid, micro, rank))
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["adc_micro"], r["rank"])
+        for r in similarity.ann_pq_adc_topk(spark, sf).collect()
+    }
+    assert got == truth
