@@ -2018,3 +2018,37 @@ SELECT query_id, vec_id AS neighbor_id, adc_micro, rank FROM (
 WHERE rank <= {similarity.TOP_K}
 """,
 )
+
+REGISTRY["corpus_pack_sequences"] = (
+    text.corpus_pack_sequences,
+    f"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(string_split(lower(text), ' ')) AS n_tokens,
+         SUM(len(string_split(lower(text), ' ')))
+           OVER (PARTITION BY lang ORDER BY doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+  FROM documents
+)
+SELECT doc_id, lang, CAST(n_tokens AS INT) AS n_tokens,
+       (cum - n_tokens) // {text.PACK_LEN} AS pack_id,
+       ((cum - n_tokens) % {text.PACK_LEN} + {text.PACK_LEN})
+         % {text.PACK_LEN} AS offset_in_pack
+FROM t
+""",
+)
+
+REGISTRY["corpus_language_sampling_weights"] = (
+    text.corpus_language_sampling_weights,
+    """
+WITH per AS (
+  SELECT lang, COUNT(*) AS n_docs,
+         CAST(floor(sqrt(COUNT(*))) AS BIGINT) AS isqrt_n
+  FROM documents GROUP BY lang
+), tot AS (
+  SELECT SUM(isqrt_n) AS tot FROM per
+)
+SELECT lang, n_docs, isqrt_n, isqrt_n * 1000000 // tot.tot AS weight_ppm
+FROM per, tot
+""",
+)

@@ -857,3 +857,68 @@ def text_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("n"))
     )
+
+
+PACK_LEN = 256
+
+
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — the standard LLM-pretraining
+    batching op (documents concatenated in deterministic order, sliced
+    into fixed PACK_LEN-token context windows; a document starts in the
+    pack where its running offset lands and may straddle into the
+    next).  Per-language streams pack independently (the per-shard
+    reality of multilingual training), so the running sum is a
+    PARTITIONED window, not a global one.
+
+    Output: (doc_id, lang, n_tokens, pack_id, offset_in_pack) where
+    pack_id = floor(start_offset / PACK_LEN) within the language and
+    offset_in_pack = start_offset mod PACK_LEN.
+
+    Scale shape: one lang-keyed sort window (the same partitioning every
+    per-language operator shares).  For a SINGLE giant stream the
+    running sum decomposes into the two-pass per-bucket prefix-sum the
+    concurrency/sorted-neighborhood operators already use — that swap
+    is the documented 100-TB path; integer arithmetic throughout.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(_ws_tokens(F.col("text")))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select("doc_id", "lang", n_tok.alias("n_tokens")).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.expr(f"(cum - n_tokens) div {PACK_LEN}").alias("pack_id"),
+        F.pmod(start, F.lit(PACK_LEN)).cast("long").alias("offset_in_pack"),
+    )
+
+
+def corpus_language_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced language sampling weights (the multilingual
+    rebalancing rule of XLM-R / mT5: p_l ∝ n_l^alpha with alpha=0.5 —
+    upweight tail languages, damp the head).  n^0.5 rides as the
+    INTEGER isqrt floor(sqrt(n)) so the cross-engine hash never sees a
+    float: weight_ppm = isqrt(n_l) * 1e6 div Σ isqrt(n_k).
+
+    One tiny two-level aggregate (per-language counts, then the
+    broadcast 1-row total); the output is |languages| rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("lang").agg(F.count("*").alias("n_docs")).withColumn(
+        "isqrt_n", F.floor(F.sqrt(F.col("n_docs"))).cast("long")
+    )
+    tot = per.agg(F.sum("isqrt_n").alias("tot"))
+    return per.join(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "isqrt_n",
+        F.expr("isqrt_n * 1000000 div tot").alias("weight_ppm"),
+    )

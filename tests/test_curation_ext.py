@@ -974,3 +974,33 @@ def test_pq_adc_matches_independent_numpy_replay(spark):
         for r in similarity.ann_pq_adc_topk(spark, sf).collect()
     }
     assert got == truth
+
+
+# ---- corpus_pack_sequences / corpus_language_sampling_weights ---------------
+
+
+def test_pack_sequences_straddle_and_offsets(spark, tmp_path):
+    """Docs of 200+100+300 tokens at PACK_LEN=256: doc1 starts in pack 0
+    at offset 200 (straddles into pack 1), doc2 starts in pack 1."""
+    texts = [" ".join(["w"] * n) for n in (200, 100, 300)]
+    d = _write_docs(tmp_path, texts)
+    out = {
+        r["doc_id"]: (r["pack_id"], r["offset_in_pack"])
+        for r in text.corpus_pack_sequences(spark, d).collect()
+    }
+    assert out == {0: (0, 0), 1: (0, 200), 2: (1, 300 - 256 + 0)}
+    # doc2 start offset = 300 tokens cum -> (300 div 256, 300 mod 256)
+    assert out[2] == (1, 44)
+
+
+def test_language_weights_upweight_tail(spark, tmp_path):
+    """100 'en' docs vs 4 'de' docs: sqrt damping gives de 2/12 of the
+    budget instead of 4/104 — the tail is upweighted."""
+    texts = ["x y"] * 104
+    langs = ["en"] * 100 + ["de"] * 4
+    d = _write_docs(tmp_path, texts, langs=langs)
+    out = {
+        r["lang"]: (r["isqrt_n"], r["weight_ppm"])
+        for r in text.corpus_language_sampling_weights(spark, d).collect()
+    }
+    assert out == {"en": (10, 10 * 1000000 // 12), "de": (2, 2 * 1000000 // 12)}
