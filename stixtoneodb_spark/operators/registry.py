@@ -2052,3 +2052,25 @@ SELECT lang, n_docs, isqrt_n, isqrt_n * 1000000 // tot.tot AS weight_ppm
 FROM per, tot
 """,
 )
+
+REGISTRY["dq_constraint_violations"] = (
+    relational.dq_constraint_violations,
+    f"""
+SELECT 'event_id_unique' AS constraint, COALESCE(SUM(c - 1), 0) AS n
+FROM (SELECT event_id, COUNT(*) AS c FROM events GROUP BY event_id)
+UNION ALL
+SELECT 'value_nonnegative', COUNT(CASE WHEN value < 0 THEN 1 END) FROM events
+UNION ALL
+SELECT 'event_type_in_domain',
+       COUNT(CASE WHEN event_type NOT IN
+         ({",".join(f"'{t}'" for t in relational.EVENT_TYPES)}) THEN 1 END)
+FROM events
+UNION ALL
+SELECT 'user_id_not_null', COUNT(CASE WHEN user_id IS NULL THEN 1 END)
+FROM events
+UNION ALL
+SELECT 'orders_custkey_references_customer', COUNT(*)
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_custkey IS NULL
+""",
+)

@@ -1241,3 +1241,60 @@ def dim_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("dow_monday0"),
     )
+
+
+def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality gate: evaluate the pipeline's ingest
+    expectations (Delta Live Tables / Great Expectations style) and
+    report one row per constraint with its violation count — ALWAYS all
+    rows, zeros included, so downstream alerting diffs a stable shape.
+
+    Constraints: event_id uniqueness (extra rows beyond the first),
+    value non-negativity, event_type domain membership, user_id
+    non-null, and referential integrity orders.o_custkey -> customer
+    (the dangling-ref check A11 runs on the STIX graph, applied to the
+    relational side).
+
+    Plan shape: each constraint is one aggregate over its own scan —
+    unioned AFTER aggregation, so the union carries 5 rows, not data;
+    the uniqueness check is the only shuffle (map-side-combinable
+    count per key), the referential check is a broadcast anti-join on
+    the dim.  At 100 TB all five ride a single pass via observe()
+    metrics where exactness permits — documented; the uniqueness and
+    referential tiers keep their shuffles.
+    """
+    e = load_table(spark, sf_dir, "events")
+    dup = (
+        e.groupBy("event_id")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n")
+        )
+        .select(F.lit("event_id_unique").alias("constraint"), F.col("n"))
+    )
+    neg = e.agg(
+        F.count(F.when(F.col("value") < 0, 1)).alias("n")
+    ).select(F.lit("value_nonnegative").alias("constraint"), F.col("n"))
+    dom = e.agg(
+        F.count(
+            F.when(~F.col("event_type").isin(*EVENT_TYPES), 1)
+        ).alias("n")
+    ).select(F.lit("event_type_in_domain").alias("constraint"), F.col("n"))
+    nn = e.agg(
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("n")
+    ).select(F.lit("user_id_not_null").alias("constraint"), F.col("n"))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    ref = (
+        o.join(
+            F.broadcast(c.select(F.col("c_custkey").alias("o_custkey"))),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.lit("orders_custkey_references_customer").alias("constraint"),
+            F.col("n"),
+        )
+    )
+    return dup.unionByName(neg).unionByName(dom).unionByName(nn).unionByName(ref)

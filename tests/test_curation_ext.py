@@ -1004,3 +1004,42 @@ def test_language_weights_upweight_tail(spark, tmp_path):
         for r in text.corpus_language_sampling_weights(spark, d).collect()
     }
     assert out == {"en": (10, 10 * 1000000 // 12), "de": (2, 2 * 1000000 // 12)}
+
+
+# ---- dq_constraint_violations -----------------------------------------------
+
+
+def test_dq_counts_planted_violations(spark, tmp_path):
+    """Planted dirty data: 3 copies of one event_id (2 extra rows), one
+    negative value, one out-of-domain type; shape stays 5 rows with
+    explicit zeros."""
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.array([1, 1, 1, 2, 3], dtype=np.int64),
+            "ts": pd.to_datetime([0, 1, 2, 3, 4], unit="s").astype(
+                "datetime64[us]"
+            ),
+            "user_id": np.int64(7),
+            "event_type": ["click", "click", "click", "zzz_bogus", "view"],
+            "value": [1.0, 1.0, 1.0, 2.0, -5.0],
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    # empty-but-typed dims so the referential leg runs
+    pd.DataFrame({"o_orderkey": pd.Series([1], dtype="int64"),
+                  "o_custkey": pd.Series([99], dtype="int64")}).to_parquet(
+        tmp_path / "orders.parquet")
+    pd.DataFrame({"c_custkey": pd.Series([1], dtype="int64")}).to_parquet(
+        tmp_path / "customer.parquet")
+    out = {
+        r["constraint"]: r["n"]
+        for r in relational.dq_constraint_violations(spark, str(tmp_path)).collect()
+    }
+    assert out == {
+        "event_id_unique": 2,
+        "value_nonnegative": 1,
+        "event_type_in_domain": 1,
+        "user_id_not_null": 0,
+        "orders_custkey_references_customer": 1,
+    }
