@@ -2074,3 +2074,33 @@ FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
 WHERE c.c_custkey IS NULL
 """,
 )
+
+
+def _rrf_sql() -> str:
+    """Composes the three ANN systems' FULL oracle SQL as subqueries and
+    fuses them with the integer-micro RRF formula — end-to-end
+    verification through all three algorithms."""
+    s_exact = REGISTRY["ann_cosine_topk"][1]
+    s_ivf = REGISTRY["ann_ivf_topk"][1]
+    s_pq = REGISTRY["ann_pq_adc_topk"][1]
+    k = similarity.RRF_K
+    return f"""
+WITH u AS (
+  SELECT query_id, neighbor_id, 1000000 // ({k} + rank) AS contrib
+  FROM ({s_exact})
+  UNION ALL
+  SELECT query_id, neighbor_id, 1000000 // ({k} + rank) FROM ({s_ivf})
+  UNION ALL
+  SELECT query_id, neighbor_id, 1000000 // ({k} + rank) FROM ({s_pq})
+), fused AS (
+  SELECT query_id, neighbor_id, COUNT(*) AS n_systems,
+         SUM(contrib) AS rrf_micro
+  FROM u GROUP BY query_id, neighbor_id
+)
+SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY rrf_micro DESC, neighbor_id) AS fused_rank
+FROM fused
+"""
+
+
+REGISTRY["search_hybrid_rrf"] = (similarity.search_hybrid_rrf, _rrf_sql())

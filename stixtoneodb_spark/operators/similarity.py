@@ -794,3 +794,48 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", F.col("vec_id").alias("neighbor_id"), "adc_micro", "rank"
         )
     )
+
+
+RRF_K = 60
+
+
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher SIGIR'09) over
+    the engine's three ANN rankers — exact cosine, IVF-probed, and
+    PQ-ADC — the standard hybrid-retrieval combiner (modern search
+    stacks fuse lexical + vector rankings with exactly this formula;
+    here the three retrieval tiers stand in as the systems).
+
+    rrf contribution of a system ranking a neighbor at r is
+    1e6 div (RRF_K + r) — truncating-integer micro-units, so fused
+    scores are exact integer sums on every engine; fused order breaks
+    ties by neighbor id.  Output per (query, neighbor): how many
+    systems returned it, the fused score, and the fused rank.
+
+    Scale shape: fusion adds ONE survivor-scale aggregate + window over
+    the union of the three top-k lists (queries × 3K rows) — the
+    retrievers dominate; the combiner is free.  The DuckDB oracle
+    composes the three systems' full oracle SQL as subqueries, so the
+    fusion is verified END-TO-END through all three algorithms.
+    """
+    parts = []
+    for tag, fn in (
+        ("exact", ann_cosine_topk),
+        ("ivf", ann_ivf_topk),
+        ("pq", ann_pq_adc_topk),
+    ):
+        parts.append(
+            fn(spark, sf_dir).select(
+                "query_id", "neighbor_id",
+                F.expr(f"1000000 div ({RRF_K} + rank)").alias("contrib"),
+            )
+        )
+    u = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    fused = u.groupBy("query_id", "neighbor_id").agg(
+        F.count("*").alias("n_systems"),
+        F.sum("contrib").alias("rrf_micro"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_micro"), "neighbor_id"
+    )
+    return fused.withColumn("fused_rank", F.row_number().over(w))

@@ -1043,3 +1043,40 @@ def test_dq_counts_planted_violations(spark, tmp_path):
         "user_id_not_null": 0,
         "orders_custkey_references_customer": 1,
     }
+
+
+# ---- search_hybrid_rrf ------------------------------------------------------
+
+
+def test_rrf_fusion_recomputed_from_component_rankings(spark):
+    """Fusion recomputed in python from the three systems' own outputs:
+    integer contributions, counts, and fused tie-break order."""
+    sf = "/root/testdata/sf0.001"
+    from collections import defaultdict  # noqa: PLC0415
+
+    agg = defaultdict(lambda: [0, 0])
+    for fn in (
+        similarity.ann_cosine_topk,
+        similarity.ann_ivf_topk,
+        similarity.ann_pq_adc_topk,
+    ):
+        for r in fn(spark, sf).collect():
+            key = (r["query_id"], r["neighbor_id"])
+            agg[key][0] += 1
+            agg[key][1] += 1000000 // (similarity.RRF_K + r["rank"])
+    got = {
+        (r["query_id"], r["neighbor_id"]): (
+            r["n_systems"], r["rrf_micro"], r["fused_rank"]
+        )
+        for r in similarity.search_hybrid_rrf(spark, sf).collect()
+    }
+    assert set(got) == set(agg)
+    for k, (n, s) in agg.items():
+        assert got[k][:2] == (n, s)
+    # fused_rank is the (rrf desc, neighbor asc) order within each query
+    by_q = defaultdict(list)
+    for (q, nb), (n, s) in agg.items():
+        by_q[q].append((-s, nb))
+    for q, lst in by_q.items():
+        for rank, (_, nb) in enumerate(sorted(lst), start=1):
+            assert got[(q, nb)][2] == rank
