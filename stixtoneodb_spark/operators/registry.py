@@ -2104,3 +2104,119 @@ FROM fused
 
 
 REGISTRY["search_hybrid_rrf"] = (similarity.search_hybrid_rrf, _rrf_sql())
+
+
+REGISTRY["ann_ivfpq_topk"] = (
+    similarity.ann_ivfpq_topk,
+    f"""
+WITH params AS (
+  SELECT greatest({similarity.IVF_CELLS_MIN},
+                  least({similarity.IVF_CELLS_MAX},
+                        CAST(floor(sqrt(count(*))) AS BIGINT))) AS cells,
+         MAX(len(embedding)) AS dim,
+         MAX(len(embedding)) // {similarity.PQ_M} AS sd
+  FROM embeddings
+), cseeds AS (
+  SELECT rk - 1 AS cell, embedding AS sv
+  FROM (SELECT embedding,
+               ROW_NUMBER() OVER (ORDER BY md5('seed:' || vec_id)) AS rk
+        FROM embeddings), params
+  WHERE rk <= params.cells
+), ca0 AS (
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, s.cell,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.embedding, s.sv) DESC, s.cell) AS rn
+    FROM embeddings e, cseeds s)
+  WHERE rn = 1
+), cent AS (
+  SELECT cell, list(v ORDER BY dim) AS cv FROM (
+    SELECT cell, dim, AVG(val) AS v FROM (
+      SELECT ca0.cell AS cell, generate_subscripts(e.embedding, 1) AS dim,
+             unnest(e.embedding) AS val
+      FROM ca0 JOIN embeddings e USING (vec_id))
+    GROUP BY cell, dim)
+  GROUP BY cell
+), ca1 AS (
+  -- final coarse assignment of EVERY vector to refined surviving cells
+  SELECT vec_id, cell FROM (
+    SELECT e.vec_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        ORDER BY list_cosine_similarity(e.embedding, c.cv) DESC, c.cell) AS rn
+    FROM embeddings e, cent c)
+  WHERE rn = 1
+), res AS (
+  -- residual of every vector against its refined cell centroid
+  SELECT e.vec_id, ca1.cell,
+         list_transform(generate_series(1, p.dim),
+                        i -> e.embedding[i]::DOUBLE - c.cv[i]) AS rv
+  FROM embeddings e
+  JOIN ca1 USING (vec_id) JOIN cent c USING (cell), params p
+), pqseeds AS (
+  SELECT rk - 1 AS code, vec_id
+  FROM (SELECT vec_id,
+               ROW_NUMBER() OVER (ORDER BY md5('pqseed:' || vec_id)) AS rk
+        FROM embeddings)
+  WHERE rk <= {similarity.PQ_KS}
+), rseed AS (
+  SELECT s.code, r.rv FROM pqseeds s JOIN res r USING (vec_id)
+), sub AS (
+  SELECT range AS m FROM range({similarity.PQ_M})
+), pa0 AS (
+  SELECT vec_id, m, code FROM (
+    SELECT r.vec_id, sub.m, s.code,
+      ROW_NUMBER() OVER (PARTITION BY r.vec_id, sub.m
+        ORDER BY list_distance(r.rv[sub.m * p.sd + 1 : sub.m * p.sd + p.sd],
+                               s.rv[sub.m * p.sd + 1 : sub.m * p.sd + p.sd]) ASC,
+                 s.code) AS rn
+    FROM res r, rseed s, sub, params p)
+  WHERE rn = 1
+), pcentavg AS (
+  SELECT m, code, dim, AVG(val) AS v FROM (
+    SELECT a.m, a.code, generate_subscripts(sl, 1) AS dim, unnest(sl) AS val
+    FROM (SELECT a0.vec_id, a0.m, a0.code,
+                 r.rv[a0.m * p.sd + 1 : a0.m * p.sd + p.sd] AS sl
+          FROM pa0 a0 JOIN res r USING (vec_id), params p) a)
+  GROUP BY m, code, dim
+), pcent AS (
+  SELECT m, code, list(v ORDER BY dim) AS bv FROM pcentavg GROUP BY m, code
+), codes AS (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT r.vec_id, r.cell, b.m, b.code,
+      ROW_NUMBER() OVER (PARTITION BY r.vec_id, b.m
+        ORDER BY list_distance(r.rv[b.m * p.sd + 1 : b.m * p.sd + p.sd],
+                               b.bv) ASC,
+                 b.code) AS rn
+    FROM res r, pcent b, params p)
+  WHERE rn = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.vec_id AS query_id, c.cell,
+      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+        ORDER BY list_cosine_similarity(q.embedding, c.cv) DESC, c.cell) AS rn
+    FROM embeddings q, cent c WHERE q.vec_id < {similarity.N_QUERIES})
+  WHERE rn <= {similarity.IVF_NPROBE}
+), qdt AS (
+  SELECT pr.query_id, pr.cell, b.m, b.code,
+         CAST(floor(1000000 * list_sum(list_transform(
+           generate_series(1, p.sd),
+           i -> (q.embedding[b.m * p.sd + i]::DOUBLE
+                 - c.cv[b.m * p.sd + i] - b.bv[i]) ^ 2
+         ))) AS BIGINT) AS d_micro
+  FROM probes pr
+  JOIN cent c USING (cell)
+  JOIN embeddings q ON q.vec_id = pr.query_id,
+  pcent b, params p
+), adc AS (
+  SELECT d.query_id, k.vec_id, SUM(d.d_micro) AS adc_micro
+  FROM codes k
+  JOIN qdt d ON d.cell = k.cell AND d.m = k.m AND d.code = k.code
+  WHERE k.vec_id <> d.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, vec_id AS neighbor_id, adc_micro, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+            ORDER BY adc_micro, vec_id) AS rank FROM adc)
+WHERE rank <= {similarity.TOP_K}
+""",
+)

@@ -269,6 +269,70 @@ def ivf_cells(n: int) -> int:
     return max(IVF_CELLS_MIN, min(IVF_CELLS_MAX, int(math.floor(math.sqrt(n)))))
 
 
+def _ivf_assign_udf(cents: np.ndarray, cell_ids: np.ndarray, keep_embedding: bool = False):
+    """vec → nearest centroid by cosine (ties → lowest cell id; the
+    rows of ``cents`` are cell-id-ascending, so argmax-first == lowest
+    id).  Zero-norm guards: a degenerate all-zero vector scores 0
+    everywhere instead of poisoning the matmul with NaN."""
+    cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
+
+    def assign(batches):
+        for pdf in batches:
+            v = _stack(pdf["embedding"])
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+            cell = cell_ids[np.argmax(vn @ cn.T, axis=1)]
+            out = {"vec_id": pdf["vec_id"], "cell": cell}
+            if keep_embedding:
+                out["embedding"] = pdf["embedding"]
+            yield pd.DataFrame(out)
+
+    return assign
+
+
+def _ivf_train(emb: DataFrame) -> tuple[np.ndarray, np.ndarray]:
+    """Shared coarse-quantizer training (md5-ordered seeds + one Lloyd
+    step, emptied cells dropped) — the ann_ivf_topk docstring is the
+    spec; ann_ivfpq_topk reuses the identical coarse structure so both
+    oracles replay one algorithm.  Returns (live cell ids ascending,
+    refined centroid matrix in that row order)."""
+    n_cells = ivf_cells(emb.count())
+
+    # -- 1. deterministic seed selection (driver-side: n_cells rows) --
+    seeds = (
+        emb.withColumn(
+            "sk", F.md5(F.concat(F.lit("seed:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("sk")
+        .limit(n_cells)
+        .collect()
+    )
+    S0 = np.stack([r["embedding"] for r in seeds]).astype(np.float64)
+
+    # -- 2. one Lloyd step: refined centroids = per-dim mean per cell --
+    # (embedding rides through the UDF — no join back to the corpus)
+    all_cells = np.arange(n_cells, dtype=np.int64)
+    a0 = emb.mapInPandas(
+        _ivf_assign_udf(S0, all_cells, keep_embedding=True),
+        schema="vec_id long, cell int, embedding array<float>",
+    )
+    cent_rows = (
+        a0.select("cell", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("cell", "dim")
+        .agg(F.avg("val").alias("v"))
+        .collect()
+    )
+    # cells that lost every member in the Lloyd step are dropped, exactly
+    # as the oracle's cent CTE drops them (no rows → no centroid): an
+    # all-zero surviving row would turn the norm-divide into NaN and
+    # np.argmax over a NaN column assigns essentially everything to it.
+    live = sorted({r["cell"] for r in cent_rows})
+    live_pos = {c: i for i, c in enumerate(live)}
+    C1 = np.zeros((len(live), S0.shape[1]), dtype=np.float64)
+    for r in cent_rows:
+        C1[live_pos[r["cell"]], r["dim"]] = r["v"]
+    return np.array(live, dtype=np.int64), C1
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (inverted-file) ANN: coarse k-means cells + nprobe search.
 
@@ -309,64 +373,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors.
     """
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    n_cells = ivf_cells(emb.count())
-
-    # -- 1. deterministic seed selection (driver-side: n_cells rows) --
-    seeds = (
-        emb.withColumn(
-            "sk", F.md5(F.concat(F.lit("seed:"), F.col("vec_id").cast("string")))
-        )
-        .orderBy("sk")
-        .limit(n_cells)
-        .collect()
-    )
-    S0 = np.stack([r["embedding"] for r in seeds]).astype(np.float64)
-
-    def assign_udf(cents: np.ndarray, cell_ids: np.ndarray, keep_embedding: bool = False):
-        """vec → nearest centroid by cosine (ties → lowest cell id; the
-        rows of ``cents`` are cell-id-ascending, so argmax-first == lowest
-        id).  Zero-norm guards: a degenerate all-zero vector scores 0
-        everywhere instead of poisoning the matmul with NaN."""
-        cn = cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-30)
-
-        def assign(batches):
-            for pdf in batches:
-                v = _stack(pdf["embedding"])
-                vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
-                cell = cell_ids[np.argmax(vn @ cn.T, axis=1)]
-                out = {"vec_id": pdf["vec_id"], "cell": cell}
-                if keep_embedding:
-                    out["embedding"] = pdf["embedding"]
-                yield pd.DataFrame(out)
-
-        return assign
-
-    # -- 2. one Lloyd step: refined centroids = per-dim mean per cell --
-    # (embedding rides through the UDF — no join back to the corpus)
-    all_cells = np.arange(n_cells, dtype=np.int64)
-    a0 = emb.mapInPandas(
-        assign_udf(S0, all_cells, keep_embedding=True),
-        schema="vec_id long, cell int, embedding array<float>",
-    )
-    cent_rows = (
-        a0.select("cell", F.posexplode("embedding").alias("dim", "val"))
-        .groupBy("cell", "dim")
-        .agg(F.avg("val").alias("v"))
-        .collect()
-    )
-    # cells that lost every member in the Lloyd step are dropped, exactly
-    # as the oracle's cent CTE drops them (no rows → no centroid): an
-    # all-zero surviving row would turn the norm-divide into NaN and
-    # np.argmax over a NaN column assigns essentially everything to it.
-    live = sorted({r["cell"] for r in cent_rows})
-    live_pos = {c: i for i, c in enumerate(live)}
-    C1 = np.zeros((len(live), S0.shape[1]), dtype=np.float64)
-    for r in cent_rows:
-        C1[live_pos[r["cell"]], r["dim"]] = r["v"]
-    live_ids = np.array(live, dtype=np.int64)
+    live_ids, C1 = _ivf_train(emb)
 
     # -- 3. final assignment + 4. probe & exact rank within probed cells --
-    assign = emb.mapInPandas(assign_udf(C1, live_ids), schema="vec_id long, cell int")
+    assign = emb.mapInPandas(
+        _ivf_assign_udf(C1, live_ids), schema="vec_id long, cell int"
+    )
     queries = (
         emb.where(F.col("vec_id") < N_QUERIES)
         .orderBy("vec_id")
@@ -839,3 +851,148 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.desc("rrf_micro"), "neighbor_id"
     )
     return fused.withColumn("fused_rank", F.row_number().over(w))
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ: the full billion-vector FAISS index shape — coarse
+    inverted-file cells (the ann_ivf_topk quantizer, REUSED bit-for-bit
+    via _ivf_train) + product quantization of the RESIDUAL v − c(v)
+    (Jégou 2011 §IV: residuals are far better centered than raw
+    vectors, so the same codebook budget buys much lower distortion) +
+    asymmetric-distance search over only the probed cells.
+
+    Search: a query probes its IVF_NPROBE nearest coarse cells (cosine,
+    ties → lowest cell — identical to ann_ivf_topk); within each probed
+    cell the query's RESIDUAL against that cell builds a per-cell
+    distance table, quantized to integer micro-units at build time
+    (the ann_pq_adc_topk determinism contract), and candidates rank by
+    the exact integer lookup sum, ties → neighbor id.
+
+    Scale shape: everything driver-side is broadcast-sized (coarse
+    centroids √n × dim, codebooks PQ_M × PQ_KS × subdim, distance
+    tables queries × nprobe × PQ_M × PQ_KS); the corpus is touched by
+    two map-side passes (train sample / encode) and the search touches
+    ONLY the codes of probed cells through one broadcast join + integer
+    sum-agg + bounded window.  At 10⁹ vectors: train on a TABLESAMPLE,
+    encode once, scan codes at ~PQ_M bytes/vector — the FAISS IVFADC
+    memory story, expressed as DataFrames.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    live_ids, C1 = _ivf_train(emb)
+    dim = C1.shape[1]
+    subdim = dim // PQ_M
+    C1n = C1 / np.maximum(np.linalg.norm(C1, axis=1, keepdims=True), 1e-30)
+
+    # PQ seeds: md5('pqseed:')-smallest vectors, residualized driver-side
+    seeds = (
+        emb.withColumn(
+            "sk", F.md5(F.concat(F.lit("pqseed:"), F.col("vec_id").cast("string")))
+        )
+        .orderBy("sk")
+        .limit(PQ_KS)
+        .collect()
+    )
+    Sv = np.stack([r["embedding"] for r in seeds]).astype(np.float64)
+    Svn = Sv / np.maximum(np.linalg.norm(Sv, axis=1, keepdims=True), 1e-30)
+    spos = np.argmax(Svn @ C1n.T, axis=1)
+    R0 = Sv - C1[spos]
+
+    cell_of_pos = live_ids  # row i of C1 is cell live_ids[i]
+
+    def res_codes_udf(books: dict[int, tuple[np.ndarray, np.ndarray]], keep_sub: bool):
+        def run(batches):
+            for pdf in batches:
+                v = _stack(pdf["embedding"])
+                vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+                pos = np.argmax(vn @ C1n.T, axis=1)
+                res = v - C1[pos]
+                cells = cell_of_pos[pos]
+                frames = []
+                for m, (ids, B) in books.items():
+                    sub = res[:, m * subdim : (m + 1) * subdim]
+                    d2 = ((sub[:, None, :] - B[None, :, :]) ** 2).sum(axis=2)
+                    code = ids[np.argmin(d2, axis=1)]
+                    out = {
+                        "vec_id": pdf["vec_id"],
+                        "cell": cells.astype(np.int32),
+                        "subspace": np.full(len(pdf), m, dtype=np.int32),
+                        "code": code.astype(np.int32),
+                    }
+                    if keep_sub:
+                        out["subvec"] = list(sub)
+                    frames.append(pd.DataFrame(out))
+                yield pd.concat(frames, ignore_index=True)
+
+        return run
+
+    books0 = {
+        m: (np.arange(PQ_KS, dtype=np.int64), R0[:, m * subdim : (m + 1) * subdim])
+        for m in range(PQ_M)
+    }
+    a0 = emb.mapInPandas(
+        res_codes_udf(books0, keep_sub=True),
+        schema="vec_id long, cell int, subspace int, code int, subvec array<double>",
+    )
+    cent_rows = (
+        a0.select("subspace", "code", F.posexplode("subvec").alias("dim", "val"))
+        .groupBy("subspace", "code", "dim")
+        .agg(F.avg("val").alias("v"))
+        .collect()
+    )
+    books1: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+    by_ms: dict[tuple[int, int], dict[int, float]] = {}
+    for r in cent_rows:
+        by_ms.setdefault((r["subspace"], r["code"]), {})[r["dim"]] = r["v"]
+    for m in range(PQ_M):
+        live = sorted(c for (mm, c) in by_ms if mm == m)
+        B = np.zeros((len(live), subdim), dtype=np.float64)
+        for i, c in enumerate(live):
+            for dpos, val in by_ms[(m, c)].items():
+                B[i, dpos] = val
+        books1[m] = (np.array(live, dtype=np.int64), B)
+
+    codes = emb.mapInPandas(
+        res_codes_udf(books1, keep_sub=False),
+        schema="vec_id long, cell int, subspace int, code int",
+    )
+
+    queries = emb.where(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    qids = np.array([r["vec_id"] for r in queries])
+    Q = np.stack([r["embedding"] for r in queries]).astype(np.float64)
+    Qn = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-30)
+    order = np.lexsort(
+        (np.tile(np.arange(len(live_ids)), (len(qids), 1)), -(Qn @ C1n.T))
+    )[:, :IVF_NPROBE]
+    dt_rows = []
+    for qi, qid in enumerate(qids):
+        for pos in order[qi]:
+            rq = Q[qi] - C1[pos]
+            for m, (ids, B) in books1.items():
+                sub = rq[m * subdim : (m + 1) * subdim]
+                d2 = ((B - sub[None, :]) ** 2).sum(axis=1)
+                dt_rows += [
+                    (int(qid), int(live_ids[pos]), m, int(c),
+                     int(np.floor(d * 1e6)))
+                    for c, d in zip(ids, d2)
+                ]
+    dt = F.broadcast(
+        spark.createDataFrame(
+            dt_rows,
+            "query_id long, cell int, subspace int, code int, d_micro long",
+        )
+    )
+
+    adc = (
+        codes.join(dt, ["cell", "subspace", "code"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("d_micro").alias("adc_micro"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_micro", "vec_id")
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), "adc_micro", "rank"
+        )
+    )

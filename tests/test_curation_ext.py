@@ -1080,3 +1080,53 @@ def test_rrf_fusion_recomputed_from_component_rankings(spark):
     for q, lst in by_q.items():
         for rank, (_, nb) in enumerate(sorted(lst), start=1):
             assert got[(q, nb)][2] == rank
+
+
+# ---- ann_ivfpq_topk ---------------------------------------------------------
+
+
+def test_ivfpq_structure_and_planted_twin(spark, tmp_path):
+    """Structural contract on the real corpus (contiguous ranks,
+    ascending adc within a query, self excluded) plus a planted exact
+    twin of query 0, which must achieve the minimum possible ADC sum
+    (its codes ARE the per-subspace argmin of the query's own distance
+    table) and rank first."""
+    rows = similarity.ann_ivfpq_topk(spark, "/root/testdata/sf0.001").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+        assert r["neighbor_id"] != r["query_id"]
+    for q, lst in by_q.items():
+        lst.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in lst] == list(range(1, len(lst) + 1))
+        adcs = [r["adc_micro"] for r in lst]
+        assert adcs == sorted(adcs)
+
+    import pyarrow as pa  # noqa: PLC0415
+    import pyarrow.parquet as pq_  # noqa: PLC0415
+
+    # a 40-vector corpus: 4^4 = 256 code tuples over 40 vectors, so the
+    # twin's code tuple is almost surely unique and ADC separates it —
+    # on the 500-vector corpus many vectors share code tuples and the
+    # twin TIES on adc (that aliasing IS the PQ compression; asserting
+    # rank-1 there would test the id tiebreak, not the index)
+    rng_base = (
+        pd.read_parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .sort_values("vec_id")
+        .head(40)
+    )
+    V = np.stack(rng_base["embedding"].to_numpy()).astype(np.float64)
+    twin_id = int(rng_base["vec_id"].max()) + 1
+    V2 = np.vstack([V, V[rng_base["vec_id"].to_numpy() == 0]])
+    ids2 = list(rng_base["vec_id"]) + [twin_id]
+    pq_.write_table(
+        pa.table({
+            "vec_id": pa.array(ids2, pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in V2],
+                                  pa.list_(pa.float32())),
+        }),
+        str(tmp_path / "embeddings.parquet"),
+    )
+    out = similarity.ann_ivfpq_topk(spark, str(tmp_path)).collect()
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
+    assert top1[0] == twin_id
