@@ -2220,3 +2220,27 @@ SELECT query_id, vec_id AS neighbor_id, adc_micro, rank FROM (
 WHERE rank <= {similarity.TOP_K}
 """,
 )
+
+REGISTRY["sketch_count_min_tokens"] = (
+    text.sketch_count_min_tokens,
+    f"""
+WITH toks AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents
+), ds AS (
+  SELECT range AS d FROM range({text.CMS_D})
+), cells AS (
+  SELECT d, (('0x' || substr(md5(d || ':' || token), 1, 8))::BIGINT
+             % {text.CMS_W} + {text.CMS_W}) % {text.CMS_W} AS bucket,
+         COUNT(*) AS c
+  FROM toks, ds GROUP BY 1, 2
+), truth AS (
+  SELECT token, COUNT(*) AS n_true FROM toks GROUP BY token
+)
+SELECT t.token, t.n_true, MIN(c.c) AS n_cms
+FROM truth t, ds
+JOIN cells c ON c.d = ds.d
+  AND c.bucket = (('0x' || substr(md5(ds.d || ':' || t.token), 1, 8))::BIGINT
+                  % {text.CMS_W} + {text.CMS_W}) % {text.CMS_W}
+GROUP BY t.token, t.n_true
+""",
+)

@@ -922,3 +922,76 @@ def corpus_language_sampling_weights(spark: SparkSession, sf_dir: str) -> DataFr
         "isqrt_n",
         F.expr("isqrt_n * 1000000 div tot").alias("weight_ppm"),
     )
+
+
+CMS_D = 4    # hash rows
+CMS_W = 32   # buckets per row
+
+
+def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    token stream, plus its point-query readout: for every distinct
+    token, the true count and the CMS estimate min_d cells[d][h_d(tok)]
+    — the mergeable frequency sketch that answers 'how often is X' in
+    CMS_D×CMS_W integers regardless of corpus size (the companion to
+    the Misra-Gries top-k sketch already in the engine: MG bounds WHO
+    is frequent, CMS bounds HOW OFTEN for any item).
+
+    Hashes are the repo's portable md5-bucket convention
+    (row d's bucket = md5(d || ':' || token) first 8 hex digits mod W),
+    so DuckDB rebuilds the identical sketch.  The sketch build is ONE
+    map-side-combinable (d, bucket) aggregate over the exploded stream
+    (CMS_D rows per token occurrence); cells merge across
+    shards/batches by plain addition — the mergeability the property
+    test pins.  Estimates are exact integers; CMS guarantees
+    estimate >= truth, with overestimates only from bucket collisions
+    (W=32 forces visible collisions at fixture scale — non-vacuous).
+
+    Output: (token, n_true, n_cms) for every distinct token.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(_ws_tokens(F.col("text"))).alias("token"))
+    rows = toks.crossJoin(
+        spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
+    ).select(
+        "token",
+        "d",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("token"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(CMS_W),
+        ).alias("bucket"),
+    )
+    cells = rows.groupBy("d", "bucket").agg(F.count("*").alias("c"))
+    truth = toks.groupBy("token").agg(F.count("*").alias("n_true"))
+    probes = truth.crossJoin(
+        spark.range(CMS_D).select(F.col("id").cast("int").alias("d"))
+    ).select(
+        "token",
+        "n_true",
+        "d",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("token"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(CMS_W),
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("token", "n_true")
+        .agg(F.min("c").alias("n_cms"))
+    )

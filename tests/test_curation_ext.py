@@ -1130,3 +1130,49 @@ def test_ivfpq_structure_and_planted_twin(spark, tmp_path):
     out = similarity.ann_ivfpq_topk(spark, str(tmp_path)).collect()
     top1 = {r["query_id"]: r["neighbor_id"] for r in out if r["rank"] == 1}
     assert top1[0] == twin_id
+
+
+# ---- sketch_count_min_tokens ------------------------------------------------
+
+
+def test_cms_overestimates_only_and_is_mergeable(spark, tmp_path):
+    """CMS contract: estimate >= truth for every token, at least one
+    genuine collision at W=32 (non-vacuous), and cell-wise mergeability
+    (sketch(A) + sketch(B) on split halves == readout basis of the
+    full corpus) verified by recomputing cells with hashlib."""
+    from collections import Counter  # noqa: PLC0415
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    out = {
+        r["token"]: (r["n_true"], r["n_cms"])
+        for r in text.sketch_count_min_tokens(spark, SF).collect()
+    }
+    assert all(cms >= true for true, cms in out.values())
+    assert any(cms > true for true, cms in out.values())
+
+    # independent replay: full-corpus cells == sum of half-corpus cells
+    def cells_of(texts):
+        c = Counter()
+        for t in texts:
+            for tok in t.lower().split(" "):
+                for d in range(text.CMS_D):
+                    b = int(hashlib.md5(f"{d}:{tok}".encode()).hexdigest()[:8],
+                            16) % text.CMS_W
+                    c[(d, b)] += 1
+        return c
+
+    texts = docs["text"].tolist()
+    whole = cells_of(texts)
+    merged = cells_of(texts[: len(texts) // 2]) + cells_of(
+        texts[len(texts) // 2 :]
+    )
+    assert whole == merged
+    # and the Spark readout equals the hashlib readout
+    truth = Counter(tok for t in texts for tok in t.lower().split(" "))
+    for tok, n in truth.items():
+        est = min(
+            whole[(d, int(hashlib.md5(f"{d}:{tok}".encode()).hexdigest()[:8],
+                          16) % text.CMS_W)]
+            for d in range(text.CMS_D)
+        )
+        assert out[tok] == (n, est)
