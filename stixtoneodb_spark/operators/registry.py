@@ -2244,3 +2244,140 @@ JOIN cells c ON c.d = ds.d
 GROUP BY t.token, t.n_true
 """,
 )
+
+
+REGISTRY["corpus_chunk_documents"] = (
+    text.corpus_chunk_documents,
+    f"""
+WITH s AS (
+  SELECT doc_id, text,
+         unnest(generate_series(0, greatest(length(text) - 1, 0),
+                                {text.CHUNK_STRIDE})) AS chunk_start
+  FROM documents
+)
+SELECT doc_id,
+       ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY chunk_start) - 1 AS chunk_idx,
+       chunk_start,
+       length(substr(text, chunk_start + 1, {text.CHUNK_LEN})) AS chunk_len,
+       md5(substr(text, chunk_start + 1, {text.CHUNK_LEN})) AS chunk_md5
+FROM s
+""",
+)
+
+_PII_PLANT = (
+    "text || ' contact u' || doc_id || '@ex' || (doc_id % 7)"
+    " || '.com via https://h' || (doc_id % 5) || '.example/p' || doc_id"
+    " || ' ref 90210' || doc_id"
+)
+
+REGISTRY["text_pii_scrub"] = (
+    text.text_pii_scrub,
+    f"""
+WITH t AS (
+  SELECT doc_id, {_PII_PLANT} AS t FROM documents
+)
+SELECT doc_id,
+  len(regexp_extract_all(t, '{text.PII_URL_RE}'))::BIGINT AS n_urls,
+  len(regexp_extract_all(
+        regexp_replace(t, '{text.PII_URL_RE}', '<URL>', 'g'),
+        '{text.PII_EMAIL_RE}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(
+        regexp_replace(regexp_replace(t, '{text.PII_URL_RE}', '<URL>', 'g'),
+                       '{text.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+        '{text.PII_DIGITS_RE}'))::BIGINT AS n_digit_runs,
+  md5(regexp_replace(
+        regexp_replace(regexp_replace(t, '{text.PII_URL_RE}', '<URL>', 'g'),
+                       '{text.PII_EMAIL_RE}', '<EMAIL>', 'g'),
+        '{text.PII_DIGITS_RE}', '<NUM>', 'g')) AS scrub_md5
+FROM t
+""",
+)
+
+REGISTRY["agg_histogram_prices"] = (
+    relational.agg_histogram_prices,
+    f"""
+WITH c AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders
+), m AS (
+  SELECT max(cents) AS max_cents FROM c
+)
+SELECT cents * {relational.HIST_BINS} // (max_cents + 1) AS bin, COUNT(*) AS n
+FROM c, m GROUP BY 1
+""",
+)
+
+REGISTRY["profile_key_skew"] = (
+    relational.profile_key_skew,
+    f"""
+WITH per AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id
+), tot AS (
+  SELECT COUNT(*) AS total FROM events
+), top AS (
+  SELECT user_id, cnt,
+         ROW_NUMBER() OVER (ORDER BY cnt DESC, user_id) AS rank
+  FROM per
+  QUALIFY rank <= {relational.SKEW_TOP_K}
+)
+SELECT rank, user_id, cnt,
+  cnt * 1000000 // total AS share_ppm,
+  SUM(cnt) OVER (ORDER BY cnt DESC, user_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    * 1000000 // total AS cum_share_ppm
+FROM top, tot
+""",
+)
+
+REGISTRY["layout_range_partition_bounds"] = (
+    relational.layout_range_partition_bounds,
+    f"""
+WITH t AS (
+  SELECT user_id,
+         NTILE({relational.RANGE_BUCKETS})
+           OVER (ORDER BY user_id, event_id) AS bucket
+  FROM events
+)
+SELECT bucket::BIGINT AS bucket, min(user_id) AS lo_user,
+       max(user_id) AS hi_user, COUNT(*) AS n_rows
+FROM t GROUP BY 1
+""",
+)
+
+
+def _corr_sql(sx: str, sy: str, sxx: str, syy: str, sxy: str) -> str:
+    """Identical double expression tree to relational.stats_correlation_matrix's
+    corr(): 1e6*num left-divided by the two sqrts, floor(+0.5)."""
+    return (
+        f"CAST(floor(1000000.0 * "
+        f"(n::DOUBLE * {sxy}::DOUBLE - {sx}::DOUBLE * {sy}::DOUBLE)"
+        f" / sqrt(n::DOUBLE * {sxx}::DOUBLE - {sx}::DOUBLE * {sx}::DOUBLE)"
+        f" / sqrt(n::DOUBLE * {syy}::DOUBLE - {sy}::DOUBLE * {sy}::DOUBLE)"
+        f" + 0.5) AS BIGINT)"
+    )
+
+
+REGISTRY["stats_correlation_matrix"] = (
+    relational.stats_correlation_matrix,
+    f"""
+WITH v AS (
+  SELECT CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q,
+         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS p,
+         CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS d
+  FROM lineitem
+), m AS (
+  SELECT COUNT(*) AS n,
+         SUM(q) AS sq, SUM(p) AS sp, SUM(d) AS sd,
+         SUM(q*q) AS sqq, SUM(p*p) AS spp, SUM(d*d) AS sdd,
+         SUM(q*p) AS sqp, SUM(q*d) AS sqd, SUM(p*d) AS spd
+  FROM v
+)
+SELECT 'quantity' AS x_col, 'price' AS y_col, n,
+       {_corr_sql('sq', 'sp', 'sqq', 'spp', 'sqp')} AS corr_ppm FROM m
+UNION ALL
+SELECT 'quantity' AS x_col, 'discount' AS y_col, n,
+       {_corr_sql('sq', 'sd', 'sqq', 'sdd', 'sqd')} AS corr_ppm FROM m
+UNION ALL
+SELECT 'price' AS x_col, 'discount' AS y_col, n,
+       {_corr_sql('sp', 'sd', 'spp', 'sdd', 'spd')} AS corr_ppm FROM m
+""",
+)

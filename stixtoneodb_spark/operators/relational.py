@@ -1298,3 +1298,174 @@ def dq_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return dup.unionByName(neg).unionByName(dom).unionByName(nn).unionByName(ref)
+
+
+HIST_BINS = 16
+
+
+def agg_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals — the profiling primitive a
+    planner/curation pass uses to pick partition bounds and spot value
+    skew.  Bin edges derive from the data's max; every boundary decision
+    is INTEGER arithmetic (exact cents → integer div against the data
+    max), so engines cannot disagree at bin edges the way float
+    floor((v-min)/width) can.
+
+    bin = (cents * HIST_BINS) div (max_cents + 1) — in [0, HIST_BINS-1]
+    with no clamp needed.
+
+    Scale shape: one broadcast 1-row max + one map-side-combined
+    groupBy(bin); cents*BINS peaks ~1e9 at sf0.1 — int64-safe past sf1e4.
+    """
+    o = load_table(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    mx = o.agg(F.max("cents").alias("max_cents"))
+    return (
+        o.join(F.broadcast(mx))
+        .select(F.expr(f"cents * {HIST_BINS} div (max_cents + 1)").alias("bin"))
+        .groupBy("bin")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SKEW_TOP_K = 20
+
+
+def profile_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the pre-flight check behind every
+    salting decision in this repo (link.py's hot-name probe, the salted
+    demo join): per-key frequency for the TOP-K heaviest keys plus their
+    individual and cumulative traffic share in ppm.  A key whose
+    share_ppm exceeds ~1/shuffle-partitions is the one AQE skew-split or
+    salting must handle.
+
+    Integer contract: share_ppm = cnt*1e6 div total; cum_share_ppm is the
+    running sum of cnt (exact) scaled once — NOT a sum of truncated
+    shares, so it cannot drift.
+
+    Scale shape: map-side-combined count per key, TakeOrderedAndProject
+    for the top-k (O(n) scan + heap, no global sort), broadcast 1-row
+    total; the K-row window is driver-trivial.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    tot = e.agg(F.count("*").alias("total"))
+    top = (
+        per.orderBy(F.desc("cnt"), "user_id")
+        .limit(SKEW_TOP_K)
+        .join(F.broadcast(tot))
+    )
+    return top.select(
+        F.row_number().over(Window.orderBy(F.desc("cnt"), "user_id")).cast("long").alias("rank"),
+        "user_id",
+        "cnt",
+        F.expr("cnt * 1000000 div total").alias("share_ppm"),
+        F.expr(
+            "sum(cnt) over (order by cnt desc, user_id"
+            " rows between unbounded preceding and current row)"
+            " * 1000000 div total"
+        ).alias("cum_share_ppm"),
+    )
+
+
+RANGE_BUCKETS = 8
+
+
+def layout_range_partition_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioner split-point planning — the conv_id-range
+    partitioning step of the north rule made explicit: split the keyed
+    stream into RANGE_BUCKETS row-balanced key ranges and report each
+    range's [lo, hi] key span and row count.  This is what
+    ``df.repartitionByRange`` computes internally by reservoir sampling
+    (RangePartitioner, Spark core); here the bounds are EXACT via ntile
+    so the oracle can verify them — the documented 100-TB swap is
+    sampled bounds + this same per-bucket audit.
+
+    ntile ties are broken by the unique (user_id, event_id) order, so
+    bucket assignment is deterministic on both engines.
+
+    Scale shape at bench size: one global sort window (single-task at
+    sf0.1 — fine at audit cardinality).  At 100 TB: sample-then-broadcast
+    bounds, per-partition local audit, tiny final agg.
+    """
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id")
+    t = e.withColumn(
+        "bucket",
+        F.ntile(RANGE_BUCKETS).over(Window.orderBy("user_id", "event_id")).cast("long"),
+    )
+    return t.groupBy("bucket").agg(
+        F.min("user_id").alias("lo_user"),
+        F.max("user_id").alias("hi_user"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix over lineitem's numeric measures —
+    the feature-drift / redundancy screen a data-quality pass runs.
+    Follows the z-score operator's exactness recipe: values ride as
+    scaled integers (quantity→cents, price→whole dollars, discount→
+    basis points), ALL moments (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    int64 aggregates, and only the final r is assembled in double from
+    those int64s with an identical expression on both engines
+    (int64→double is exact below 2^53; double +,*,/,sqrt are IEEE
+    correctly-rounded, so identical inputs + identical expression tree
+    → identical bits).  corr_ppm = floor(1e6·num/(√denx·√deny) + 0.5).
+
+    Moment magnitudes: Σ(price_dollars²) ≈ 6e15 at sf0.1 — int64-safe
+    to ~sf100; past that promote moments to decimal(38,0) (same plan).
+
+    Scale shape: ONE map-side-combined single-row aggregate over the
+    fact table computes every moment for all three pairs; the pair
+    unpivot is a driver-side 3-row union. No shuffle beyond the 1-row
+    agg.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") + F.lit(0.5)).cast("long").alias("p"),
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long").alias("d"),
+    )
+    m = li.agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("sq"),
+        F.sum("p").alias("sp"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("d") * F.col("d")).alias("sdd"),
+        F.sum(F.col("q") * F.col("p")).alias("sqp"),
+        F.sum(F.col("q") * F.col("d")).alias("sqd"),
+        F.sum(F.col("p") * F.col("d")).alias("spd"),
+    )
+
+    def corr(sx: str, sy: str, sxx: str, syy: str, sxy: str) -> Column:
+        return F.expr(
+            f"cast(floor(1000000.0 * "
+            f"(cast(n as double) * cast({sxy} as double)"
+            f" - cast({sx} as double) * cast({sy} as double))"
+            f" / sqrt(cast(n as double) * cast({sxx} as double)"
+            f" - cast({sx} as double) * cast({sx} as double))"
+            f" / sqrt(cast(n as double) * cast({syy} as double)"
+            f" - cast({sy} as double) * cast({sy} as double))"
+            f" + 0.5) as bigint)"
+        )
+
+    pairs = [
+        ("quantity", "price", corr("sq", "sp", "sqq", "spp", "sqp")),
+        ("quantity", "discount", corr("sq", "sd", "sqq", "sdd", "sqd")),
+        ("price", "discount", corr("sp", "sd", "spp", "sdd", "spd")),
+    ]
+    frames = [
+        m.select(
+            F.lit(x).alias("x_col"),
+            F.lit(y).alias("y_col"),
+            F.col("n"),
+            c.alias("corr_ppm"),
+        )
+        for x, y, c in pairs
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

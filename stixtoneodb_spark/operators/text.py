@@ -995,3 +995,113 @@ def sketch_count_min_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "n_true")
         .agg(F.min("c").alias("n_cms"))
     )
+
+
+CHUNK_LEN = 200     # characters per chunk
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+def corpus_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-window document chunking — the RAG / long-context
+    preprocessing op (slice every document into CHUNK_LEN-char windows at
+    CHUNK_STRIDE, so consecutive chunks overlap by CHUNK_LEN-CHUNK_STRIDE
+    chars and no suffix is dropped).  The chunk CONTENT is verified
+    without shipping it: each chunk rides as its md5, so a one-character
+    slicing bug anywhere breaks the cross-engine hash.
+
+    Output: (doc_id, chunk_idx, chunk_start, chunk_len, chunk_md5) —
+    chunk_start is 0-based, chunk_len is the actual (tail may be short).
+
+    Scale shape: pure map-side codegen (sequence + posexplode +
+    substring + md5) — no shuffle, no Python; fan-out is bounded by
+    len/stride per row, so task memory is flat.  At 100 TB this runs at
+    scan speed and the output partitioning inherits the input's.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.length("text") - 1, F.lit(0)),
+        F.lit(CHUNK_STRIDE),
+    )
+    c = d.select("doc_id", "text", F.posexplode(starts).alias("chunk_idx", "chunk_start"))
+    chunk = F.substring(F.col("text"), F.col("chunk_start") + 1, F.lit(CHUNK_LEN))
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.length(chunk).cast("long").alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )
+
+
+# Scrub patterns: RE2-safe subset (no backrefs / lookaround) so Java
+# regex (Spark) and RE2 (DuckDB) agree token-for-token.  Application
+# order matters and is fixed: URL → EMAIL → DIGITRUN.
+PII_URL_RE = r"https?://[^ ]+"
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z][a-z]+"
+PII_DIGITS_RE = r"[0-9][0-9][0-9][0-9][0-9][0-9]+"
+
+
+def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the redaction pass a training-data pipeline runs
+    before anything ships: URLs, emails, and long digit runs (ids, phone
+    numbers) replaced by typed placeholder tokens, with per-document
+    match counts for the audit trail.
+
+    The synthetic corpus carries no PII, so the operator plants a
+    deterministic doc_id-derived contact line first (same expression in
+    the oracle) — the regexes then do real extraction work and the
+    scrubbed text is verified by md5, not trusted.
+
+    Cross-engine notes: patterns are the RE2-safe subset (bounded
+    constructs only — Java and RE2 agree on greedy leftmost matching for
+    this class); counts via regexp_count (Spark) = len(regexp_extract_all)
+    (DuckDB); replacement is global on both engines (Spark default,
+    DuckDB 'g' flag).
+
+    Scale shape: map-side regex codegen per row, zero shuffle.  Regex
+    throughput is the known serialized hazard on this host (SURVEY §4.2:
+    the JVM regex path measured ~0.6M rows/s flat) — this operator is a
+    per-document audit pass, not a hot inner loop; at 100 TB shard it by
+    input split and it scales with executors, not cores-per-JVM.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.col("text"),
+        F.lit(" contact u"),
+        F.col("doc_id"),
+        F.lit("@ex"),
+        F.pmod(F.col("doc_id"), F.lit(7)),
+        F.lit(".com via https://h"),
+        F.pmod(F.col("doc_id"), F.lit(5)),
+        F.lit(".example/p"),
+        F.col("doc_id"),
+        F.lit(" ref 90210"),
+        F.col("doc_id"),
+    )
+    t = d.select("doc_id", planted.alias("t"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), PII_URL_RE, "<URL>"),
+            PII_EMAIL_RE,
+            "<EMAIL>",
+        ),
+        PII_DIGITS_RE,
+        "<NUM>",
+    )
+    return t.select(
+        "doc_id",
+        F.regexp_count(F.col("t"), F.lit(PII_URL_RE)).cast("long").alias("n_urls"),
+        F.regexp_count(
+            F.regexp_replace(F.col("t"), PII_URL_RE, "<URL>"), F.lit(PII_EMAIL_RE)
+        ).cast("long").alias("n_emails"),
+        F.regexp_count(
+            F.regexp_replace(
+                F.regexp_replace(F.col("t"), PII_URL_RE, "<URL>"),
+                PII_EMAIL_RE,
+                "<EMAIL>",
+            ),
+            F.lit(PII_DIGITS_RE),
+        ).cast("long").alias("n_digit_runs"),
+        F.md5(scrubbed).alias("scrub_md5"),
+    )

@@ -1,0 +1,265 @@
+"""Round-4 profiling/curation batch: document chunking, PII scrub,
+equi-width histogram, key-skew profile, range-partition bounds, and the
+Pearson correlation matrix.
+
+All six carry FULL DuckDB oracles (registry.py, driver-compared at
+sf0.01); these tests pin regimes the fixture can't reach — chunk
+boundary arithmetic at exact window/stride multiples, PII patterns
+planted in the BASE text, known-bin histogram values, a planted
+mega-hot key, bucket balance/ordering invariants, and exactly
+correlated/anti-correlated columns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+
+from stixtoneodb_spark.operators import relational, text
+
+SF = "/root/testdata/sf0.01"
+
+
+def _write_docs(tmp, texts):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(len(texts), dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * len(texts),
+            "source": "planted",
+            "n_chars": [len(t) for t in texts],
+        }
+    )
+    pdf.to_parquet(tmp / "documents.parquet")
+    return str(tmp)
+
+
+# ---- corpus_chunk_documents ------------------------------------------------
+
+
+def _ref_chunks(s: str):
+    """Independent pure-Python chunker: starts 0, stride, ... <= len-1
+    (at least one start), window CHUNK_LEN."""
+    last = max(len(s) - 1, 0)
+    starts = list(range(0, last + 1, text.CHUNK_STRIDE))
+    return [
+        (i, st, s[st : st + text.CHUNK_LEN])
+        for i, st in enumerate(starts)
+    ]
+
+
+def test_chunking_boundary_arithmetic(spark, tmp_path):
+    """Lengths at every boundary class: shorter than one window, exactly
+    CHUNK_LEN, CHUNK_LEN+1 (one extra overlapping tail chunk), an exact
+    stride multiple (tail chunk shorter than the overlap), and a long
+    document.  Every chunk's md5 must equal hashlib.md5 of the Python
+    slice, and the windows must cover every character."""
+    texts = [
+        "x" * 3,
+        "ab" * (text.CHUNK_LEN // 2),          # == CHUNK_LEN
+        "ab" * (text.CHUNK_LEN // 2) + "z",    # == CHUNK_LEN + 1
+        "q" * (text.CHUNK_STRIDE * 4),         # exact stride multiple
+        "".join(chr(97 + (i * 7) % 26) for i in range(1000)),
+    ]
+    d = _write_docs(tmp_path, texts)
+    rows = text.corpus_chunk_documents(spark, d).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(range(len(texts)))
+    for doc_id, s in enumerate(texts):
+        got = sorted(by_doc[doc_id], key=lambda r: r.chunk_idx)
+        ref = _ref_chunks(s)
+        assert len(got) == len(ref), (doc_id, len(got), len(ref))
+        covered = set()
+        for r, (idx, st, chunk) in zip(got, ref):
+            assert (r.chunk_idx, r.chunk_start, r.chunk_len) == (idx, st, len(chunk))
+            assert r.chunk_md5 == hashlib.md5(chunk.encode()).hexdigest()
+            covered.update(range(st, st + len(chunk)))
+        assert covered == set(range(len(s)))
+
+
+# ---- text_pii_scrub ---------------------------------------------------------
+
+
+def test_pii_scrub_counts_and_content(spark, tmp_path):
+    """PII planted in the BASE text (the operator also appends its own
+    deterministic contact line): counts must see both, and scrub_md5
+    must equal the md5 of an independent Python re scrub applied in the
+    same URL -> EMAIL -> DIGITS order."""
+    texts = [
+        "visit https://a.example/x and mail bob.smith@corp.io code 1234567 now",
+        "no pii here at all",
+        "two urls http://x.y/1 https://z.w/2 and 999999",
+        "short digits 12345 do not count",
+    ]
+    d = _write_docs(tmp_path, texts)
+    out = {r.doc_id: r for r in text.text_pii_scrub(spark, d).collect()}
+
+    for doc_id, base in enumerate(texts):
+        planted = (
+            f"{base} contact u{doc_id}@ex{doc_id % 7}.com via "
+            f"https://h{doc_id % 5}.example/p{doc_id} ref 90210{doc_id}"
+        )
+        s1 = re.sub(text.PII_URL_RE, "<URL>", planted)
+        s2 = re.sub(text.PII_EMAIL_RE, "<EMAIL>", s1)
+        s3 = re.sub(text.PII_DIGITS_RE, "<NUM>", s2)
+        r = out[doc_id]
+        assert r.n_urls == len(re.findall(text.PII_URL_RE, planted))
+        assert r.n_emails == len(re.findall(text.PII_EMAIL_RE, s1))
+        assert r.n_digit_runs == len(re.findall(text.PII_DIGITS_RE, s2))
+        assert r.scrub_md5 == hashlib.md5(s3.encode()).hexdigest()
+    # the planted base PII was actually seen (not just the contact line):
+    # base URL/email/digit-run each add one over the contact line's own.
+    assert out[0].n_urls == 2 and out[0].n_emails == 2 and out[0].n_digit_runs == 2
+    assert out[1].n_urls == 1 and out[1].n_emails == 1 and out[1].n_digit_runs == 1
+    assert out[2].n_urls == 3 and out[2].n_digit_runs == 2
+    assert out[3].n_digit_runs == 1  # base 5-digit run correctly ignored
+
+
+# ---- agg_histogram_prices ---------------------------------------------------
+
+
+def test_histogram_bins_exact(spark, tmp_path):
+    """Known values: bin edges are integer-exact, the max value lands in
+    the LAST bin (no off-by-one overflow bin), total count preserved."""
+    prices = [0.01, 1.0, 9.99, 10.0, 50.0, 99.99, 100.0, 100.0]
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(len(prices), dtype=np.int64),
+            "o_custkey": np.int64(1),
+            "o_orderstatus": "O",
+            "o_totalprice": prices,
+            "o_orderdate": pd.Timestamp("2024-01-01"),
+            "o_orderpriority": "1-URGENT",
+        }
+    )
+    pdf.to_parquet(tmp_path / "orders.parquet")
+    rows = relational.agg_histogram_prices(spark, str(tmp_path)).collect()
+    got = {r.bin: r.n for r in rows}
+    max_cents = 10000
+    expect: dict[int, int] = {}
+    for p in prices:
+        b = int(round(p * 100)) * relational.HIST_BINS // (max_cents + 1)
+        expect[b] = expect.get(b, 0) + 1
+    assert got == expect
+    assert sum(got.values()) == len(prices)
+    assert max(got) == relational.HIST_BINS - 1
+    assert all(0 <= b < relational.HIST_BINS for b in got)
+
+
+# ---- profile_key_skew -------------------------------------------------------
+
+
+def _write_events(tmp, user_ids):
+    n = len(user_ids)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": (
+                pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(np.arange(n), unit="s")
+            ).astype("datetime64[us]"),
+            "user_id": np.asarray(user_ids, dtype=np.int64),
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp / "events.parquet")
+    return str(tmp)
+
+
+def test_key_skew_flags_planted_hot_key(spark, tmp_path):
+    """One mega-hot key (60% of traffic) among a uniform tail: it must
+    rank first with the exact truncated ppm share; cumulative share is
+    monotone and exact (scaled once, not a sum of truncated shares)."""
+    users = [7] * 600 + [100 + i % 40 for i in range(400)]
+    d = _write_events(tmp_path, users)
+    rows = sorted(
+        relational.profile_key_skew(spark, d).collect(), key=lambda r: r.rank
+    )
+    assert rows[0].user_id == 7
+    assert rows[0].cnt == 600
+    assert rows[0].share_ppm == 600 * 1_000_000 // 1000
+    cum = 0
+    for r in rows:
+        cum += r.cnt
+        assert r.cum_share_ppm == cum * 1_000_000 // 1000
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+
+# ---- layout_range_partition_bounds -----------------------------------------
+
+
+def test_range_bounds_balanced_and_ordered(spark, tmp_path):
+    """Buckets are row-balanced (sizes differ by <=1 — the ntile
+    contract) and key-ordered: each bucket's [lo,hi] span never runs
+    backwards vs the previous bucket's."""
+    rng = np.random.RandomState(7)
+    users = rng.randint(0, 50, size=1003)  # deliberately not divisible by 8
+    d = _write_events(tmp_path, list(users))
+    rows = sorted(
+        relational.layout_range_partition_bounds(spark, d).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert [r.bucket for r in rows] == list(range(1, relational.RANGE_BUCKETS + 1))
+    sizes = [r.n_rows for r in rows]
+    assert sum(sizes) == 1003
+    assert max(sizes) - min(sizes) <= 1
+    assert sizes == sorted(sizes, reverse=True)  # remainder rows go to FIRST buckets
+    for a, b in zip(rows, rows[1:]):
+        assert a.lo_user <= a.hi_user
+        assert a.hi_user <= b.lo_user  # ranges ordered (ties allowed at the seam)
+
+
+# ---- stats_correlation_matrix ----------------------------------------------
+
+
+def test_correlation_exact_poles_and_numpy_parity(spark, tmp_path):
+    """price = 200*quantity (corr exactly +1 -> 1_000_000 ppm) and
+    discount anti-monotone in quantity; the independent check is
+    numpy.corrcoef on the SAME integer-scaled values, +-1 ppm for the
+    float assembly."""
+    n = 64
+    q = np.arange(1, n + 1, dtype=np.float64)          # quantity 1..64
+    p = q * 200.0                                      # exactly linear
+    disc = (n + 1 - q) / 1000.0                        # anti-monotone, linear
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(n, dtype=np.int64),
+            "l_partkey": np.int64(1),
+            "l_suppkey": np.int64(1),
+            "l_linenumber": np.int32(1),
+            "l_quantity": q,
+            "l_extendedprice": p,
+            "l_discount": disc,
+            "l_tax": 0.0,
+            "l_returnflag": "N",
+            "l_linestatus": "O",
+            "l_shipdate": pd.Timestamp("2024-01-01"),
+        }
+    )
+    pdf.to_parquet(tmp_path / "lineitem.parquet")
+    rows = {
+        (r.x_col, r.y_col): r
+        for r in relational.stats_correlation_matrix(spark, str(tmp_path)).collect()
+    }
+    assert rows[("quantity", "price")].corr_ppm == 1_000_000
+    assert rows[("quantity", "discount")].corr_ppm == -1_000_000
+    assert rows[("price", "discount")].corr_ppm == -1_000_000
+    assert all(r.n == n for r in rows.values())
+
+    qi = np.round(q * 100).astype(np.int64)
+    pi = np.round(p).astype(np.int64)
+    di = np.round(disc * 10000).astype(np.int64)
+    for (xc, yc), (x, y) in {
+        ("quantity", "price"): (qi, pi),
+        ("quantity", "discount"): (qi, di),
+        ("price", "discount"): (pi, di),
+    }.items():
+        expect = int(np.floor(1_000_000 * np.corrcoef(x, y)[0, 1] + 0.5))
+        assert abs(rows[(xc, yc)].corr_ppm - expect) <= 1
