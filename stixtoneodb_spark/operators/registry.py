@@ -1381,16 +1381,18 @@ FROM zz
 }
 
 
-def _bpe_sql() -> str:
-    """Full unrolled replay of the BPE training loop (text.BPE_MERGES
-    chained CTE steps): pair-count argmax with the same (pc DESC, l, r)
-    tie-break over the same sentinel-wrapped encoding, literal-replace
-    rewrite, one UNION ALL row per learned merge."""
+def _bpe_strip_sql(col: str) -> str:
     s1, s2 = text._BPE_S1, text._BPE_S2
+    return f"replace(replace({col}, '{s1}', ''), '{s2}', '')"
 
-    def strip(col: str) -> str:
-        return f"replace(replace({col}, '{s1}', ''), '{s2}', '')"
 
+def _bpe_cte() -> str:
+    """The unrolled BPE training chain shared by the trainer and encoder
+    oracles: vocabulary build, sentinel wrap, then text.BPE_MERGES
+    (argmax pair, literal-replace rewrite) CTE steps — w{k} is the
+    vocabulary state after merge k."""
+    s1, s2 = text._BPE_S1, text._BPE_S2
+    strip = _bpe_strip_sql
     parts = [
         f"""
 WITH words AS (
@@ -1418,13 +1420,22 @@ WITH words AS (
   FROM w{k - 1} CROSS JOIN p{k}
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_sql() -> str:
+    """Full unrolled replay of the BPE training loop (text.BPE_MERGES
+    chained CTE steps): pair-count argmax with the same (pc DESC, l, r)
+    tie-break over the same sentinel-wrapped encoding, literal-replace
+    rewrite, one UNION ALL row per learned merge."""
+    strip = _bpe_strip_sql
     selects = "\nUNION ALL\n".join(
         f"""SELECT CAST({k} AS INT) AS step, {strip("l")} AS "left",
   {strip("r")} AS "right", {strip("l || r")} AS merged, pc AS pair_count
 FROM p{k}"""
         for k in range(1, text.BPE_MERGES + 1)
     )
-    return "".join(parts) + "\n" + selects
+    return _bpe_cte() + "\n" + selects
 
 
 REGISTRY["tokenizer_bpe_merges"] = (text.tokenizer_bpe_merges, _bpe_sql())
@@ -2379,5 +2390,19 @@ SELECT 'quantity' AS x_col, 'discount' AS y_col, n,
 UNION ALL
 SELECT 'price' AS x_col, 'discount' AS y_col, n,
        {_corr_sql('sp', 'sd', 'spp', 'sdd', 'spd')} AS corr_ppm FROM m
+""",
+)
+
+
+REGISTRY["tokenizer_bpe_encode"] = (
+    text.tokenizer_bpe_encode,
+    _bpe_cte()
+    + f"""
+SELECT word, cnt,
+       len(string_split(seq, '  '))::BIGINT AS n_symbols,
+       array_to_string(
+         list_transform(string_split(seq, '  '),
+                        x -> {_bpe_strip_sql('x')}), ' ') AS encoding
+FROM w{text.BPE_MERGES}
 """,
 )

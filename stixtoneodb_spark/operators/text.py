@@ -1105,3 +1105,65 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("n_digit_runs"),
         F.md5(scrubbed).alias("scrub_md5"),
     )
+
+
+def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained BPE tokenizer at corpus scale — the encode half
+    of the tokenizer pair (``tokenizer_bpe_merges`` learns the merge
+    table; this op tokenizes every vocabulary word with it).  Training
+    runs first (same spec, driver-resident 10-row merge table), then
+    encoding is ONE plan: the merge table unrolls into a chain of
+    BPE_MERGES literal sentinel-safe replaces over the wrapped symbol
+    sequence — whole-stage codegen end to end, no per-step persist or
+    collect (the trainer needs per-step argmax barriers; the encoder
+    does not — merge DECISIONS are sequential, merge APPLICATION is a
+    fixed program).
+
+    Output: (word, cnt, n_symbols, encoding) — encoding is the final
+    symbol sequence joined by spaces; concatenating its symbols always
+    reproduces the word (BPE losslessness, pinned by test).
+
+    Cross-engine: the DuckDB oracle replays the FULL training chain
+    (shared CTE builder with the trainer oracle) and reads the final
+    vocabulary state w{BPE_MERGES} — i.e. the two engines arrive at the
+    encoding by different routes (Spark: learned table re-applied as a
+    replace program; DuckDB: the training rewrite states themselves),
+    so a drift in either the learned merges or their application breaks
+    the hash.
+
+    Scale shape: encoding distinct WORDS, not word occurrences — the
+    vocabulary-scale frame is the Zipf-collapsed input the whole
+    canonicalization stack already rides; per-document token ids would
+    be one broadcast join away (the merge program output is a
+    vocabulary-sized dict).  At 100 TB the replace chain stays map-side
+    over whatever partitioning the scan yields.
+    """
+    merges = sorted(
+        tokenizer_bpe_merges(spark, sf_dir).collect(), key=lambda r: r["step"]
+    )
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_ws_tokens(F.col("text"))).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    seq = F.expr(
+        f"rtrim(regexp_replace(word, '([\\\\s\\\\S])', '{_BPE_S1}$1{_BPE_S2}  '))"
+    )
+    for m in merges:
+        seq = F.replace(
+            seq,
+            F.lit(f"{_BPE_S1}{m['left']}{_BPE_S2}  {_BPE_S1}{m['right']}{_BPE_S2}"),
+            F.lit(f"{_BPE_S1}{m['merged']}{_BPE_S2}"),
+        )
+    toks = F.split(seq, "  ")
+    strip = lambda t: F.replace(  # noqa: E731 — mirrors _bpe_strip, column form
+        F.replace(t, F.lit(_BPE_S1), F.lit("")), F.lit(_BPE_S2), F.lit("")
+    )
+    return words.select(
+        "word",
+        "cnt",
+        F.size(toks).cast("long").alias("n_symbols"),
+        F.array_join(F.transform(toks, strip), " ").alias("encoding"),
+    )

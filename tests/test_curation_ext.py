@@ -371,6 +371,63 @@ def test_bpe_merged_tokens_compose_and_counts_bounded(spark):
         assert r["pair_count"] > 0
 
 
+# ---- tokenizer_bpe_encode ---------------------------------------------------
+
+
+def _py_bpe_apply(word: str, merges) -> list:
+    """Independent reference encoder: apply each learned merge in order
+    as one leftmost-nonoverlapping pass (the classic applier)."""
+    syms = list(word)
+    for _, left, right, merged, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and (syms[i], syms[i + 1]) == (left, right):
+                out.append(merged)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def test_bpe_encode_matches_reference_applier(spark, tmp_path):
+    """Encoding every vocabulary word with the learned table must equal
+    the independent Python train+apply — i.e. the replace-chain program
+    IS the merge table."""
+    texts = (
+        ["low lower lowest"] * 5
+        + ["new newer newest"] * 4
+        + ["wide wider widest"] * 3
+    )
+    d = _write_docs(tmp_path, texts)
+    counts: dict = {}
+    for t in texts:
+        for w in t.split(" "):
+            counts[w] = counts.get(w, 0) + 1
+    merges = _py_bpe(counts, text.BPE_MERGES)
+    rows = {r["word"]: r for r in text.tokenizer_bpe_encode(spark, d).collect()}
+    assert set(rows) == set(counts)
+    for w, c in counts.items():
+        expect = _py_bpe_apply(w, merges)
+        r = rows[w]
+        assert r["cnt"] == c
+        assert r["n_symbols"] == len(expect), (w, r["encoding"], expect)
+        assert r["encoding"] == " ".join(expect)
+
+
+def test_bpe_encode_lossless_on_corpus(spark):
+    """BPE invariants on the real fixture: symbols concatenate back to
+    the word, and n_symbols matches the symbol list."""
+    rows = text.tokenizer_bpe_encode(spark, SF).collect()
+    assert rows
+    for r in rows:
+        syms = r["encoding"].split(" ")
+        assert "".join(syms) == r["word"]
+        assert r["n_symbols"] == len(syms)
+        assert 1 <= r["n_symbols"] <= len(r["word"])
+
+
 # ---- kg_negative_samples ----------------------------------------------------
 
 
