@@ -771,3 +771,94 @@ def neighbor_jaccard(half: DataFrame) -> DataFrame:
             ).alias("jaccard_ppm"),
         )
     )
+
+
+HITS_ITERS = 4
+
+
+def kg_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores (Kleinberg 1999) over a DIRECTED entity
+    graph, fixed ``HITS_ITERS`` rounds with sum-normalization.
+
+    Direction rule (what makes the co-occurrence graph directed, and
+    deterministic): src → dst when src's FIRST occurrence precedes dst's
+    within a document; weight = number of documents with that ordered
+    pair.  Mutual-ordering pairs get both directions with independent
+    weights — exactly the asymmetry HITS needs (a token that habitually
+    leads others is a hub; one that habitually follows is an authority).
+
+        a_{k+1}(v) = Σ_{u→v} w·h_k(u)   then a := a / Σa
+        h_{k+1}(u) = Σ_{u→v} w·a_{k+1}(v)   then h := h / Σh
+
+    Fixed rounds (not convergence) so the DuckDB oracle unrolls the
+    identical spec; output rounded to 6 decimals like kg_pagerank (the
+    double partial-sum order differs across engines ~1e-15).
+
+    Scale shape: vocabulary-scale graph from one distinct + one
+    self-join on doc_id (the kg_cooccurrence recipe with min-position
+    kept); each round is two edge⋈score shuffle joins + two broadcast
+    1-row totals; localCheckpoint(eager) truncates lineage per round as
+    the PageRank/CC loops do.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(_ws_tokens(F.col("text"))).alias("pos", "token")
+    ).where(F.col("token").isin(*PR_VOCAB))
+    m = toks.groupBy("doc_id", "token").agg(F.min("pos").alias("pos"))
+    a = m.select("doc_id", F.col("token").alias("src"), F.col("pos").alias("ps"))
+    b = m.select("doc_id", F.col("token").alias("dst"), F.col("pos").alias("pd"))
+    edges = (
+        a.join(b, "doc_id")
+        .where(F.col("ps") < F.col("pd"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n = nodes.count()
+    hub = nodes.withColumn("h", F.lit(1.0 / n))
+    auth = None
+    for _ in range(HITS_ITERS):
+        ar = (
+            edges.join(hub, hub.node == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("w") * F.col("h")).alias("a_raw"))
+        )
+        atot = ar.agg(F.sum("a_raw").alias("at"))
+        auth = (
+            nodes.join(ar, nodes.node == F.col("dst"), "left")
+            .join(F.broadcast(atot))
+            .select(
+                "node",
+                (F.coalesce(F.col("a_raw"), F.lit(0.0)) / F.col("at")).alias("a"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        hr = (
+            edges.join(auth, auth.node == F.col("dst"))
+            .groupBy("src")
+            .agg(F.sum(F.col("w") * F.col("a")).alias("h_raw"))
+        )
+        htot = hr.agg(F.sum("h_raw").alias("ht"))
+        hub = (
+            nodes.join(hr, nodes.node == F.col("src"), "left")
+            .join(F.broadcast(htot))
+            .select(
+                "node",
+                (F.coalesce(F.col("h_raw"), F.lit(0.0)) / F.col("ht")).alias("h"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        hub.join(auth.select("node", "a"), "node")
+        .select(
+            F.col("node").alias("mention"),
+            F.round("h", 6).alias("hub"),
+            F.round("a", 6).alias("authority"),
+        )
+    )

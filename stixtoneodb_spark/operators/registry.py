@@ -2406,3 +2406,95 @@ SELECT word, cnt,
 FROM w{text.BPE_MERGES}
 """,
 )
+
+
+def _hits_sql() -> str:
+    """Unrolled HITS oracle: same directed first-occurrence-order graph,
+    same graph.HITS_ITERS sum-normalized rounds as graph.kg_hits_scores."""
+    vocab = ",".join(f"'{t}'" for t in graph.PR_VOCAB)
+    # every state CTE is MATERIALIZED: each is referenced 2-3 times and
+    # DuckDB would otherwise inline (re-evaluate) them — the nested
+    # re-evaluation across iterations is exponential in HITS_ITERS
+    iters = "".join(
+        f""", ar{k} AS MATERIALIZED (
+  SELECT e.dst AS node, SUM(e.w * hp.h) AS a_raw
+  FROM edges e JOIN h{k - 1} hp ON hp.node = e.src GROUP BY 1
+), a{k} AS MATERIALIZED (
+  SELECT nd.node,
+         coalesce(ar.a_raw, 0.0) / (SELECT SUM(a_raw) FROM ar{k}) AS a
+  FROM nodes nd LEFT JOIN ar{k} ar ON ar.node = nd.node
+), hr{k} AS MATERIALIZED (
+  SELECT e.src AS node, SUM(e.w * aa.a) AS h_raw
+  FROM edges e JOIN a{k} aa ON aa.node = e.dst GROUP BY 1
+), h{k} AS MATERIALIZED (
+  SELECT nd.node,
+         coalesce(hr.h_raw, 0.0) / (SELECT SUM(h_raw) FROM hr{k}) AS h
+  FROM nodes nd LEFT JOIN hr{k} hr ON hr.node = nd.node
+)"""
+        for k in range(1, graph.HITS_ITERS + 1)
+    )
+    return f"""
+WITH tk AS (
+  SELECT doc_id, unnest(ls) AS token, generate_subscripts(ls, 1) AS pos
+  FROM (SELECT doc_id, string_split(lower(text), ' ') AS ls FROM documents)
+), m AS (
+  SELECT doc_id, token, MIN(pos) AS pos FROM tk
+  WHERE token IN ({vocab}) GROUP BY 1, 2
+), edges AS MATERIALIZED (
+  SELECT a.token AS src, b.token AS dst, COUNT(*)::DOUBLE AS w
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.pos < b.pos
+  GROUP BY 1, 2
+), nodes AS MATERIALIZED (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM edges UNION ALL SELECT dst AS node FROM edges)
+), n AS (
+  SELECT COUNT(*)::DOUBLE AS nn FROM nodes
+), h0 AS (
+  SELECT node, (SELECT 1.0 / nn FROM n) AS h FROM nodes
+){iters}
+SELECT h.node AS mention, round(h.h, 6) AS hub, round(a.a, 6) AS authority
+FROM h{graph.HITS_ITERS} h JOIN a{graph.HITS_ITERS} a USING (node)
+"""
+
+
+REGISTRY["kg_hits_scores"] = (graph.kg_hits_scores, _hits_sql())
+
+REGISTRY["window_cumulative_distinct"] = (
+    relational.window_cumulative_distinct,
+    """
+WITH t AS (
+  SELECT event_id, user_id, ts,
+         CASE WHEN ROW_NUMBER() OVER (
+                PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+              THEN 1 ELSE 0 END AS is_first
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(SUM(is_first) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_distinct_types
+FROM t
+""",
+)
+
+REGISTRY["agg_anomaly_mad"] = (
+    relational.agg_anomaly_mad,
+    f"""
+WITH v AS (
+  SELECT event_id, event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+  FROM events
+), med AS (
+  SELECT event_type, quantile_cont(vc * 2, 0.5) AS med2 FROM v GROUP BY 1
+), dev AS (
+  SELECT v.event_id, v.event_type, v.vc, abs(v.vc * 2 - m.med2) AS dev2
+  FROM v JOIN med m USING (event_type)
+), mad AS (
+  SELECT event_type, quantile_cont(dev2 * 2, 0.5) AS mad4 FROM dev GROUP BY 1
+)
+SELECT d.event_id, d.event_type, d.vc
+FROM dev d JOIN mad USING (event_type)
+WHERE d.dev2 * 2 > {relational.MAD_K} * mad.mad4
+""",
+)

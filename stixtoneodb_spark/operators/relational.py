@@ -1469,3 +1469,81 @@ def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running count of DISTINCT event types per user — the
+    novelty/exploration signal over a behavior stream.  Neither Spark
+    nor DuckDB supports COUNT(DISTINCT) over a window frame; the
+    standard decomposition is first-occurrence flagging (row_number = 1
+    within (user, type) by time) followed by a running SUM of the flag
+    on the user's timeline — two window passes over the SAME user-keyed
+    shuffle partitioning (Catalyst reuses the exchange; the second sort
+    is within partitions).
+
+    Ties are broken by event_id everywhere, so flag assignment and the
+    running sum are deterministic on both engines.
+
+    Scale shape: one user-keyed shuffle total; both windows ride it.
+    No distinct-set state materializes anywhere (the flag trick is the
+    100-TB answer — per-frame HashSets are the thing this avoids).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    first = (
+        F.row_number().over(
+            Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+        )
+        == 1
+    ).cast("long")
+    t = e.withColumn("is_first", first)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return t.select(
+        "event_id",
+        "user_id",
+        F.sum("is_first").over(run).alias("cum_distinct_types"),
+    )
+
+
+MAD_K = 8  # flag if |v - median| > MAD_K * MAD
+
+
+def agg_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust outlier flagging by median absolute deviation —
+    the heavy-tail-safe complement to agg_anomaly_zscore (mean/stddev
+    move with the outliers they're meant to catch; median/MAD do not).
+
+    Exactness recipe: values ride as integer cents; medians are EXACT
+    interpolating percentiles computed over DOUBLED integers, so the
+    even-count midpoint (a+b)/2 is always integer-valued — every
+    quantity in the final comparison (dev2 = |2·vc − med2|, thresh =
+    MAD_K·mad4 vs 2·dev2) is an integer-valued double below 2^53, and
+    the flag decision cannot drift across engines.
+
+    Scale shape: two grouped EXACT percentiles (per-group sort at bench
+    scale — the documented 100-TB swap is percentile_approx with the
+    same ±contract the quantile operator uses) + a broadcast per-group
+    stats join; the flag filter is per-row codegen arithmetic.
+    """
+    v = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("vc"),
+    )
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(vc * 2, 0.5)").alias("med2")
+    )
+    dev = v.join(F.broadcast(med), "event_type").withColumn(
+        "dev2", F.abs(F.col("vc") * 2 - F.col("med2"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(dev2 * 2, 0.5)").alias("mad4")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("dev2") * 2 > F.lit(MAD_K) * F.col("mad4"))
+        .select("event_id", "event_type", "vc")
+    )

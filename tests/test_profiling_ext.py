@@ -263,3 +263,118 @@ def test_correlation_exact_poles_and_numpy_parity(spark, tmp_path):
     }.items():
         expect = int(np.floor(1_000_000 * np.corrcoef(x, y)[0, 1] + 0.5))
         assert abs(rows[(xc, yc)].corr_ppm - expect) <= 1
+
+
+# ---- kg_hits_scores ---------------------------------------------------------
+
+
+def test_hits_planted_hub_authority_structure(spark, tmp_path):
+    """A planted pure-hub/pure-authority star: 'join' always leads,
+    {'hash','row','batch'} always follow.  'join' must take all hub
+    mass and zero authority; the three authorities split authority by
+    their in-weights and hold zero hub.  Scores re-derived by an
+    independent numpy power iteration with the same sum normalization."""
+    from stixtoneodb_spark.operators import graph
+
+    texts = (
+        ["join hash"] * 4 + ["join row"] * 2 + ["join batch"] * 2
+    )
+    d = _write_docs(tmp_path, texts)
+    rows = {r.mention: r for r in graph.kg_hits_scores(spark, d).collect()}
+    assert set(rows) == {"join", "hash", "row", "batch"}
+    assert rows["join"].hub == 1.0 and rows["join"].authority == 0.0
+    for a in ("hash", "row", "batch"):
+        assert rows[a].hub == 0.0
+
+    nodes = ["join", "hash", "row", "batch"]
+    idx = {n: i for i, n in enumerate(nodes)}
+    W = np.zeros((4, 4))
+    W[idx["join"], idx["hash"]] = 4
+    W[idx["join"], idx["row"]] = 2
+    W[idx["join"], idx["batch"]] = 2
+    h = np.full(4, 0.25)
+    for _ in range(graph.HITS_ITERS):
+        a = W.T @ h
+        a = a / a.sum()
+        h = W @ a
+        h = h / h.sum()
+    for n in nodes:
+        assert abs(rows[n].hub - round(float(h[idx[n]]), 6)) <= 1e-6
+        assert abs(rows[n].authority - round(float(a[idx[n]]), 6)) <= 1e-6
+
+
+def test_hits_mutual_order_pairs_get_both_directions(spark, tmp_path):
+    """Tokens that swap order across documents must receive BOTH
+    directed edges (the asymmetry source): with 3 docs 'join hash' and
+    1 doc 'hash join', both nodes carry nonzero hub AND authority."""
+    from stixtoneodb_spark.operators import graph
+
+    d = _write_docs(tmp_path, ["join hash"] * 3 + ["hash join"])
+    rows = {r.mention: r for r in graph.kg_hits_scores(spark, d).collect()}
+    for n in ("join", "hash"):
+        assert rows[n].hub > 0.0 and rows[n].authority > 0.0
+    # heavier join->hash direction: join is the stronger hub, hash the
+    # stronger authority
+    assert rows["join"].hub > rows["hash"].hub
+    assert rows["hash"].authority > rows["join"].authority
+
+
+# ---- window_cumulative_distinct --------------------------------------------
+
+
+def test_cumulative_distinct_planted_sequence(spark, tmp_path):
+    """Hand-computed novelty curve: types A,B,A,C,B,D on one user's
+    timeline -> 1,2,2,3,3,4; a second user interleaved in time must not
+    bleed into the first's counter."""
+    types = ["a", "b", "a", "c", "b", "d"]
+    n = len(types)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(2 * n, dtype=np.int64),
+            "ts": (
+                pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(np.repeat(np.arange(n), 2), unit="s")
+            ).astype("datetime64[us]"),
+            "user_id": np.array([1, 2] * n, dtype=np.int64),
+            "event_type": np.repeat(types, 2),
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    out = relational.window_cumulative_distinct(spark, str(tmp_path)).collect()
+    for uid in (1, 2):
+        seq = [
+            r.cum_distinct_types
+            for r in sorted(
+                (r for r in out if r.user_id == uid), key=lambda r: r.event_id
+            )
+        ]
+        assert seq == [1, 2, 2, 3, 3, 4]
+
+
+# ---- agg_anomaly_mad --------------------------------------------------------
+
+
+def test_mad_flags_outliers_zscore_would_miss(spark, tmp_path):
+    """The robustness property that motivates MAD: two huge outliers in
+    a tight 50/50 bimodal group.  median=10.5, MAD=0.5, threshold
+    8*MAD=4 -> ONLY the planted 1000s flag; the inliers' 0.5 deviation
+    never does.  (A mean/stddev rule with these outliers present would
+    need the outliers themselves to set the scale.)"""
+    vals = [10.0] * 50 + [10.5] * 50 + [1000.0, 1000.0]
+    n = len(vals)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": np.int64(1),
+            "event_type": "click",
+            "value": vals,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    rows = relational.agg_anomaly_mad(spark, str(tmp_path)).collect()
+    assert sorted(r.event_id for r in rows) == [100, 101]
+    assert all(r.vc == 100000 for r in rows)
