@@ -2498,3 +2498,70 @@ FROM dev d JOIN mad USING (event_type)
 WHERE d.dev2 * 2 > {relational.MAD_K} * mad.mad4
 """,
 )
+
+
+REGISTRY["scalar_bitwise_funcs"] = (
+    relational.scalar_bitwise_funcs,
+    """
+SELECT o_orderkey,
+       o_orderkey & 255 AS low_byte,
+       o_orderkey | o_custkey AS or_cust,
+       xor(o_orderkey, o_custkey) AS xor_cust,
+       o_orderkey << 3 AS shl3,
+       o_orderkey >> 2 AS shr2,
+       CAST(bit_count(o_orderkey) AS INT) AS popcount,
+       o_orderkey & 31 AS bucket32
+FROM orders
+""",
+)
+
+REGISTRY["agg_mode_per_group"] = (
+    relational.agg_mode_per_group,
+    """
+WITH c AS (
+  SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bucket,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bucket AS mode_bucket, cnt FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY cnt DESC, bucket) AS rn FROM c)
+WHERE rn = 1
+""",
+)
+
+REGISTRY["events_gap_stats"] = (
+    relational.events_gap_stats,
+    """
+WITH g AS (
+  SELECT user_id,
+         date_diff('microsecond',
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   ts) AS gap
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_gaps,
+       MIN(gap) AS min_gap_us, MAX(gap) AS max_gap_us,
+       SUM(gap) // COUNT(*) AS avg_gap_us
+FROM g WHERE gap IS NOT NULL GROUP BY user_id
+""",
+)
+
+REGISTRY["embedding_dim_stats"] = (
+    similarity.embedding_dim_stats,
+    """
+WITH x AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(unnest(embedding)::DOUBLE * 1000000 + 0.5) AS BIGINT) AS m
+  FROM embeddings
+), agg AS (
+  SELECT dim, COUNT(*) AS n, SUM(m) AS s1, SUM(m * m) AS s2
+  FROM x GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, n,
+       s1 // n AS mean_micro,
+       CAST(floor((n::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+                  / (n::DOUBLE * n::DOUBLE) + 0.5) AS BIGINT) AS var_micro2
+FROM agg
+""",
+)

@@ -1547,3 +1547,83 @@ def agg_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("dev2") * 2 > F.lit(MAD_K) * F.col("mad4"))
         .select("event_id", "event_type", "vc")
     )
+
+
+def scalar_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar family over the orders keys — the last scalar
+    function family uncovered (string/date/case/json/array/map/math
+    families each have an oracle; this closes bit ops): AND, OR, XOR,
+    shifts, popcount, and the low-bits bucket idiom (key & mask) that
+    hash-partitioners and bitmap indexes use.
+
+    Everything is int64 bit arithmetic — no precision or ordering
+    hazards anywhere; pure map-side codegen.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    c = F.col("o_custkey")
+    return o.select(
+        "o_orderkey",
+        k.bitwiseAND(F.lit(0xFF)).alias("low_byte"),
+        k.bitwiseOR(c).alias("or_cust"),
+        k.bitwiseXOR(c).alias("xor_cust"),
+        F.shiftleft(k, 3).alias("shl3"),
+        F.shiftright(k, 2).alias("shr2"),
+        F.bit_count(k).alias("popcount"),
+        k.bitwiseAND(F.lit(31)).alias("bucket32"),
+    )
+
+
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group mode with a deterministic tie-break (most frequent
+    event value-bucket per event type; ties -> smallest bucket) — the
+    categorical summary stat GROUP BY can't express directly.  The
+    decomposition is count-then-rank: one (group, value) count, one
+    per-group row_number window over (cnt DESC, value) — both engines
+    deterministic by construction.
+
+    Scale shape: the (group, value) agg is map-side combined and the
+    rank window runs at distinct-value cardinality, not row cardinality.
+    (Spark's own ``mode()`` aggregate is tie-nondeterministic — the
+    count-rank form is what you deploy.)
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") / 10).cast("long").alias("bucket"),
+    )
+    c = e.groupBy("event_type", "bucket").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), "bucket")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("event_type", F.col("bucket").alias("mode_bucket"), "cnt")
+    )
+
+
+def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap profile (lag on the user timeline,
+    exact integer epoch-microsecond deltas — second-truncation would
+    round differently across engines on fractional timestamps): min/max/
+    avg gap and gap count — the
+    cadence feature behind sessionization-threshold tuning and bot
+    detection.  avg rides as truncating integer division (sum div n),
+    so no float crosses engines.
+
+    Scale shape: ONE user-keyed shuffle serves both the lag window and
+    the per-user aggregate (same partitioning, exchange reused).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = (
+        e.withColumn("pts", F.lag("ts").over(w))
+        .withColumn("gap", F.expr("timestampdiff(MICROSECOND, pts, ts)"))
+        .where(F.col("gap").isNotNull())
+    )
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_gaps"),
+        F.min("gap").alias("min_gap_us"),
+        F.max("gap").alias("max_gap_us"),
+        F.expr("sum(gap) div count(*)").alias("avg_gap_us"),
+    )

@@ -996,3 +996,46 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", F.col("vec_id").alias("neighbor_id"), "adc_micro", "rank"
         )
     )
+
+
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile (mean / variance per
+    coordinate) — the collapse/anisotropy screen run before any
+    similarity index is trusted (a dimension with ~zero variance is
+    dead; one with huge mean dominates cosine).
+
+    Exactness recipe (the z-score pattern at the float boundary):
+    each float32 coordinate converts to its EXACT double, scales to
+    integer micros with one identical floor(v*1e6 + 0.5) on both
+    engines, then all moments are exact int64 sums; mean and variance
+    assemble from those int64s in double with an identical expression
+    tree.  mean_micro = s1 div n (pure integer); var_micro2 uses the
+    (n·s2 − s1²)/n² cross-form.
+
+    Scale shape: posexplode + one map-side-combined groupBy(dim) — the
+    shuffle carries |dims| × partials, nothing row-scale; int64 moments
+    hold to ~1e6 vectors per dim at |micro|≤1e6 (then decimal(38,0),
+    same plan).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(F.posexplode("embedding").alias("dim", "v")).select(
+        "dim",
+        F.floor(F.col("v").cast("double") * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("m"),
+    )
+    agg = x.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("m").alias("s1"),
+        F.sum(F.col("m") * F.col("m")).alias("s2"),
+    )
+    return agg.select(
+        F.col("dim").cast("long").alias("dim"),
+        "n",
+        F.expr("s1 div n").alias("mean_micro"),
+        F.expr(
+            "cast(floor((cast(n as double) * cast(s2 as double)"
+            " - cast(s1 as double) * cast(s1 as double))"
+            " / (cast(n as double) * cast(n as double)) + 0.5) as bigint)"
+        ).alias("var_micro2"),
+    )

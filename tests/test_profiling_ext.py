@@ -378,3 +378,125 @@ def test_mad_flags_outliers_zscore_would_miss(spark, tmp_path):
     rows = relational.agg_anomaly_mad(spark, str(tmp_path)).collect()
     assert sorted(r.event_id for r in rows) == [100, 101]
     assert all(r.vc == 100000 for r in rows)
+
+
+# ---- scalar_bitwise_funcs / agg_mode_per_group / events_gap_stats ----------
+
+
+def test_bitwise_matches_python_ints(spark, tmp_path):
+    """Planted keys at the edge cases (0, 1, a >32-bit value, all-ones
+    byte) vs Python's int bit ops."""
+    keys = [0, 1, 255, 2**40 + 7, 12345678901]
+    custs = [0, 3, 170, 2**33, 999]
+    pdf = pd.DataFrame(
+        {
+            "o_orderkey": np.array(keys, dtype=np.int64),
+            "o_custkey": np.array(custs, dtype=np.int64),
+            "o_orderstatus": "O",
+            "o_totalprice": 1.0,
+            "o_orderdate": pd.Timestamp("2024-01-01"),
+            "o_orderpriority": "1-URGENT",
+        }
+    )
+    pdf.to_parquet(tmp_path / "orders.parquet")
+    out = {
+        r.o_orderkey: r
+        for r in relational.scalar_bitwise_funcs(spark, str(tmp_path)).collect()
+    }
+    for k, c in zip(keys, custs):
+        r = out[k]
+        assert r.low_byte == k & 255
+        assert r.or_cust == k | c
+        assert r.xor_cust == k ^ c
+        assert r.shl3 == k << 3
+        assert r.shr2 == k >> 2
+        assert r.popcount == bin(k).count("1")
+        assert r.bucket32 == k & 31
+
+
+def test_mode_tie_breaks_to_smallest_bucket(spark, tmp_path):
+    """Two buckets tied at the top -> the smaller bucket must win on
+    BOTH engines (the documented deterministic tie-break)."""
+    vals = [5.0] * 4 + [95.0] * 4 + [45.0] * 2  # buckets 0 and 9 tie at 4
+    n = len(vals)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": np.int64(1),
+            "event_type": "click",
+            "value": vals,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    rows = relational.agg_mode_per_group(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].mode_bucket == 0 and rows[0].cnt == 4
+
+
+def test_gap_stats_exact_micros_and_single_event_user(spark, tmp_path):
+    """Fractional-second gaps must come out in exact microseconds (the
+    truncation bug class the operator switched units to avoid), and a
+    single-event user produces no row."""
+    base = pd.Timestamp("2024-01-01")
+    ts = [
+        base,
+        base + pd.Timedelta(microseconds=1_500_000),   # gap 1.5 s
+        base + pd.Timedelta(microseconds=2_000_001),   # gap 0.500001 s
+        base + pd.Timedelta(days=1),                   # user 2, single event
+    ]
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(4, dtype=np.int64),
+            "ts": pd.Series(ts).astype("datetime64[us]"),
+            "user_id": np.array([1, 1, 1, 2], dtype=np.int64),
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    rows = {r.user_id: r for r in relational.events_gap_stats(spark, str(tmp_path)).collect()}
+    assert set(rows) == {1}
+    r = rows[1]
+    assert r.n_gaps == 2
+    assert r.min_gap_us == 500_001
+    assert r.max_gap_us == 1_500_000
+    assert r.avg_gap_us == (1_500_000 + 500_001) // 2
+
+
+# ---- embedding_dim_stats ----------------------------------------------------
+
+
+def test_embedding_dim_stats_planted_moments(spark, tmp_path):
+    """Dim 0 constant (var 0), dim 1 alternating ±0.5 (mean 0, var
+    0.25e12 micro²), dim 2 a ramp with hand-computed moments."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    n = 8
+    vecs = []
+    for i in range(n):
+        vecs.append([0.25, 0.5 if i % 2 == 0 else -0.5, i / 10.0])
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * n, pa.int32()),
+        }
+    )
+    pq.write_table(t, tmp_path / "embeddings.parquet")
+    from stixtoneodb_spark.operators import similarity
+
+    rows = {r.dim: r for r in similarity.embedding_dim_stats(spark, str(tmp_path)).collect()}
+    assert set(rows) == {0, 1, 2}
+    assert all(r.n == n for r in rows.values())
+    assert rows[0].mean_micro == 250_000 and rows[0].var_micro2 == 0
+    assert rows[1].mean_micro == 0
+    assert rows[1].var_micro2 == 500_000 * 500_000
+    # dim 2: micros are the float32-exact roundings of i/10
+    micros = [int(np.floor(np.float64(np.float32(i / 10.0)) * 1e6 + 0.5)) for i in range(n)]
+    s1, s2 = sum(micros), sum(m * m for m in micros)
+    assert rows[2].mean_micro == s1 // n
+    assert rows[2].var_micro2 == int(np.floor((n * s2 - s1 * s1) / (n * n) + 0.5))
