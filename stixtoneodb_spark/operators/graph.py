@@ -862,3 +862,42 @@ def kg_hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("a", 6).alias("authority"),
         )
     )
+
+
+def kg_local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per entity — lcc(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1)) — the neighborhood-cohesion score that separates
+    entities living in tight communities from bridge/noise mentions
+    (Watts–Strogatz).  Rides the SAME oriented triangle counter as
+    kg_triangle_count plus one degree aggregate; the ratio is truncating
+    integer ppm, so no float crosses engines; degree-<2 nodes emit 0 by
+    the guarded denominator.
+
+    Scale shape: triangle cost is the oriented wedge join (degree-ordered
+    orientation is the documented 100-TB swap, see kg_triangle_count);
+    the degree agg and final join are vocabulary-scale.
+    """
+    edges = _cooccurrence_edges(spark, sf_dir)
+    deg = edges.groupBy(F.col("src").alias("mention")).agg(
+        F.count("*").alias("degree")
+    )
+    fwd = edges.where(F.col("src") < F.col("dst"))
+    tri = triangles_per_node(fwd)
+    return (
+        deg.join(tri, "mention", "left")
+        .select(
+            "mention",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.expr(
+                    "coalesce(n_triangles, 0) * 2000000"
+                    " div (degree * (degree - 1))"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("lcc_ppm"),
+        )
+    )

@@ -2565,3 +2565,105 @@ SELECT CAST(dim AS BIGINT) AS dim, n,
 FROM agg
 """,
 )
+
+
+def _lcc_sql() -> str:
+    """Co-occurrence graph + oriented triangles + guarded ppm ratio —
+    mirrors graph.kg_local_clustering_coefficient."""
+    vocab = ",".join(f"'{t}'" for t in graph.PR_VOCAB)
+    return f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents)
+  WHERE token IN ({vocab})
+), half AS (
+  SELECT a.token AS src, b.token AS dst
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2
+), edges AS (
+  SELECT src, dst FROM half UNION ALL SELECT dst, src FROM half
+), deg AS (
+  SELECT src AS mention, COUNT(*) AS degree FROM edges GROUP BY 1
+), tri AS (
+  SELECT mention, COUNT(*) AS n_triangles FROM (
+    SELECT unnest([e1.src, e1.dst, e3.dst]) AS mention
+    FROM half e1
+    JOIN half e2 ON e2.src = e1.dst
+    JOIN half e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+  GROUP BY 1
+)
+SELECT d.mention, d.degree,
+       coalesce(t.n_triangles, 0) AS n_triangles,
+       CASE WHEN d.degree >= 2
+            THEN coalesce(t.n_triangles, 0) * 2000000
+                 // (d.degree * (d.degree - 1))
+            ELSE 0 END AS lcc_ppm
+FROM deg d LEFT JOIN tri t ON t.mention = d.mention
+"""
+
+
+REGISTRY["kg_local_clustering_coefficient"] = (
+    graph.kg_local_clustering_coefficient,
+    _lcc_sql(),
+)
+
+REGISTRY["join_null_safe_demo"] = (
+    relational.join_null_safe_demo,
+    """
+WITH e AS (
+  SELECT nullif(event_type, 'click') AS k FROM events
+), dim AS (
+  SELECT dk, coalesce(length(dk), -1) AS dim_len FROM (
+    SELECT DISTINCT nullif(event_type, 'click') AS dk FROM events)
+)
+SELECT e.k, d.dim_len, COUNT(*) AS n
+FROM e JOIN dim d ON e.k IS NOT DISTINCT FROM d.dk
+GROUP BY e.k, d.dim_len
+""",
+)
+
+# the HLL union estimate is engine-specific; the contract checked is
+# "unioned per-group sketches estimate the GLOBAL distinct within 5%"
+REGISTRY["sketch_hll_union_contract"] = (
+    relational.sketch_hll_union_contract,
+    "SELECT COUNT(DISTINCT user_id) AS exact_users, "
+    "TRUE AS union_within_5pct FROM events",
+)
+
+REGISTRY["corpus_overlap_minhash"] = (
+    text.corpus_overlap_minhash,
+    f"""
+WITH toks AS (
+  SELECT DISTINCT source, token FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents)
+  WHERE length(token) > 0
+), sizes AS (
+  SELECT source, COUNT(*) AS n_tok FROM toks GROUP BY 1
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_inter
+  FROM toks a JOIN toks b ON a.token = b.token AND a.source < b.source
+  GROUP BY 1, 2
+), slots AS (
+  SELECT range::INT AS slot FROM range({text.MH_OVERLAP_SLOTS})
+), sig AS (
+  SELECT source, slot, MIN(md5('mh:' || slot || ':' || token)) AS mh
+  FROM toks, slots GROUP BY 1, 2
+), est AS (
+  SELECT x.source AS src_a, y.source AS src_b,
+         SUM(CASE WHEN x.mh = y.mh THEN 1 ELSE 0 END) AS n_agree
+  FROM sig x JOIN sig y ON x.slot = y.slot AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT e.src_a, e.src_b,
+       coalesce(i.n_inter, 0) * 1000000
+         // (sa.n_tok + sb.n_tok - coalesce(i.n_inter, 0))
+         AS exact_jaccard_ppm,
+       e.n_agree * 1000000 // {text.MH_OVERLAP_SLOTS} AS est_jaccard_ppm
+FROM est e
+LEFT JOIN inter i ON i.src_a = e.src_a AND i.src_b = e.src_b
+JOIN sizes sa ON sa.source = e.src_a
+JOIN sizes sb ON sb.source = e.src_b
+""",
+)

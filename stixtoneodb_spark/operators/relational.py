@@ -1627,3 +1627,70 @@ def events_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("gap").alias("max_gap_us"),
         F.expr("sum(gap) div count(*)").alias("avg_gap_us"),
     )
+
+
+def join_null_safe_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM) — the join
+    semantics corner every dimension-conforming pipeline hits: NULL keys
+    must MATCH each other (one "unknown" group) instead of silently
+    dropping, which is what plain equi-join does.  Keys are derived with
+    nullif so the fixture genuinely exercises the NULL row on both
+    engines.
+
+    Scale shape: a null-safe condition is hash-joinable (NULL hashes as
+    one value) — Spark plans the same shuffle/broadcast hash join as
+    plain equality; no theta-join fallback.  NULL-as-a-value also means
+    the null key is one PARTITION — at scale a mostly-null key column
+    needs the same skew treatment as any hot key (profile_key_skew).
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.nullif(F.col("event_type"), F.lit("click")).alias("k")
+    )
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.nullif(F.col("event_type"), F.lit("click")).alias("dk"))
+        .distinct()
+        .select("dk", F.coalesce(F.length("dk"), F.lit(-1)).alias("dim_len"))
+    )
+    return (
+        e.join(F.broadcast(dim), F.col("k").eqNullSafe(F.col("dk")))
+        .groupBy("k", "dim_len")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def sketch_hll_union_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch ALGEBRA — the property that makes sketches the 100-TB
+    answer for distinct counting: per-group sketches built independently
+    (per shard / per day, in a real pipeline) UNION into one sketch whose
+    estimate matches the global distinct within the configured error.
+    This goes beyond approx_distinct_users (one-shot estimate): it
+    checks mergeability, i.e. that pre-aggregated sketches compose.
+
+    Oracle contract (the estimate is engine-specific): the exact global
+    distinct plus the within-5%% boolean, computed Spark-side as
+    abs(est - exact)*20 <= exact (integer arithmetic, lgConfigK=12 →
+    ~1.6%% rsd, 5%% is a generous bound).
+
+    Scale shape: per-group hll_sketch_agg is map-side combinable; the
+    union agg moves |groups| sketches (KB each), never rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk"),
+        F.countDistinct("user_id").alias("grp_exact"),
+    )
+    unioned = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        exact.join(F.broadcast(unioned))
+        .select(
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users")) * 20
+                <= F.col("exact_users")
+            ).alias("union_within_5pct"),
+        )
+    )

@@ -1167,3 +1167,84 @@ def tokenizer_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_symbols"),
         F.array_join(F.transform(toks, strip), " ").alias("encoding"),
     )
+
+
+MH_OVERLAP_SLOTS = 32
+
+
+def corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source corpus overlap estimation — the planning pass before
+    any cross-corpus dedup: for every source pair, the EXACT token-set
+    Jaccard next to its K-slot MinHash estimate (fraction of slots whose
+    per-source minimum hash agrees).  At real scale only the estimate is
+    computable (per-source K-row signatures vs an all-pairs token
+    intersection); the fixture is small enough to carry both, so the
+    oracle verifies estimator and truth together and the estimator's
+    machinery (md5 slot hashing, per-source mins, slot agreement) is
+    hash-checked end to end.
+
+    Scale shape: signatures are ONE map-side-combined (source, slot) min
+    aggregate — |sources|·K rows out of any corpus size; the pair stage
+    is signature-scale.  The exact tier (distinct tokens, pair
+    intersection) is the audit-scale path only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select("source", F.explode(_ws_tokens(F.col("text"))).alias("token"))
+        .where(F.length("token") > 0)
+        .distinct()
+    )
+    sizes = toks.groupBy("source").agg(F.count("*").alias("n_tok"))
+    inter = (
+        toks.alias("a")
+        .join(toks.alias("b"), "token")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    slots = spark.range(MH_OVERLAP_SLOTS).select(F.col("id").cast("int").alias("slot"))
+    sig = (
+        toks.crossJoin(F.broadcast(slots))
+        .groupBy("source", "slot")
+        .agg(
+            F.min(
+                F.md5(F.concat(F.lit("mh:"), F.col("slot"), F.lit(":"), F.col("token")))
+            ).alias("mh")
+        )
+    )
+    est = (
+        sig.alias("x")
+        .join(sig.alias("y"), "slot")
+        .where(F.col("x.source") < F.col("y.source"))
+        .groupBy(
+            F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b")
+        )
+        .agg(
+            F.sum(
+                (F.col("x.mh") == F.col("y.mh")).cast("long")
+            ).alias("n_agree")
+        )
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("n_tok").alias("na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("n_tok").alias("nb"))
+    # est covers EVERY pair (signatures exist for all sources); inter only
+    # pairs with nonzero overlap — left-join so disjoint pairs report 0,
+    # which is exactly what the planning pass needs to see
+    return (
+        est.join(inter, ["src_a", "src_b"], "left")
+        .withColumn("n_inter", F.coalesce(F.col("n_inter"), F.lit(0)))
+        .join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.expr("n_inter * 1000000 div (na + nb - n_inter)").alias(
+                "exact_jaccard_ppm"
+            ),
+            F.expr(f"n_agree * 1000000 div {MH_OVERLAP_SLOTS}").alias(
+                "est_jaccard_ppm"
+            ),
+        )
+    )

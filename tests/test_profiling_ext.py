@@ -500,3 +500,112 @@ def test_embedding_dim_stats_planted_moments(spark, tmp_path):
     s1, s2 = sum(micros), sum(m * m for m in micros)
     assert rows[2].mean_micro == s1 // n
     assert rows[2].var_micro2 == int(np.floor((n * s2 - s1 * s1) / (n * n) + 0.5))
+
+
+# ---- kg_local_clustering_coefficient ----------------------------------------
+
+
+def test_lcc_planted_triangle_plus_pendant(spark, tmp_path):
+    """Triangle {join,hash,row} plus pendant batch-join edge:
+    lcc(hash)=lcc(row)=1e6 (their whole neighborhood is closed),
+    lcc(join)=2*1/(3*2)=333333 ppm truncated, lcc(batch)=0 (degree 1)."""
+    from stixtoneodb_spark.operators import graph
+
+    texts = ["join hash", "hash row", "join row", "join batch"]
+    d = _write_docs(tmp_path, texts)
+    rows = {
+        r.mention: r
+        for r in graph.kg_local_clustering_coefficient(spark, d).collect()
+    }
+    assert rows["join"].degree == 3 and rows["join"].n_triangles == 1
+    assert rows["join"].lcc_ppm == 2_000_000 // 6
+    for n in ("hash", "row"):
+        assert rows[n].degree == 2 and rows[n].lcc_ppm == 1_000_000
+    assert rows["batch"].degree == 1
+    assert rows["batch"].n_triangles == 0 and rows["batch"].lcc_ppm == 0
+
+
+# ---- join_null_safe_demo ----------------------------------------------------
+
+
+def test_null_safe_join_keeps_null_group(spark, tmp_path):
+    """The NULL key must survive as a matched group (n = #click rows,
+    dim_len = -1); a plain equi-join would drop those rows entirely."""
+    types = ["click"] * 7 + ["view"] * 3
+    n = len(types)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": np.int64(1),
+            "event_type": types,
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    rows = {r.k: r for r in relational.join_null_safe_demo(spark, str(tmp_path)).collect()}
+    assert set(rows) == {None, "view"}
+    assert rows[None].n == 7 and rows[None].dim_len == -1
+    assert rows["view"].n == 3 and rows["view"].dim_len == 4
+
+
+# ---- sketch_hll_union_contract ----------------------------------------------
+
+
+def test_hll_union_contract_on_planted_wide_distinct(spark, tmp_path):
+    """60k distinct users split across 4 groups: the unioned per-group
+    sketches must estimate the global distinct within the 5% contract
+    (and the exact count must be exactly 60000)."""
+    n = 60000
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": np.arange(n, dtype=np.int64),
+            "event_type": np.array(["a", "b", "c", "d"])[np.arange(n) % 4],
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    rows = relational.sketch_hll_union_contract(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].exact_users == n
+    assert rows[0].union_within_5pct is True
+
+
+# ---- corpus_overlap_minhash -------------------------------------------------
+
+
+def test_corpus_overlap_poles_and_estimator_agreement(spark, tmp_path):
+    """Identical token sets -> exact AND estimate both 1e6; disjoint
+    sets -> both 0; a half-overlapping pair's estimate must land within
+    the binomial noise of K=32 slots around the true Jaccard."""
+    a = " ".join(f"tok{i}" for i in range(40))
+    b = " ".join(f"tok{i}" for i in range(20, 60))      # J(a,b) = 20/60
+    c = " ".join(f"other{i}" for i in range(40))        # disjoint from a,b
+    pdf = pd.DataFrame(
+        {
+            "doc_id": np.arange(4, dtype=np.int64),
+            "text": [a, a, b, c],
+            "lang": "en",
+            "source": ["s1", "s2", "s3", "s4"],
+            "n_chars": [len(a), len(a), len(b), len(c)],
+        }
+    )
+    pdf.to_parquet(tmp_path / "documents.parquet")
+    rows = {
+        (r.src_a, r.src_b): r
+        for r in text.corpus_overlap_minhash(spark, str(tmp_path)).collect()
+    }
+    assert rows[("s1", "s2")].exact_jaccard_ppm == 1_000_000
+    assert rows[("s1", "s2")].est_jaccard_ppm == 1_000_000
+    assert rows[("s1", "s4")].exact_jaccard_ppm == 0
+    assert rows[("s1", "s4")].est_jaccard_ppm == 0
+    true_ppm = 20 * 1_000_000 // 60
+    got = rows[("s1", "s3")].est_jaccard_ppm
+    # 32 slots: allow ±4 sigma of Binomial(32, 1/3)
+    sigma_ppm = int(1_000_000 * (1 / 3 * 2 / 3 / 32) ** 0.5)
+    assert abs(got - true_ppm) <= 4 * sigma_ppm
+    assert rows[("s1", "s3")].exact_jaccard_ppm == true_ppm
