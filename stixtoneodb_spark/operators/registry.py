@@ -2667,3 +2667,88 @@ JOIN sizes sa ON sa.source = e.src_a
 JOIN sizes sb ON sb.source = e.src_b
 """,
 )
+
+
+REGISTRY["agg_weighted_median"] = (
+    relational.agg_weighted_median,
+    """
+WITH li AS (
+  SELECT l_returnflag,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(floor(l_quantity + 0.5) AS BIGINT) AS w
+  FROM lineitem
+), per AS (
+  SELECT l_returnflag, cents, CAST(SUM(w) AS BIGINT) AS wv
+  FROM li GROUP BY 1, 2
+), cum AS (
+  SELECT l_returnflag, cents, wv,
+         CAST(SUM(wv) OVER (PARTITION BY l_returnflag ORDER BY cents
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+  FROM per
+), tot AS (
+  SELECT l_returnflag, CAST(SUM(wv) AS BIGINT) AS tw FROM per GROUP BY 1
+)
+SELECT c.l_returnflag, MIN(c.cents) AS w_median_cents,
+       MIN(t.tw) AS total_weight
+FROM cum c JOIN tot t USING (l_returnflag)
+WHERE c.cw * 2 >= t.tw
+GROUP BY 1
+""",
+)
+
+REGISTRY["events_rate_anomaly"] = (
+    relational.events_rate_anomaly,
+    f"""
+WITH e AS (
+  SELECT event_type,
+         date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                   date_trunc('hour', ts)) AS hour_id
+  FROM events
+), c AS (
+  SELECT event_type, hour_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2
+), m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(c) AS BIGINT) AS s1, CAST(SUM(c * c) AS BIGINT) AS s2
+  FROM c GROUP BY 1
+)
+SELECT c.event_type, c.hour_id, c.c
+FROM c JOIN m USING (event_type)
+WHERE CAST(c.c * m.n - m.s1 AS DOUBLE) * CAST(c.c * m.n - m.s1 AS DOUBLE)
+      > {float(relational.RATE_SIGMA**2)!r}
+        * CAST(m.n * m.s2 - m.s1 * m.s1 AS DOUBLE)
+""",
+)
+
+_URL_PLANT = (
+    "'HTTPS://WWW.Ex' || (doc_id % 5) || '.COM/Path/' || doc_id"
+    " || '?zeta=9&utm_source=feed&Id=' || doc_id"
+    " || '&utm_campaign=x&alpha=1#Frag'"
+)
+
+REGISTRY["text_url_canonicalize"] = (
+    text.text_url_canonicalize,
+    f"""
+WITH t AS (
+  SELECT doc_id, {_URL_PLANT} AS url FROM documents
+), p AS (
+  SELECT doc_id,
+         string_split(url, '#')[1] AS no_frag
+  FROM t
+), q AS (
+  SELECT doc_id,
+         lower(string_split(no_frag, '?')[1]) AS base,
+         string_split(string_split(no_frag, '?')[2], '&') AS params
+  FROM p
+), k AS (
+  SELECT doc_id, base, params,
+         list_sort(list_filter(params, x -> NOT starts_with(x, 'utm_')))
+           AS kept
+  FROM q
+)
+SELECT doc_id,
+       CAST(len(params) - len(kept) AS BIGINT) AS n_params_dropped,
+       md5(base || '?' || array_to_string(kept, '&')) AS canon_md5
+FROM k
+""",
+)

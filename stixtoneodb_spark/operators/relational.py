@@ -1694,3 +1694,90 @@ def sketch_hll_union_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("union_within_5pct"),
         )
     )
+
+
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median per group (extendedprice cents weighted by
+    integer quantity) by the cum-weight decomposition: order values,
+    accumulate weights, take the smallest value whose doubled cumulative
+    weight reaches the total (the lower weighted median — a pure integer
+    rule, so engines cannot disagree at the midpoint the way
+    interpolating definitions can).
+
+    Scale shape: the (group, value) pre-aggregate collapses the stream
+    to distinct-value cardinality BEFORE any window; the cum-sum window
+    and the final min ride one group-keyed exchange.  This is the
+    weighted complement of the exact-quantile tier (same swap note:
+    percentile_approx at 100 TB).
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("w"),
+    )
+    per = li.groupBy("l_returnflag", "cents").agg(F.sum("w").alias("wv"))
+    cum = per.withColumn(
+        "cw",
+        F.sum("wv").over(
+            Window.partitionBy("l_returnflag")
+            .orderBy("cents")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    tot = per.groupBy("l_returnflag").agg(F.sum("wv").alias("tw"))
+    return (
+        cum.join(F.broadcast(tot), "l_returnflag")
+        .where(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("cents").alias("w_median_cents"),
+            F.min("tw").alias("total_weight"),
+        )
+    )
+
+
+RATE_SIGMA = 3
+
+
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-RATE spike detection per type — the ops-monitoring
+    pass over the ingest stream: bucket to epoch hours, count, then flag
+    hours whose count sits more than RATE_SIGMA population sigmas from
+    the type's hourly mean, using the same cross-multiplied integer
+    moment form as agg_anomaly_zscore (counts are already integers — no
+    rounding step at all).
+
+    Hour buckets are computed on date_trunc'd timestamps so Spark's
+    timestampdiff (complete units) and DuckDB's date_diff (boundary
+    crossings) agree by construction — on hour-aligned values the two
+    definitions coincide.
+
+    Scale shape: the (type, hour) count is map-side combined (the
+    shuffle carries bucket cardinality, not rows); moments are a second
+    tiny agg; the flag join is broadcast.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(HOUR, timestamp'1970-01-01 00:00:00',"
+            " date_trunc('hour', ts))"
+        ).alias("hour_id"),
+    )
+    c = e.groupBy("event_type", "hour_id").agg(F.count("*").alias("c"))
+    m = c.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    dev = (F.col("c") * F.col("n") - F.col("s1")).cast("double")
+    bound = (
+        F.lit(float(RATE_SIGMA * RATE_SIGMA))
+        * (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+    )
+    return (
+        c.join(F.broadcast(m), "event_type")
+        .where(dev * dev > bound)
+        .select("event_type", "hour_id", "c")
+    )

@@ -1248,3 +1248,46 @@ def corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization — the normalization pass behind URL-level
+    dedup of web corpora: lowercase the scheme/host/path, drop the
+    fragment, drop utm_* tracking parameters, and SORT the surviving
+    query parameters so equivalent URLs collide.  (Lowercasing the path
+    is a deliberate policy choice of this canonicalizer, documented —
+    strict RFC 3986 keeps path case; corpus dedup wants the collision.)
+
+    The fixture corpus carries no URLs, so a deterministic doc_id-derived
+    URL is planted with mixed case, tracking params, unsorted keys and a
+    fragment (same expression in the oracle); the canonical result is
+    verified by md5 — any slicing/sorting/filtering drift breaks the
+    hash.
+
+    Scale shape: pure map-side string/array codegen (split + filter +
+    array_sort + join), zero shuffle.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTPS://WWW.Ex"),
+        F.pmod(F.col("doc_id"), F.lit(5)),
+        F.lit(".COM/Path/"),
+        F.col("doc_id"),
+        F.lit("?zeta=9&utm_source=feed&Id="),
+        F.col("doc_id"),
+        F.lit("&utm_campaign=x&alpha=1#Frag"),
+    )
+    t = d.select("doc_id", url.alias("url"))
+    no_frag = F.split(F.col("url"), "#").getItem(0)
+    base = F.lower(F.split(no_frag, r"\?").getItem(0))
+    query = F.split(no_frag, r"\?").getItem(1)
+    params = F.split(query, "&")
+    kept = F.array_sort(
+        F.filter(params, lambda p: ~p.startswith("utm_"))
+    )
+    canon = F.concat_ws("?", base, F.array_join(kept, "&"))
+    return t.select(
+        "doc_id",
+        (F.size(params) - F.size(kept)).cast("long").alias("n_params_dropped"),
+        F.md5(canon).alias("canon_md5"),
+    )

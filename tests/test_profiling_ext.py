@@ -609,3 +609,94 @@ def test_corpus_overlap_poles_and_estimator_agreement(spark, tmp_path):
     sigma_ppm = int(1_000_000 * (1 / 3 * 2 / 3 / 32) ** 0.5)
     assert abs(got - true_ppm) <= 4 * sigma_ppm
     assert rows[("s1", "s3")].exact_jaccard_ppm == true_ppm
+
+
+# ---- agg_weighted_median / events_rate_anomaly / text_url_canonicalize -----
+
+
+def test_weighted_median_hand_computed(spark, tmp_path):
+    """Weights engineered so the weighted median differs from the plain
+    median: values 1,2,3 with weights 1,1,10 -> cum 1,2,12 vs total 12;
+    2*cw>=tw first at value 3 (plain median would be 2)."""
+    pdf = pd.DataFrame(
+        {
+            "l_orderkey": np.arange(3, dtype=np.int64),
+            "l_partkey": np.int64(1),
+            "l_suppkey": np.int64(1),
+            "l_linenumber": np.int32(1),
+            "l_quantity": [1.0, 1.0, 10.0],
+            "l_extendedprice": [1.0, 2.0, 3.0],
+            "l_discount": 0.0,
+            "l_tax": 0.0,
+            "l_returnflag": "N",
+            "l_linestatus": "O",
+            "l_shipdate": pd.Timestamp("2024-01-01"),
+        }
+    )
+    pdf.to_parquet(tmp_path / "lineitem.parquet")
+    rows = relational.agg_weighted_median(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].w_median_cents == 300
+    assert rows[0].total_weight == 12
+    # exact-midpoint tie: weights 1,1 over values 1,2 -> 2*cw==tw at the
+    # LOWER value (the documented lower-weighted-median rule)
+    pdf2 = pdf.iloc[:2].copy()
+    pdf2["l_quantity"] = [1.0, 1.0]
+    pdf2.to_parquet(tmp_path / "lineitem.parquet")
+    rows = relational.agg_weighted_median(spark, str(tmp_path)).collect()
+    assert rows[0].w_median_cents == 100
+
+
+def test_rate_anomaly_flags_planted_spike_hour(spark, tmp_path):
+    """11 quiet hours at 10 events + one 200-event spike hour: only the
+    spike hour flags (mean≈25.8, the quiet hours sit well inside 3σ)."""
+    counts = [10] * 11 + [200]
+    ids, hrs = [], []
+    eid = 0
+    for h, c in enumerate(counts):
+        for _ in range(c):
+            ids.append(eid)
+            hrs.append(h)
+            eid += 1
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.array(ids, dtype=np.int64),
+            "ts": (
+                pd.to_datetime("2024-01-01")
+                + pd.to_timedelta(np.array(hrs) * 3600 + 60, unit="s")
+            ).astype("datetime64[us]"),
+            "user_id": np.int64(1),
+            "event_type": "click",
+            "value": 1.0,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    rows = relational.events_rate_anomaly(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert rows[0].c == 200
+    spike_hour_id = int(
+        (pd.Timestamp("2024-01-01") - pd.Timestamp("1970-01-01")).total_seconds()
+    ) // 3600 + 11
+    assert rows[0].hour_id == spike_hour_id
+
+
+def test_url_canonicalize_collides_equivalent_urls(spark, tmp_path):
+    """The property the canonicalizer exists for: two doc_ids with the
+    same (doc_id % 5, doc_id) would be identical — instead verify
+    against an independent Python canonicalization of the SAME planted
+    URL, and that utm params are counted dropped."""
+    d = _write_docs(tmp_path, ["x", "y", "z"])
+    rows = {r.doc_id: r for r in text.text_url_canonicalize(spark, d).collect()}
+    for doc_id in range(3):
+        url = (
+            f"HTTPS://WWW.Ex{doc_id % 5}.COM/Path/{doc_id}"
+            f"?zeta=9&utm_source=feed&Id={doc_id}&utm_campaign=x&alpha=1#Frag"
+        )
+        no_frag = url.split("#")[0]
+        base, query = no_frag.split("?")
+        kept = sorted(p for p in query.split("&") if not p.startswith("utm_"))
+        canon = base.lower() + "?" + "&".join(kept)
+        r = rows[doc_id]
+        assert r.n_params_dropped == 2
+        assert r.canon_md5 == hashlib.md5(canon.encode()).hexdigest()
