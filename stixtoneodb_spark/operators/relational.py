@@ -1456,19 +1456,27 @@ def stats_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("quantity", "discount", corr("sq", "sd", "sqq", "sdd", "sqd")),
         ("price", "discount", corr("sp", "sd", "spp", "sdd", "spd")),
     ]
-    frames = [
-        m.select(
-            F.lit(x).alias("x_col"),
-            F.lit(y).alias("y_col"),
-            F.col("n"),
-            c.alias("corr_ppm"),
+    # ONE explode over the single 1-row aggregate — a unionByName of three
+    # selects from `m` would make Catalyst recompute the aggregate subtree
+    # (three full fact scans; verified on the executed plan)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(x).alias("x_col"),
+                    F.lit(y).alias("y_col"),
+                    c.alias("corr_ppm"),
+                )
+                for x, y, c in pairs
+            ]
         )
-        for x, y, c in pairs
-    ]
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    )
+    return m.select("n", rows.alias("r")).select(
+        F.col("r.x_col").alias("x_col"),
+        F.col("r.y_col").alias("y_col"),
+        "n",
+        F.col("r.corr_ppm").alias("corr_ppm"),
+    )
 
 
 def window_cumulative_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:

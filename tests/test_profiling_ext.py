@@ -700,3 +700,31 @@ def test_url_canonicalize_collides_equivalent_urls(spark, tmp_path):
         r = rows[doc_id]
         assert r.n_params_dropped == 2
         assert r.canon_md5 == hashlib.md5(canon.encode()).hexdigest()
+
+
+# ---- physical-plan proofs ----------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_plan_shapes_of_profiling_batch(spark):
+    """Executed-plan assertions for the batch's 100-TB claims:
+    chunking is shuffle-free map-side codegen; the skew profile's top-k
+    is TakeOrderedAndProject (heap, not global sort); the correlation
+    matrix reads the fact table EXACTLY once (the unioned-selects form
+    recomputed the aggregate subtree — three scans — before the explode
+    rewrite)."""
+    p = _plan(text.corpus_chunk_documents(spark, SF))
+    assert "Exchange" not in p
+    assert "Generate" in p  # posexplode stayed JVM-side
+
+    p = _plan(relational.profile_key_skew(spark, SF))
+    assert "TakeOrderedAndProject" in p
+
+    p = _plan(relational.stats_correlation_matrix(spark, SF))
+    assert p.count("FileScan parquet") == 1
+
+    p = _plan(relational.agg_histogram_prices(spark, SF))
+    assert "BroadcastExchange" in p  # the 1-row max joins broadcast
