@@ -901,3 +901,36 @@ def kg_local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("lcc_ppm"),
         )
     )
+
+
+def dedup_pick_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation DECISION on top of duplicate clustering: for every
+    near-dup cluster pick ONE surviving document by a deterministic
+    quality rule (longest text wins; ties break to the smallest doc_id)
+    and emit the per-document verdict — the actual keep/drop table a
+    training-data pipeline writes.
+
+    Output: (doc_id, cluster_id, rep_doc_id, keep) for every clustered
+    doc; singleton docs (no near-dup pair) never enter a cluster and are
+    implicitly kept upstream.
+
+    Scale shape: clustering is pair-graph-scale (see
+    dedup_cluster_components); the quality join brings only n_chars for
+    CLUSTERED docs (semi-join-sized), and the per-cluster argmax is one
+    window at clustered-doc cardinality.
+    """
+    cc = dedup_cluster_components(spark, sf_dir)
+    q = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    t = cc.join(q, "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        t.withColumn("rep_doc_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "rep_doc_id",
+            (F.col("doc_id") == F.col("rep_doc_id")).alias("keep"),
+        )
+    )

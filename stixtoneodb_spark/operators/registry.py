@@ -2752,3 +2752,28 @@ SELECT doc_id,
 FROM k
 """,
 )
+
+
+# reuse the cluster oracle's recursive closure verbatim; extend with the
+# representative pick so both engines apply the identical quality rule
+_CC_PREFIX = REGISTRY["dedup_cluster_components"][1].rsplit(
+    "SELECT u AS doc_id", 1
+)[0]
+
+REGISTRY["dedup_pick_representatives"] = (
+    graph.dedup_pick_representatives,
+    _CC_PREFIX
+    + """, cc AS (
+  SELECT u AS doc_id, least(u, min(v)) AS cluster_id FROM reach GROUP BY u
+), t AS (
+  SELECT c.doc_id, c.cluster_id, d.n_chars
+  FROM cc c JOIN documents d USING (doc_id)
+)
+SELECT doc_id, cluster_id,
+       FIRST_VALUE(doc_id) OVER (
+         PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rep_doc_id,
+       doc_id = FIRST_VALUE(doc_id) OVER (
+         PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS keep
+FROM t
+""",
+)

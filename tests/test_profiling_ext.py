@@ -728,3 +728,31 @@ def test_plan_shapes_of_profiling_batch(spark):
 
     p = _plan(relational.agg_histogram_prices(spark, SF))
     assert "BroadcastExchange" in p  # the 1-row max joins broadcast
+
+
+# ---- dedup_pick_representatives ---------------------------------------------
+
+
+def test_representative_pick_longest_wins_one_keeper_per_cluster(spark, tmp_path):
+    """A planted 3-doc near-dup family where the LONGEST member is not
+    the smallest doc_id: the longest must win; exactly one keep per
+    cluster; every member agrees on the rep."""
+    from stixtoneodb_spark.operators import graph
+
+    fam = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    texts = [
+        fam,                          # doc 0
+        fam + " lambda",              # doc 1 — longest, must win
+        fam,                          # doc 2
+        "completely different words here nothing shared with the family x y z",
+    ]
+    d = _write_docs(tmp_path, texts)
+    rows = graph.dedup_pick_representatives(spark, d).collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    assert set(r.doc_id for r in rows) == {0, 1, 2}  # doc 3 is a singleton
+    (members,) = by_cluster.values()
+    assert all(r.rep_doc_id == 1 for r in members)
+    keeps = [r.doc_id for r in members if r.keep]
+    assert keeps == [1]
