@@ -2777,3 +2777,52 @@ SELECT doc_id, cluster_id,
 FROM t
 """,
 )
+
+
+def _rake_sql() -> str:
+    """RAKE replay: same stopword set, gaps-and-islands phrase split,
+    degree/frequency ppm word scores, per-doc top-k."""
+    stops = ",".join(f"'{s}'" for s in text.STOPWORDS_EN)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(ls) AS token, generate_subscripts(ls, 1) AS pos
+  FROM (SELECT doc_id,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ls
+        FROM documents)
+), flagged AS (
+  SELECT doc_id, pos, token,
+         CASE WHEN token IN ({stops}) THEN 1 ELSE 0 END AS is_stop
+  FROM toks
+), runs AS (
+  SELECT doc_id, pos, token,
+         SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM flagged
+  QUALIFY is_stop = 0
+), phrases AS (
+  SELECT doc_id, island,
+         array_to_string(list(token ORDER BY pos), ' ') AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS plen
+  FROM runs GROUP BY 1, 2
+), occur AS (
+  SELECT r.doc_id, r.island, r.token, p.plen
+  FROM runs r JOIN phrases p USING (doc_id, island)
+), wscore AS (
+  SELECT token,
+         CAST(SUM(plen) * 1000000 // COUNT(*) AS BIGINT) AS wscore
+  FROM occur GROUP BY 1
+), pscore AS (
+  SELECT o.doc_id, o.island, CAST(SUM(w.wscore) AS BIGINT) AS phrase_score
+  FROM occur o JOIN wscore w USING (token) GROUP BY 1, 2
+)
+SELECT doc_id, rank, phrase, phrase_score FROM (
+  SELECT ps.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY ps.doc_id
+           ORDER BY ps.phrase_score DESC, p.phrase) AS rank,
+         p.phrase, ps.phrase_score
+  FROM pscore ps JOIN phrases p USING (doc_id, island))
+WHERE rank <= {text.RAKE_TOP_K}
+"""
+
+
+REGISTRY["text_rake_keywords"] = (text.text_rake_keywords, _rake_sql())

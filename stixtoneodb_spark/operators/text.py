@@ -1291,3 +1291,81 @@ def text_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.size(params) - F.size(kept)).cast("long").alias("n_params_dropped"),
         F.md5(canon).alias("canon_md5"),
     )
+
+
+RAKE_TOP_K = 3
+
+
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010) — top candidate
+    phrases per document: split each document into maximal stopword-free
+    token runs (candidate phrases), score words by degree/frequency over
+    the whole corpus, score a phrase by the sum of its member word
+    scores, keep the top RAKE_TOP_K phrases per document.
+
+    Decompositions (all published patterns this repo already exercises,
+    composed): phrase boundaries are GAPS-AND-ISLANDS (running sum of
+    stopword flags over the token position window — the SCD2 trick);
+    deg(w) = Σ_{occurrences of w} len(phrase) and freq(w) are one
+    two-level aggregate; word_score = deg·1e6 div freq (truncating ppm);
+    phrase_score = Σ member word scores (exact integer sum of ppms);
+    the per-doc top-k is a row_number window with the phrase text as the
+    deterministic tie-break.
+
+    Scale shape: tokenization/islands ride one doc-keyed window over the
+    posexploded stream; word scores are vocabulary-scale and broadcast
+    back; the top-k window is per-doc.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(_ws_tokens(F.col("text"))).alias("pos", "token")
+    ).withColumn(
+        "is_stop", F.col("token").isin(*STOPWORDS_EN).cast("int")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runs = (
+        toks.withColumn(
+            "island",
+            F.sum("is_stop").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .where(F.col("is_stop") == 0)
+    )
+    phrases = runs.groupBy("doc_id", "island").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                lambda s: s["token"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count("*").alias("plen"),
+    )
+    occur = runs.join(
+        phrases.select("doc_id", "island", "plen"), ["doc_id", "island"]
+    )
+    wscore = (
+        occur.groupBy("token")
+        .agg(F.sum("plen").alias("deg"), F.count("*").alias("freq"))
+        .select("token", F.expr("deg * 1000000 div freq").alias("wscore"))
+    )
+    pscore = (
+        occur.join(F.broadcast(wscore), "token")
+        .groupBy("doc_id", "island")
+        .agg(F.sum("wscore").alias("phrase_score"))
+        .join(phrases.select("doc_id", "island", "phrase"), ["doc_id", "island"])
+    )
+    topw = Window.partitionBy("doc_id").orderBy(
+        F.desc("phrase_score"), F.asc("phrase")
+    )
+    return (
+        pscore.withColumn("rk", F.row_number().over(topw))
+        .where(F.col("rk") <= RAKE_TOP_K)
+        .select(
+            "doc_id",
+            F.col("rk").cast("long").alias("rank"),
+            "phrase",
+            "phrase_score",
+        )
+    )

@@ -756,3 +756,64 @@ def test_representative_pick_longest_wins_one_keeper_per_cluster(spark, tmp_path
     assert all(r.rep_doc_id == 1 for r in members)
     keeps = [r.doc_id for r in members if r.keep]
     assert keeps == [1]
+
+
+# ---- text_rake_keywords -----------------------------------------------------
+
+
+def _py_rake(docs: list, stops: set, top_k: int):
+    """Independent reference RAKE: phrase split on stopwords, word score
+    deg*1e6//freq, phrase score = sum of member word scores, per-doc
+    top-k with (score desc, phrase asc) ordering."""
+    doc_phrases = []
+    for t in docs:
+        phrases, cur = [], []
+        for tok in t.lower().split(" "):
+            if not tok:
+                continue
+            if tok in stops:
+                if cur:
+                    phrases.append(cur)
+                cur = []
+            else:
+                cur.append(tok)
+        if cur:
+            phrases.append(cur)
+        doc_phrases.append(phrases)
+    deg: dict = {}
+    freq: dict = {}
+    for phrases in doc_phrases:
+        for p in phrases:
+            for w in p:
+                deg[w] = deg.get(w, 0) + len(p)
+                freq[w] = freq.get(w, 0) + 1
+    wscore = {w: deg[w] * 1_000_000 // freq[w] for w in deg}
+    out = []
+    for doc_id, phrases in enumerate(doc_phrases):
+        scored = sorted(
+            ((sum(wscore[w] for w in p), " ".join(p)) for p in phrases),
+            key=lambda x: (-x[0], x[1]),
+        )
+        for rank, (score, phrase) in enumerate(scored[:top_k], 1):
+            out.append((doc_id, rank, phrase, score))
+    return sorted(out)
+
+
+def test_rake_matches_independent_reference(spark, tmp_path):
+    """Multi-doc corpus with shared and doc-local words, multi-word and
+    singleton phrases, leading/trailing stopwords — vs a from-scratch
+    Python RAKE."""
+    docs = [
+        "the deep learning of deep networks is a hard problem",
+        "linear constraints of the system and strict bounds",
+        "deep networks and linear algebra in it",
+        "a of the and",  # stopwords only -> no phrases, no rows
+    ]
+    d = _write_docs(tmp_path, docs)
+    got = sorted(
+        (r.doc_id, r.rank, r.phrase, r.phrase_score)
+        for r in text.text_rake_keywords(spark, d).collect()
+    )
+    expect = _py_rake(docs, set(text.STOPWORDS_EN), text.RAKE_TOP_K)
+    assert got == expect
+    assert not any(doc_id == 3 for doc_id, *_ in got)
