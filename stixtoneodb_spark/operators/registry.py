@@ -2826,3 +2826,43 @@ WHERE rank <= {text.RAKE_TOP_K}
 
 
 REGISTRY["text_rake_keywords"] = (text.text_rake_keywords, _rake_sql())
+
+
+def _skewkurt_sql() -> str:
+    """Identical double expression trees to relational.agg_skew_kurtosis
+    (DuckDB spells the int64→double casts with :: but the tree shape,
+    literals and operator order are the same)."""
+    nn, s1, s2, s3, s4 = (
+        "n::DOUBLE", "s1::DOUBLE", "s2::DOUBLE", "s3::DOUBLE", "s4::DOUBLE"
+    )
+    m2 = f"({nn} * {s2} - {s1} * {s1})"
+    m3 = (
+        f"({nn} * {nn} * {s3} - 3.0 * {nn} * {s1} * {s2}"
+        f" + 2.0 * {s1} * {s1} * {s1})"
+    )
+    m4 = (
+        f"({nn} * {nn} * {nn} * {s4} - 4.0 * {nn} * {nn} * {s1} * {s3}"
+        f" + 6.0 * {nn} * {s1} * {s1} * {s2}"
+        f" - 3.0 * {s1} * {s1} * {s1} * {s1})"
+    )
+    return f"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value + 0.5) AS BIGINT) AS vd FROM events
+), m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(vd) AS BIGINT) AS s1,
+         CAST(SUM(vd * vd) AS BIGINT) AS s2,
+         CAST(SUM(vd * vd * vd) AS BIGINT) AS s3,
+         CAST(SUM(vd * vd * vd * vd) AS BIGINT) AS s4
+  FROM v GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(floor(1000000.0 * {m3} / ({m2} * sqrt({m2})) + 0.5) AS BIGINT)
+         AS skew_ppm,
+       CAST(floor(1000000.0 * ({m4} / ({m2} * {m2}) - 3.0) + 0.5) AS BIGINT)
+         AS ekurt_ppm
+FROM m
+"""
+
+
+REGISTRY["agg_skew_kurtosis"] = (relational.agg_skew_kurtosis, _skewkurt_sql())

@@ -1789,3 +1789,63 @@ def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(dev * dev > bound)
         .select("event_type", "hour_id", "c")
     )
+
+
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group from EXACT
+    integer moments — the distribution-shape profile that decides
+    between mean/σ gates (symmetric) and median/MAD gates (heavy-tailed,
+    see agg_anomaly_mad).  Values ride as whole dollars so Σv⁴ stays
+    int64 (≤ ~6e17 at sf0.1; decimal(38,0) past sf1 — same plan); the
+    central-moment combinations use the scale-free identities
+
+        skew = M3 / (M2·√M2),  ekurt = M4/M2² − 3
+        M2 = n·s2 − s1²
+        M3 = n²·s3 − 3n·s1·s2 + 2s1³
+        M4 = n³·s4 − 4n²·s1·s3 + 6n·s1²·s2 − 3s1⁴
+
+    (the nᵏ factors cancel exactly), assembled in double with an
+    identical expression tree on both engines — and √M2·M2 instead of
+    pow(M2,1.5): sqrt and IEEE multiply are correctly rounded,
+    libm pow is NOT guaranteed to be.
+
+    Scale shape: ONE map-side-combined aggregate per group; everything
+    after is per-group scalar arithmetic.
+    """
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("vd"),
+    )
+    m = v.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("vd").alias("s1"),
+        F.sum(F.expr("vd * vd")).alias("s2"),
+        F.sum(F.expr("vd * vd * vd")).alias("s3"),
+        F.sum(F.expr("vd * vd * vd * vd")).alias("s4"),
+    )
+    pre = (
+        "cast(n as double)", "cast(s1 as double)", "cast(s2 as double)",
+        "cast(s3 as double)", "cast(s4 as double)",
+    )
+    nn, s1, s2, s3, s4 = pre
+    m2 = f"({nn} * {s2} - {s1} * {s1})"
+    m3 = (
+        f"({nn} * {nn} * {s3} - 3.0 * {nn} * {s1} * {s2}"
+        f" + 2.0 * {s1} * {s1} * {s1})"
+    )
+    m4 = (
+        f"({nn} * {nn} * {nn} * {s4} - 4.0 * {nn} * {nn} * {s1} * {s3}"
+        f" + 6.0 * {nn} * {s1} * {s1} * {s2}"
+        f" - 3.0 * {s1} * {s1} * {s1} * {s1})"
+    )
+    return m.select(
+        "event_type",
+        "n",
+        F.expr(
+            f"cast(floor(1000000.0 * {m3} / ({m2} * sqrt({m2})) + 0.5) as bigint)"
+        ).alias("skew_ppm"),
+        F.expr(
+            f"cast(floor(1000000.0 * ({m4} / ({m2} * {m2}) - 3.0) + 0.5)"
+            " as bigint)"
+        ).alias("ekurt_ppm"),
+    )

@@ -817,3 +817,44 @@ def test_rake_matches_independent_reference(spark, tmp_path):
     expect = _py_rake(docs, set(text.STOPWORDS_EN), text.RAKE_TOP_K)
     assert got == expect
     assert not any(doc_id == 3 for doc_id, *_ in got)
+
+
+# ---- agg_skew_kurtosis ------------------------------------------------------
+
+
+def test_skew_kurtosis_known_shapes_and_scipy_free_reference(spark, tmp_path):
+    """A symmetric group must score skew 0 (exact integer symmetry) and
+    the two-point ±1 distribution must score ekurt −2e6 (its m4/m2² is
+    exactly 1); a right-skewed group is checked against a from-scratch
+    numpy population skew/kurt at ±1 ppm."""
+    sym = [10.0, 20.0, 30.0, 20.0, 10.0, 30.0]          # symmetric around 20
+    twopoint = [0.0, 2.0] * 8                            # ±1 around mean 1
+    skewed = [1.0] * 8 + [2.0] * 3 + [30.0]              # long right tail
+    vals = sym + twopoint + skewed
+    types = ["sym"] * len(sym) + ["two"] * len(twopoint) + ["skw"] * len(skewed)
+    n = len(vals)
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.Timestamp("2024-01-01"),
+            "user_id": np.int64(1),
+            "event_type": types,
+            "value": vals,
+            "props": "{}",
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    rows = {r.event_type: r for r in relational.agg_skew_kurtosis(spark, str(tmp_path)).collect()}
+    assert rows["sym"].skew_ppm == 0
+    assert rows["two"].skew_ppm == 0
+    assert rows["two"].ekurt_ppm == -2_000_000
+
+    x = np.array([round(v) for v in skewed], dtype=np.float64)
+    mu = x.mean()
+    m2 = ((x - mu) ** 2).mean()
+    m3 = ((x - mu) ** 3).mean()
+    m4 = ((x - mu) ** 4).mean()
+    skew_ref = int(np.floor(1e6 * m3 / (m2 * np.sqrt(m2)) + 0.5))
+    ekurt_ref = int(np.floor(1e6 * (m4 / (m2 * m2) - 3.0) + 0.5))
+    assert abs(rows["skw"].skew_ppm - skew_ref) <= 1
+    assert abs(rows["skw"].ekurt_ppm - ekurt_ref) <= 1
