@@ -934,3 +934,56 @@ def dedup_pick_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") == F.col("rep_doc_id")).alias("keep"),
         )
     )
+
+
+def kg_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity audit of the label-propagation communities — the
+    quality number that says whether the detected communities are real
+    structure or noise (Newman-Girvan Q: intra-community edge share
+    minus the share expected from degrees alone; Q_c can go NEGATIVE for
+    a community worse than random).
+
+    Exact integer form on the both-orientations edge list (|rows| = 2m):
+    Q_c·ppm = (intra_rows_c·E − d_c²)·1e6 div E², E = 2m — every term
+    integer, truncation toward zero IDENTICAL in Spark's div and
+    DuckDB's // (verified including negatives).
+
+    Scale shape: LPA is the iterative cost (see kg_label_propagation);
+    the audit itself is two edge-scale joins against the node-cardinality
+    label frame (broadcastable) + community-cardinality aggs.
+    """
+    edges = _cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=True)
+    lab = label_propagation(edges, LPA_ITERS).select(
+        F.col("mention").alias("node"), F.col("community")
+    ).localCheckpoint(eager=True)
+    e_tot = edges.agg(F.count("*").alias("E"))
+    la = lab.select(F.col("node").alias("src"), F.col("community").alias("ca"))
+    lb = lab.select(F.col("node").alias("dst"), F.col("community").alias("cb"))
+    intra = (
+        edges.join(F.broadcast(la), "src")
+        .join(F.broadcast(lb), "dst")
+        .where(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("intra_rows"))
+    )
+    deg = (
+        edges.join(F.broadcast(la), "src")
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count("*").alias("deg_sum"))
+    )
+    nodes = lab.groupBy("community").agg(F.count("*").alias("n_nodes"))
+    return (
+        nodes.join(deg, "community")
+        .join(intra, "community", "left")
+        .join(F.broadcast(e_tot))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce(F.col("intra_rows"), F.lit(0)).alias("intra_rows"),
+            "deg_sum",
+            F.expr(
+                "(coalesce(intra_rows, 0) * E - deg_sum * deg_sum)"
+                " * 1000000 div (E * E)"
+            ).alias("q_ppm"),
+        )
+    )

@@ -2866,3 +2866,58 @@ FROM m
 
 
 REGISTRY["agg_skew_kurtosis"] = (relational.agg_skew_kurtosis, _skewkurt_sql())
+
+
+def _modularity_sql() -> str:
+    """LPA rounds (same chain as _lpa_sql) + the exact integer
+    Newman-Girvan per-community contribution."""
+    rounds = []
+    for k in range(1, graph.LPA_ITERS + 1):
+        rounds.append(
+            f"""r{k} AS (
+  SELECT e.src AS node, l.label, COUNT(*) AS c
+  FROM edges e JOIN l{k - 1} l ON e.dst = l.node GROUP BY e.src, l.label
+), l{k} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+    FROM r{k}) WHERE rn = 1
+)"""
+        )
+    n = graph.LPA_ITERS
+    return f"""
+WITH {_coocc_edges_cte()}, edges AS MATERIALIZED (
+  SELECT src, dst FROM half UNION ALL SELECT dst AS src, src AS dst FROM half
+), l0 AS (
+  SELECT DISTINCT src AS node, src AS label FROM edges
+), {", ".join(rounds)}, lab AS MATERIALIZED (
+  SELECT node, label AS community FROM l{n}
+), ec AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS E FROM edges
+), intra AS (
+  SELECT la.community, CAST(COUNT(*) AS BIGINT) AS intra_rows
+  FROM edges e
+  JOIN lab la ON la.node = e.src
+  JOIN lab lb ON lb.node = e.dst
+  WHERE la.community = lb.community
+  GROUP BY 1
+), deg AS (
+  SELECT la.community, CAST(COUNT(*) AS BIGINT) AS deg_sum
+  FROM edges e JOIN lab la ON la.node = e.src GROUP BY 1
+), nodes AS (
+  SELECT community, CAST(COUNT(*) AS BIGINT) AS n_nodes FROM lab GROUP BY 1
+)
+SELECT n.community, n.n_nodes,
+       coalesce(i.intra_rows, 0) AS intra_rows, d.deg_sum,
+       (coalesce(i.intra_rows, 0) * e.E - d.deg_sum * d.deg_sum)
+         * 1000000 // (e.E * e.E) AS q_ppm
+FROM nodes n
+JOIN deg d USING (community)
+LEFT JOIN intra i USING (community), ec e
+"""
+
+
+REGISTRY["kg_community_modularity"] = (
+    graph.kg_community_modularity,
+    _modularity_sql(),
+)

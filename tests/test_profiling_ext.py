@@ -858,3 +858,54 @@ def test_skew_kurtosis_known_shapes_and_scipy_free_reference(spark, tmp_path):
     ekurt_ref = int(np.floor(1e6 * (m4 / (m2 * m2) - 3.0) + 0.5))
     assert abs(rows["skw"].skew_ppm - skew_ref) <= 1
     assert abs(rows["skw"].ekurt_ppm - ekurt_ref) <= 1
+
+
+# ---- kg_community_modularity -------------------------------------------------
+
+
+def test_modularity_two_planted_triangles(spark, tmp_path):
+    """Two complete triangles bridged by one edge: an independent Python
+    sync-LPA (+ exact integer modularity) must agree row-for-row, and
+    the bridged triangles must score POSITIVE q_ppm (real structure)."""
+    from stixtoneodb_spark.operators import graph
+
+    # two K4 cliques whose INTERNAL minimum label dominates the invasion
+    # through the bridge (sync LPA's round-1 all-tie otherwise lets the
+    # global min label flood both sides — simulated before planting)
+    import itertools
+
+    k4a = list(itertools.combinations(["batch", "join", "hash", "row"], 2))
+    k4b = list(itertools.combinations(["column", "customer", "filter", "scan"], 2))
+    pairs = set(k4a) | set(k4b) | {("row", "scan")}
+    texts = [f"{a} {b}" for a, b in sorted(pairs)]
+    d = _write_docs(tmp_path, texts)
+    edges = sorted(pairs | {(b, a) for a, b in pairs})
+    nodes = sorted({a for a, _ in edges})
+    lab = {v: v for v in nodes}
+    for _ in range(graph.LPA_ITERS):
+        nxt = {}
+        for v in nodes:
+            counts: dict = {}
+            for a, b in edges:
+                if a == v:
+                    counts[lab[b]] = counts.get(lab[b], 0) + 1
+            nxt[v] = min(counts, key=lambda l: (-counts[l], l))
+        lab = nxt
+    E = len(edges)
+    comms = sorted(set(lab.values()))
+    expect = {}
+    for c in comms:
+        members = [v for v in nodes if lab[v] == c]
+        intra = sum(1 for a, b in edges if lab[a] == c and lab[b] == c)
+        deg = sum(1 for a, _ in edges if lab[a] == c)
+        q = (intra * E - deg * deg) * 1_000_000
+        q = int(q / (E * E)) if q >= 0 else -int(-q / (E * E))  # trunc to 0
+        expect[c] = (len(members), intra, deg, q)
+
+    rows = {r.community: r for r in graph.kg_community_modularity(spark, d).collect()}
+    assert set(rows) == set(expect)
+    for c, (n_nodes, intra, deg, q) in expect.items():
+        r = rows[c]
+        assert (r.n_nodes, r.intra_rows, r.deg_sum, r.q_ppm) == (n_nodes, intra, deg, q)
+    assert len(rows) >= 2                     # the triangles separated
+    assert all(r.q_ppm > 0 for r in rows.values())
