@@ -2921,3 +2921,26 @@ REGISTRY["kg_community_modularity"] = (
     graph.kg_community_modularity,
     _modularity_sql(),
 )
+
+
+REGISTRY["corpus_select_to_budget"] = (
+    text.corpus_select_to_budget,
+    f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split(lower(text), ' '),
+                              x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), tot AS (
+  SELECT SUM(n_tokens) * {text.BUDGET_SHARE_PPM} // 1000000 AS budget FROM t
+), c AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY n_tokens DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM t
+)
+SELECT doc_id, n_tokens, cum_tokens FROM c, tot
+WHERE cum_tokens <= budget
+""",
+)

@@ -1369,3 +1369,42 @@ def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             "phrase_score",
         )
     )
+
+
+BUDGET_SHARE_PPM = 600_000  # keep the best ~60% of corpus tokens
+
+
+def corpus_select_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy corpus selection to a token budget — the final curation
+    cut: rank documents by priority (here: token count DESC, a stand-in
+    for any score; doc_id tie-break) and keep documents while the
+    running token total stays within the budget (BUDGET_SHARE_PPM of the
+    corpus total, data-derived).  The strict keep-while-cum≤B rule is a
+    pure integer decision, so both engines cut at the same document.
+
+    Output: the kept documents with their running totals — the audit
+    trail for "why is doc X in/out".
+
+    Scale shape: token counts are map-side; the budget is one broadcast
+    1-row aggregate; the ranked running sum is a global window at audit
+    scale — the documented 100-TB swap is the repo's two-pass bucketed
+    prefix sum (range-partition by priority key, partition-local cumsum
+    + bucket-total carry, as events_max_concurrency does).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.size(_ws_tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    tot = t.agg(
+        F.expr(f"sum(n_tokens) * {BUDGET_SHARE_PPM} div 1000000").alias("budget")
+    )
+    w = (
+        Window.orderBy(F.desc("n_tokens"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .join(F.broadcast(tot))
+        .where(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "n_tokens", "cum_tokens")
+    )

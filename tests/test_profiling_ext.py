@@ -909,3 +909,27 @@ def test_modularity_two_planted_triangles(spark, tmp_path):
         assert (r.n_nodes, r.intra_rows, r.deg_sum, r.q_ppm) == (n_nodes, intra, deg, q)
     assert len(rows) >= 2                     # the triangles separated
     assert all(r.q_ppm > 0 for r in rows.values())
+
+
+# ---- corpus_select_to_budget -------------------------------------------------
+
+
+def test_budget_selection_cuts_at_exact_boundary(spark, tmp_path):
+    """Hand-checkable cut: token counts 5,4,3,2,1 (priority order),
+    budget = 60% of 15 = 9 -> keep 5,4 (cum 9 == budget, strict <=
+    keeps it); the 3-token doc at cum 12 is out."""
+    texts = [
+        "a b c d e",      # 5 tokens, doc 0
+        "a b c d",        # 4, doc 1
+        "a b c",          # 3, doc 2
+        "a b",            # 2, doc 3
+        "a",              # 1, doc 4
+    ]
+    d = _write_docs(tmp_path, texts)
+    rows = sorted(
+        text.corpus_select_to_budget(spark, d).collect(), key=lambda r: r.cum_tokens
+    )
+    assert [(r.doc_id, r.n_tokens, r.cum_tokens) for r in rows] == [
+        (0, 5, 5),
+        (1, 4, 9),
+    ]
