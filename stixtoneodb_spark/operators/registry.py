@@ -2944,3 +2944,155 @@ SELECT doc_id, n_tokens, cum_tokens FROM c, tot
 WHERE cum_tokens <= budget
 """,
 )
+
+
+REGISTRY["stats_linreg_by_group"] = (
+    relational.stats_linreg_by_group,
+    """
+WITH e AS (
+  SELECT event_type,
+         CAST(hour(ts) AS BIGINT) AS x,
+         CAST(floor(value + 0.5) AS BIGINT) AS y
+  FROM events
+), m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM e GROUP BY 1
+)
+SELECT event_type, n,
+       CAST(floor(1000000.0
+         * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         + 0.5) AS BIGINT) AS slope_ppm,
+       CAST(floor(1000000.0
+         * (CAST(sy AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sxy)
+         / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         + 0.5) AS BIGINT) AS intercept_ppm
+FROM m
+""",
+)
+
+
+def _ewma_sql() -> str:
+    num = []
+    den = []
+    for k in range(relational.EWMA_LAGS):
+        wt = 1 << (relational.EWMA_LAGS - 1 - k)
+        num.append(f"COALESCE(lag(c, {k}) OVER w, 0) * {wt}")
+        den.append(
+            f"CASE WHEN lag(c, {k}) OVER w IS NULL THEN 0 ELSE {wt} END"
+        )
+    return f"""
+WITH e AS (
+  SELECT event_type,
+         date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                   date_trunc('hour', ts)) AS hour_id
+  FROM events
+), c AS (
+  SELECT event_type, hour_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2
+)
+SELECT event_type, hour_id, c,
+       CAST((1000000 * ({' + '.join(num)}))
+            // ({' + '.join(den)}) AS BIGINT) AS ewma_ppm
+FROM c
+WINDOW w AS (PARTITION BY event_type ORDER BY hour_id)
+"""
+
+
+REGISTRY["events_ewma_hourly"] = (relational.events_ewma_hourly, _ewma_sql())
+
+
+REGISTRY["stats_cohens_kappa"] = (
+    relational.stats_cohens_kappa,
+    """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(value + 0.5) AS BIGINT) % 2 AS ra,
+         user_id % 2 AS rb
+  FROM events
+), m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(CASE WHEN ra = 1 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+         CAST(SUM(CASE WHEN ra = 1 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+         CAST(SUM(CASE WHEN ra = 0 AND rb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+         CAST(SUM(CASE WHEN ra = 0 AND rb = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+  FROM e GROUP BY 1
+)
+SELECT event_type, n,
+       CASE WHEN (n11 + n10) * (n10 + n00) + (n11 + n01) * (n01 + n00) = 0
+            THEN NULL
+            ELSE (2000000 * (n11 * n00 - n10 * n01))
+                 // ((n11 + n10) * (n10 + n00) + (n11 + n01) * (n01 + n00))
+       END AS kappa_ppm
+FROM m
+""",
+)
+
+
+REGISTRY["stats_gini_impurity"] = (
+    relational.stats_gini_impurity,
+    """
+WITH ut AS (
+  SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), u AS (
+  SELECT user_id, CAST(SUM(c) AS BIGINT) AS n,
+         CAST(SUM(c * c) AS BIGINT) AS ss,
+         CAST(COUNT(*) AS BIGINT) AS n_types
+  FROM ut GROUP BY 1
+)
+SELECT user_id, n, n_types,
+       (1000000 * (n * n - ss)) // (n * n) AS gini_ppm
+FROM u
+""",
+)
+
+
+REGISTRY["layout_shard_assign"] = (
+    relational.layout_shard_assign,
+    f"""
+WITH r AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS r
+  FROM documents
+), a AS (
+  SELECT n_chars,
+         CASE WHEN (r // {relational.SHARD_COUNT}) % 2 = 0
+              THEN r % {relational.SHARD_COUNT}
+              ELSE {relational.SHARD_COUNT} - 1 - (r % {relational.SHARD_COUNT})
+         END AS shard
+  FROM r
+)
+SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+       CAST(MAX(n_chars) AS BIGINT) AS max_chars
+FROM a GROUP BY 1
+""",
+)
+
+
+REGISTRY["er_field_agreement"] = (
+    relational.er_field_agreement,
+    f"""
+WITH d AS (
+  SELECT doc_id, lang, source, CAST(n_chars AS BIGINT) AS n_chars,
+         substring(text, 1, 16) AS p16
+  FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST((CASE WHEN a.source = b.source THEN {relational.ER_W_SOURCE} ELSE 0 END)
+          + (CASE WHEN abs(a.n_chars - b.n_chars) <= {relational.ER_CHARS_TOL}
+                  THEN {relational.ER_W_CHARS} ELSE 0 END)
+          + (CASE WHEN a.p16 = b.p16 THEN {relational.ER_W_PREFIX} ELSE 0 END)
+         AS BIGINT) AS score
+FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE (CASE WHEN a.source = b.source THEN {relational.ER_W_SOURCE} ELSE 0 END)
+    + (CASE WHEN abs(a.n_chars - b.n_chars) <= {relational.ER_CHARS_TOL}
+            THEN {relational.ER_W_CHARS} ELSE 0 END)
+    + (CASE WHEN a.p16 = b.p16 THEN {relational.ER_W_PREFIX} ELSE 0 END)
+    >= {relational.ER_MIN_SCORE}
+""",
+)

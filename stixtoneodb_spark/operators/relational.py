@@ -1849,3 +1849,240 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("ekurt_ppm"),
     )
+
+
+# -- round-4 sixth-continuation batch: regression / agreement / layout ------
+
+SHARD_COUNT = 8          # training shards for layout_shard_assign
+EWMA_LAGS = 8            # dyadic EWMA window (weights 2^-(k+1))
+ER_W_SOURCE = 8          # Fellegi-Sunter-style field agreement weights
+ER_W_CHARS = 4
+ER_W_PREFIX = 12
+ER_CHARS_TOL = 20
+ER_MIN_SCORE = 12
+
+
+def stats_linreg_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS trend line (value vs hour-of-day) from EXACT integer
+    moments — the drift detector that tells a curation pipeline whether a
+    signal trends across the day before it gates on a flat threshold.
+
+    slope = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²) and the intercept uses the
+    same denominator: b0 = (Σy·Σxx − Σx·Σxy) / den — both numerator and
+    denominator are exact int64 (x≤23, y≤~500 here; the docstring swap
+    at sf≥1 is decimal(38,0) sums, same plan), assembled with an
+    identical double expression tree on both engines and emitted in ppm
+    (mirrors StixToNeoDB's derived-attribute enrichment: reference
+    StixToNeoDB.scala:24-38 computes per-object derived fields at load).
+
+    Scale shape: ONE map-side-combined aggregate per group; the fit is
+    per-group scalar arithmetic — no second pass over the facts.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("y"),
+    )
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    den = "(cast(n as double) * sxx - cast(sx as double) * sx)"
+    num_b = "(cast(n as double) * sxy - cast(sx as double) * sy)"
+    num_a = "(cast(sy as double) * sxx - cast(sx as double) * sxy)"
+    return m.select(
+        "event_type",
+        "n",
+        F.expr(
+            f"cast(floor(1000000.0 * {num_b} / {den} + 0.5) as bigint)"
+        ).alias("slope_ppm"),
+        F.expr(
+            f"cast(floor(1000000.0 * {num_a} / {den} + 0.5) as bigint)"
+        ).alias("intercept_ppm"),
+    )
+
+
+def events_ewma_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic EWMA over the hourly event-rate series — the smoothed rate
+    monitor next to events_rate_anomaly's z-score gate.  Weights are
+    2^(EWMA_LAGS-1-k) over the k-th lag (newest heaviest), so both the
+    weighted sum and the weight total are exact integers; series heads
+    shorter than the window renormalize over the PRESENT lags only, and
+    the ppm readout is a pure integer division (Spark `div` == DuckDB
+    `//`, truncation toward zero, counts are non-negative).
+
+    Scale shape: the (type, hour) count is map-side combined; the lag
+    window runs at series scale (hours × types), partitioned by type —
+    no global window, no second fact scan.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(HOUR, timestamp'2024-01-01 00:00:00',"
+            " date_trunc('hour', ts))"
+        ).alias("hour_id"),
+    )
+    c = e.groupBy("event_type", "hour_id").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("hour_id")
+    num = []
+    den = []
+    lagged = c
+    for k in range(EWMA_LAGS):
+        wt = 1 << (EWMA_LAGS - 1 - k)
+        lagged = lagged.withColumn(
+            f"l{k}", F.lag("c", k).over(w)
+        )
+        num.append(f"coalesce(l{k}, 0) * {wt}")
+        den.append(f"if(l{k} is null, 0, {wt})")
+    return lagged.select(
+        "event_type",
+        "hour_id",
+        "c",
+        F.expr(
+            f"(1000000 * ({' + '.join(num)})) div ({' + '.join(den)})"
+        ).alias("ewma_ppm"),
+    )
+
+
+def stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two binary labelings of the same events —
+    the inter-annotator agreement gate a labeled-training-data pipeline
+    runs before trusting a label column.  Here the two "raters" are
+    deterministic derived flags (value parity, user parity); the 2x2
+    closed form kappa = 2(n11·n00 − n10·n01) / ((n11+n10)(n10+n00) +
+    (n11+n01)(n01+n00)) is algebraically identical to (po−pe)/(1−pe)
+    and STAYS IN int64 (counts ≤ n, products ≤ n², ×2e6 ≤ 2e6·n² —
+    safe to n≈2e6 per group; decimal past that), so the ppm readout is
+    exact integer division on both engines.  Degenerate margins
+    (den = 0, a constant rater) emit NULL identically.
+
+    Scale shape: ONE map-side-combined aggregate per group computes all
+    four cells as conditional sums; everything after is per-group
+    scalar integer arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("pmod(cast(floor(value + 0.5) as bigint), 2)").alias("ra"),
+        F.expr("pmod(user_id, 2)").alias("rb"),
+    )
+    m = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.expr("if(ra = 1 and rb = 1, 1, 0)")).alias("n11"),
+        F.sum(F.expr("if(ra = 1 and rb = 0, 1, 0)")).alias("n10"),
+        F.sum(F.expr("if(ra = 0 and rb = 1, 1, 0)")).alias("n01"),
+        F.sum(F.expr("if(ra = 0 and rb = 0, 1, 0)")).alias("n00"),
+    )
+    den = "((n11 + n10) * (n10 + n00) + (n11 + n01) * (n01 + n00))"
+    return m.select(
+        "event_type",
+        "n",
+        F.expr(
+            f"if({den} = 0, cast(null as bigint),"
+            f" (2000000 * (n11 * n00 - n10 * n01)) div {den})"
+        ).alias("kappa_ppm"),
+    )
+
+
+def stats_gini_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini impurity of each user's event-type distribution — the
+    label-balance audit (0 = one type only, →1 = uniform) that flags
+    degenerate per-entity label mixes before sampling.  Entirely
+    rational: gini = (n² − Σc²)/n², emitted in exact integer ppm.
+
+    Scale shape: two stacked map-side-combined aggregates riding the
+    SAME user_id partitioning ((user, type) counts, then per-user sums)
+    — one shuffle, no window, output at entity scale.
+    """
+    e = load_table(spark, sf_dir, "events")
+    ut = e.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    return (
+        ut.groupBy("user_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(F.expr("c * c")).alias("ss"),
+            F.count("*").alias("n_types"),
+        )
+        .select(
+            "user_id",
+            "n",
+            "n_types",
+            F.expr("(1000000 * (n * n - ss)) div (n * n)").alias("gini_ppm"),
+        )
+    )
+
+
+def layout_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced training-shard assignment: documents ranked by size
+    (n_chars DESC, doc_id tie-break) are dealt to SHARD_COUNT shards in
+    snake order (0..K-1, K-1..0, ...) — the deterministic LPT-flavored
+    layout a tokenizer/packer wants so no shard drags the epoch.  The
+    whole decision is integer rank arithmetic, so both engines assign
+    every document to the same shard; output is the per-shard balance
+    audit (doc count, char total, heaviest doc).
+
+    Scale shape: ranking at corpus-audit scale is a global window; the
+    documented 100-TB swap is rank-by-bucket (range-partition on
+    n_chars via layout_range_partition_bounds' sampled quantile cuts,
+    partition-local row_number + broadcast bucket-offset carry) — the
+    snake arithmetic is unchanged under that decomposition.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    k = SHARD_COUNT
+    r = F.row_number().over(Window.orderBy(F.desc("n_chars"), "doc_id")) - 1
+    a = d.withColumn("r", r).withColumn(
+        "shard",
+        F.expr(f"if((r div {k}) % 2 = 0, r % {k}, {k} - 1 - (r % {k}))"),
+    )
+    return a.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("long")).alias("chars_total"),
+        F.max(F.col("n_chars").cast("long")).alias("max_chars"),
+    )
+
+
+def er_field_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter-style weighted field-agreement scoring over
+    blocked candidate pairs — the record-linkage SCORING stage that sits
+    between blocking (the LSH/prefix-filter tiers) and the CC merge in
+    the canonicalization pipeline (mirrors the reference's identity
+    resolution intent: StixToNeoDB merges on exact STIX id,
+    StixToNeoDB.scala:31; fuzzy linkage needs graded evidence).
+    Documents blocked by lang score source equality (+ER_W_SOURCE),
+    size agreement within ER_CHARS_TOL chars (+ER_W_CHARS) and a shared
+    16-char text prefix (+ER_W_PREFIX); pairs at or above ER_MIN_SCORE
+    survive.  All-integer scoring — engines cannot disagree.
+
+    Scale shape: the self-join runs at BLOCK cardinality, never corpus²
+    (at 100 TB the block key is the LSH band, same plan); the pair
+    filter is a<b on doc_id so each pair is emitted once; the score is
+    map-side scalar arithmetic after the join.
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.substring("text", 1, 16).alias("p16"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    pairs = a.join(b, on="lang").where(F.expr("a.doc_id < b.doc_id"))
+    score = (
+        F.expr(f"if(a.source = b.source, {ER_W_SOURCE}, 0)")
+        + F.expr(
+            f"if(abs(a.n_chars - b.n_chars) <= {ER_CHARS_TOL},"
+            f" {ER_W_CHARS}, 0)"
+        )
+        + F.expr(f"if(a.p16 = b.p16, {ER_W_PREFIX}, 0)")
+    )
+    return (
+        pairs.withColumn("score", score.cast("long"))
+        .where(F.col("score") >= ER_MIN_SCORE)
+        .select(
+            F.expr("a.doc_id").alias("doc_a"),
+            F.expr("b.doc_id").alias("doc_b"),
+            "score",
+        )
+    )
