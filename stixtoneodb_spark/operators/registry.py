@@ -3096,3 +3096,181 @@ WHERE (CASE WHEN a.source = b.source THEN {relational.ER_W_SOURCE} ELSE 0 END)
     >= {relational.ER_MIN_SCORE}
 """,
 )
+
+
+REGISTRY["stats_ks_distance"] = (
+    relational.stats_ks_distance,
+    """
+WITH v AS (
+  SELECT event_type, CAST(floor(value + 0.5) AS BIGINT) AS vd FROM events
+), c AS (
+  SELECT event_type, vd, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1
+), vals AS (
+  SELECT DISTINCT vd FROM v
+), pairs AS (
+  SELECT a.event_type AS ta, a.n AS na, b.event_type AS tb, b.n AS nb
+  FROM tot a JOIN tot b ON a.event_type < b.event_type
+), grid AS (
+  SELECT p.ta, p.tb, p.na, p.nb, vals.vd,
+         COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+  FROM pairs p CROSS JOIN vals
+  LEFT JOIN c ca ON ca.event_type = p.ta AND ca.vd = vals.vd
+  LEFT JOIN c cb ON cb.event_type = p.tb AND cb.vd = vals.vd
+), cum AS (
+  SELECT ta, tb, na, nb,
+         SUM(ca) OVER (PARTITION BY ta, tb ORDER BY vd
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(cb) OVER (PARTITION BY ta, tb ORDER BY vd
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM grid
+)
+SELECT ta, tb,
+       (1000000 * MAX(abs(cum_a * nb - cum_b * na))) // (na * nb) AS ks_ppm
+FROM cum GROUP BY ta, tb, na, nb
+""",
+)
+
+
+REGISTRY["stats_chi2_independence"] = (
+    relational.stats_chi2_independence,
+    """
+WITH e AS (
+  SELECT event_type,
+         CAST(floor(value + 0.5) AS BIGINT) % 2 AS parity
+  FROM events
+), cells AS (
+  SELECT event_type, parity, CAST(COUNT(*) AS BIGINT) AS o
+  FROM e GROUP BY 1, 2
+), m AS (
+  SELECT event_type, parity, o,
+         SUM(o) OVER (PARTITION BY event_type) AS r,
+         SUM(o) OVER (PARTITION BY parity) AS c,
+         SUM(o) OVER () AS n
+  FROM cells
+)
+SELECT event_type, parity, o,
+       CAST(floor(1000000.0
+         * (CAST(n AS DOUBLE) * o - CAST(r AS DOUBLE) * c)
+         * (CAST(n AS DOUBLE) * o - CAST(r AS DOUBLE) * c)
+         / (CAST(n AS DOUBLE) * r * c) + 0.5) AS BIGINT) AS chi2_ppm
+FROM m
+""",
+)
+
+
+REGISTRY["stats_autocorr_lag1"] = (
+    relational.stats_autocorr_lag1,
+    """
+WITH e AS (
+  SELECT event_type,
+         date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                   date_trunc('hour', ts)) AS hour_id
+  FROM events
+), c AS (
+  SELECT event_type, hour_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2
+), p AS (
+  SELECT event_type, c,
+         lag(c, 1) OVER (PARTITION BY event_type ORDER BY hour_id) AS prev
+  FROM c
+), m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS m,
+         CAST(SUM(c) AS BIGINT) AS sx, CAST(SUM(prev) AS BIGINT) AS sy,
+         CAST(SUM(c * c) AS BIGINT) AS sxx,
+         CAST(SUM(prev * prev) AS BIGINT) AS syy,
+         CAST(SUM(c * prev) AS BIGINT) AS sxy
+  FROM p WHERE prev IS NOT NULL GROUP BY 1
+)
+SELECT event_type, m,
+       CAST(floor(1000000.0
+         * (CAST(m AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         / sqrt(CAST((m * sxx - sx * sx) * (m * syy - sy * sy) AS DOUBLE))
+         + 0.5) AS BIGINT) AS autocorr_ppm
+FROM m
+""",
+)
+
+
+def _benford_sql() -> str:
+    case = "CASE digit " + " ".join(
+        f"WHEN {d + 1} THEN {p}"
+        for d, p in enumerate(relational.BENFORD_PPM)
+    ) + " END"
+    return f"""
+WITH v AS (
+  SELECT CAST(substring(CAST(CAST(floor(value + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS digit
+  FROM events
+  WHERE CAST(floor(value + 0.5) AS BIGINT) >= 1
+), obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS c FROM v GROUP BY 1
+), tot AS (
+  SELECT SUM(c) AS n FROM obs
+)
+SELECT digit, c,
+       (1000000 * c) // n AS obs_ppm,
+       CAST({case} AS BIGINT) AS benford_ppm,
+       abs((1000000 * c) // n - CAST({case} AS BIGINT)) AS dev_ppm
+FROM obs, tot
+"""
+
+
+REGISTRY["stats_benford_deviation"] = (
+    relational.stats_benford_deviation,
+    _benford_sql(),
+)
+
+
+REGISTRY["text_shingle_containment"] = (
+    text.text_shingle_containment,
+    f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS toks
+  FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in range(1, len(toks) - 1)]) AS sh
+  FROM tok WHERE len(toks) >= 3
+), sh AS (
+  SELECT doc_id, unnest(sh) AS s, len(sh) AS n_sh FROM sh0
+), j AS (
+  SELECT a.doc_id AS doc_from, b.doc_id AS doc_to, a.n_sh AS n_from,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2, 3
+)
+SELECT doc_from, doc_to,
+       (1000000 * inter) // n_from AS containment_ppm
+FROM j
+WHERE (1000000 * inter) // n_from >= {text.CONT_MIN_PPM}
+""",
+)
+
+
+def _interleave_sql() -> str:
+    case = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(text.MIX_WEIGHTS.items())
+    ) + f" ELSE {text.MIX_STRIDE_DEFAULT} END"
+    return f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS r
+  FROM documents
+), k AS (
+  SELECT doc_id, lang, ({case}) * r AS vt FROM r
+), o AS (
+  SELECT CAST(row_number() OVER (ORDER BY vt, lang, doc_id) AS BIGINT) AS pos,
+         lang, doc_id
+  FROM k
+)
+SELECT pos, lang, doc_id FROM o WHERE pos <= {text.MIX_TAKE_N}
+"""
+
+
+REGISTRY["corpus_interleave_mixture"] = (
+    text.corpus_interleave_mixture,
+    _interleave_sql(),
+)

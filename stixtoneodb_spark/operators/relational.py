@@ -2086,3 +2086,182 @@ def er_field_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+
+
+# -- round-4 seventh-continuation batch: distribution drift / audit ---------
+
+KS_PAIR_TYPES = None  # all type pairs
+BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153,
+               45757)  # round(1e6*log10(1+1/d)) for d=1..9 — inlined constants
+
+
+def stats_ks_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between every pair of
+    event types' value distributions — the train/serve drift gate run
+    before trusting a sampled split.  D = max_v |F_a(v) − F_b(v)| is
+    evaluated on the exact cross-multiplied integer form
+    |cum_a·n_b − cum_b·n_a| (never a float ECDF), so the readout
+    ppm = 1e6·max(...) div (n_a·n_b) is pure integer on both engines.
+
+    Scale shape: the per-(type, value) count is ONE map-side-combined
+    agg over the facts; the pair×value grid is distribution-summary
+    scale (types² × distinct values), never fact scale — the window
+    cumsum runs there.  int64 bound: cum·n ≤ n², safe to n≈3e9 rows
+    per type (decimal past that).
+    """
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("vd")
+    )
+    c = v.groupBy("event_type", "vd").agg(F.count("*").alias("c"))
+    tot = v.groupBy("event_type").agg(F.count("*").alias("n"))
+    vals = v.select("vd").distinct()
+    pairs = (
+        tot.select(F.col("event_type").alias("ta"), F.col("n").alias("na"))
+        .join(
+            tot.select(F.col("event_type").alias("tb"), F.col("n").alias("nb")),
+            F.col("ta") < F.col("tb"),
+        )
+    )
+    grid = (
+        pairs.crossJoin(vals)
+        .join(
+            c.select(F.col("event_type").alias("ta"), "vd", F.col("c").alias("ca")),
+            ["ta", "vd"],
+            "left",
+        )
+        .join(
+            c.select(F.col("event_type").alias("tb"), "vd", F.col("c").alias("cb")),
+            ["tb", "vd"],
+            "left",
+        )
+        .fillna(0, subset=["ca", "cb"])
+    )
+    w = (
+        Window.partitionBy("ta", "tb")
+        .orderBy("vd")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.withColumn("cum_a", F.sum("ca").over(w))
+        .withColumn("cum_b", F.sum("cb").over(w))
+        .groupBy("ta", "tb", "na", "nb")
+        .agg(F.max(F.expr("abs(cum_a * nb - cum_b * na)")).alias("dmax"))
+        .select(
+            "ta",
+            "tb",
+            F.expr("(1000000 * dmax) div (na * nb)").alias("ks_ppm"),
+        )
+    )
+
+
+def stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell chi-square contributions for independence of event type
+    × value parity — the contingency audit next to stats_cohens_kappa.
+    Each cell emits (n·o − r·c)² / (n·r·c) in ppm, computed per cell
+    from exact int64 marginals with ONE float division (no float SUM
+    across rows, so partial-aggregation order cannot differ between
+    engines); the reader sums the bounded cell set for the statistic.
+
+    Scale shape: one map-side-combined (type, parity) agg over the
+    facts; marginals are window sums over the CELL table (types ×
+    parities rows); everything after is per-cell scalar arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("pmod(cast(floor(value + 0.5) as bigint), 2)").alias("parity"),
+    )
+    cells = e.groupBy("event_type", "parity").agg(F.count("*").alias("o"))
+    r = Window.partitionBy("event_type")
+    col_w = Window.partitionBy("parity")
+    g = Window.partitionBy()
+    m = (
+        cells.withColumn("r", F.sum("o").over(r))
+        .withColumn("c", F.sum("o").over(col_w))
+        .withColumn("n", F.sum("o").over(g))
+    )
+    dev = "(cast(n as double) * o - cast(r as double) * c)"
+    return m.select(
+        "event_type",
+        "parity",
+        "o",
+        F.expr(
+            f"cast(floor(1000000.0 * {dev} * {dev}"
+            " / (cast(n as double) * r * c) + 0.5) as bigint)"
+        ).alias("chi2_ppm"),
+    )
+
+
+def stats_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of each type's hourly event-count series —
+    the burstiness probe next to events_ewma_hourly (r≈0: memoryless
+    arrivals; r>0: rate persistence).  Pearson r over (c_t, c_{t-1})
+    pairs from exact int64 sums; the denominator multiplies the two
+    int64 variance terms BEFORE the single cast to double (one rounding,
+    identical on both engines) and uses sqrt (correctly rounded), never
+    pow.
+
+    Scale shape: facts collapse to the (type, hour) count map-side; the
+    lag window and the moment agg run at series scale.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(HOUR, timestamp'2024-01-01 00:00:00',"
+            " date_trunc('hour', ts))"
+        ).alias("hour_id"),
+    )
+    c = e.groupBy("event_type", "hour_id").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("event_type").orderBy("hour_id")
+    p = c.withColumn("prev", F.lag("c", 1).over(w)).where(F.col("prev").isNotNull())
+    m = p.groupBy("event_type").agg(
+        F.count("*").alias("m"),
+        F.sum("c").alias("sx"),
+        F.sum("prev").alias("sy"),
+        F.sum(F.expr("c * c")).alias("sxx"),
+        F.sum(F.expr("prev * prev")).alias("syy"),
+        F.sum(F.expr("c * prev")).alias("sxy"),
+    )
+    return m.select(
+        "event_type",
+        "m",
+        F.expr(
+            "cast(floor(1000000.0 * (cast(m as double) * sxy - cast(sx as double) * sy)"
+            " / sqrt(cast((m * sxx - sx * sx) * (m * syy - sy * sy) as double))"
+            " + 0.5) as bigint)"
+        ).alias("autocorr_ppm"),
+    )
+
+
+def stats_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution vs Benford's law in exact
+    ppm — the synthetic-data / entry-error audit.  The digit is taken
+    from the DECIMAL STRING of the rounded value (pure string op — no
+    log10 float path), observed shares are integer ppm, and the
+    expected shares are the inlined BENFORD_PPM constant table (shared
+    verbatim with the oracle), so the deviation column is exact integer
+    arithmetic end to end.
+
+    Scale shape: one map-side-combined digit count; the 9-row constant
+    join is a literal inline table.
+    """
+    v = (
+        load_table(spark, sf_dir, "events")
+        .select(F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("vd"))
+        .where(F.col("vd") >= 1)
+        .select(F.substring(F.col("vd").cast("string"), 1, 1).cast("int").alias("digit"))
+    )
+    obs = v.groupBy("digit").agg(F.count("*").alias("c"))
+    exp_case = "CASE digit " + " ".join(
+        f"WHEN {d + 1} THEN {p}" for d, p in enumerate(BENFORD_PPM)
+    ) + " END"
+    tot = obs.agg(F.sum("c").alias("n"))
+    return (
+        obs.join(F.broadcast(tot))
+        .select(
+            "digit",
+            "c",
+            F.expr("(1000000 * c) div n").alias("obs_ppm"),
+            F.expr(exp_case).cast("long").alias("benford_ppm"),
+        )
+        .withColumn("dev_ppm", F.expr("abs(obs_ppm - benford_ppm)"))
+    )

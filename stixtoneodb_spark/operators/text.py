@@ -1408,3 +1408,85 @@ def corpus_select_to_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("cum_tokens") <= F.col("budget"))
         .select("doc_id", "n_tokens", "cum_tokens")
     )
+
+
+# -- round-4 seventh-continuation: containment + mixture order --------------
+
+CONT_MIN_PPM = 100000   # emit pairs with >=10% shingle containment
+MIX_WEIGHTS = {"en": 12, "fr": 20, "de": 30}  # stride = LCM(60)/w: w=5,3,2
+MIX_STRIDE_DEFAULT = 60                        # weight 1 for all other langs
+MIX_TAKE_N = 100
+
+
+def text_shingle_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC shingle containment C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|
+    over distinct word-3-grams — the quote/subset detector that Jaccard
+    misses: a short document fully contained in a long one has high
+    containment but low Jaccard (dedup_ngram_jaccard's 0.8 floor never
+    fires).  Pure integer ppm readout.
+
+    Scale shape: pairs materialize from the shared-shingle join at
+    co-occurrence cardinality (each shingle contributes |docs|² pairs),
+    with the intersection size falling out of the SAME join as a
+    groupBy count — no second pass.  At 100 TB the join key must be
+    df-capped exactly like the canonicalizer's MAX_BLOCK band guard
+    (dropping boilerplate shingles bounds block size; the dropped
+    shingles are the ones carrying no containment evidence), or pruned
+    by the prefix-filter tier (dedup_set_similarity_prefix).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.lower("text"), " "), lambda t: t != "")
+    tcol = F.col("toks")
+    sh3 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(tcol) - 3),
+            lambda i: F.array_join(F.slice(tcol, i + 1, 3), " "),
+        )
+    )
+    sh = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 3)
+        .select("doc_id", sh3.alias("shs"))
+        .select("doc_id", F.explode("shs").alias("s"), F.size("shs").alias("n_sh"))
+    )
+    a = sh.select(F.col("doc_id").alias("doc_from"), "s", F.col("n_sh").alias("n_from"))
+    b = sh.select(F.col("doc_id").alias("doc_to"), "s")
+    return (
+        a.join(b, "s")
+        .where(F.col("doc_from") != F.col("doc_to"))
+        .groupBy("doc_from", "doc_to", "n_from")
+        .agg(F.count("*").alias("inter"))
+        .select(
+            "doc_from",
+            "doc_to",
+            F.expr("(1000000 * inter) div n_from").alias("containment_ppm"),
+        )
+        .where(F.col("containment_ppm") >= CONT_MIN_PPM)
+    )
+
+
+def corpus_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stride-scheduled mixture interleaving — the deterministic order
+    materializer that complements corpus_language_sampling_weights: each
+    language advances a virtual clock by LCM/weight per document taken
+    (en 5 : fr 3 : de 2 : others 1), and the global training order is
+    the merge of those clocks.  Every comparison is integer (stride
+    keys), ties break (lang, doc_id) — both engines emit the identical
+    first MIX_TAKE_N positions.
+
+    Scale shape: per-language rank is a partitioned window (per-lang
+    cardinality); the global take-N is TakeOrderedAndProject (O(n) scan
+    + bounded heap), never a full sort.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    r = F.row_number().over(Window.partitionBy("lang").orderBy("doc_id"))
+    stride = "CASE lang " + " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in sorted(MIX_WEIGHTS.items())
+    ) + f" ELSE {MIX_STRIDE_DEFAULT} END"
+    keyed = d.withColumn("vt", F.expr(stride) * r)
+    pos = F.row_number().over(Window.orderBy("vt", "lang", "doc_id"))
+    return (
+        keyed.withColumn("pos", pos)
+        .where(F.col("pos") <= MIX_TAKE_N)
+        .select("pos", "lang", "doc_id")
+    )
