@@ -3274,3 +3274,190 @@ REGISTRY["corpus_interleave_mixture"] = (
     text.corpus_interleave_mixture,
     _interleave_sql(),
 )
+
+
+REGISTRY["stats_mann_whitney_u"] = (
+    relational.stats_mann_whitney_u,
+    """
+WITH v AS (
+  SELECT event_type, CAST(floor(value + 0.5) AS BIGINT) AS vd FROM events
+), c AS (
+  SELECT event_type, vd, COUNT(*) AS c FROM v GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM v GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS ta, a.n AS na, b.event_type AS tb, b.n AS nb
+  FROM tot a JOIN tot b ON a.event_type < b.event_type
+), grid AS (
+  SELECT ta, tb, na, nb, vd,
+         SUM(CASE WHEN c.event_type = ta THEN c.c ELSE 0 END) AS ca,
+         SUM(CASE WHEN c.event_type = tb THEN c.c ELSE 0 END) AS cb
+  FROM c JOIN pairs ON c.event_type = ta OR c.event_type = tb
+  GROUP BY 1, 2, 3, 4, 5
+), mid AS (
+  SELECT ta, tb, na, nb, ca,
+         2 * COALESCE(SUM(ca + cb) OVER (
+               PARTITION BY ta, tb ORDER BY vd
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           + (ca + cb) + 1 AS dm
+  FROM grid
+)
+SELECT ta, tb,
+       SUM(ca * dm) - na * (na + 1) AS u2,
+       (1000000 * (SUM(ca * dm) - na * (na + 1))) // (2 * na * nb) AS auc_ppm
+FROM mid GROUP BY ta, tb, na, nb
+""",
+)
+
+
+def _mi_sql() -> str:
+    b = relational.MI_BUCKET
+    return f"""
+WITH e AS (
+  SELECT event_type AS x, CAST(floor(value + 0.5) AS BIGINT) // {b} AS y
+  FROM events
+), nxy AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS nxy FROM e GROUP BY 1, 2
+), nx AS (
+  SELECT x, SUM(nxy) AS nx FROM nxy GROUP BY 1
+), ny AS (
+  SELECT y, SUM(nxy) AS ny FROM nxy GROUP BY 1
+), nn AS (
+  SELECT SUM(nxy) AS n FROM nxy
+)
+SELECT (SELECT n FROM nn) AS n,
+       round(SUM((CAST(nxy AS DOUBLE) / (SELECT n FROM nn))
+                 * ln(CAST(nxy AS DOUBLE) * (SELECT n FROM nn)
+                      / (CAST(nx AS DOUBLE) * ny))), 6) AS mi_nats,
+       (SELECT round(SUM((CAST(nx AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / nx)), 6)
+        FROM nx, nn) AS h_x,
+       (SELECT round(SUM((CAST(ny AS DOUBLE) / n) * ln(CAST(n AS DOUBLE) / ny)), 6)
+        FROM ny, nn) AS h_y
+FROM nxy JOIN nx USING (x) JOIN ny USING (y)
+"""
+
+
+REGISTRY["stats_mutual_information"] = (
+    relational.stats_mutual_information,
+    _mi_sql(),
+)
+
+
+REGISTRY["stats_cusum_changepoint"] = (
+    relational.stats_cusum_changepoint,
+    """
+WITH e AS (
+  SELECT event_type, ts, event_id,
+         CAST(floor(value + 0.5) AS BIGINT) AS x
+  FROM events
+), s AS (
+  SELECT event_type, ts,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS t,
+         SUM(x) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+         SUM(x) OVER (PARTITION BY event_type) AS total
+  FROM e
+), d AS (
+  SELECT event_type, ts, t, n, total, abs(n * cum - t * total) AS d,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY abs(n * cum - t * total) DESC, t ASC) AS rk
+  FROM s
+)
+SELECT event_type, n, t AS t_star, ts AS ts_star, d AS d_max,
+       (1000000 * d) // (n * total) AS mag_ppm
+FROM d WHERE rk = 1
+""",
+)
+
+
+def _bigram_nll_sql() -> str:
+    return """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, toks FROM tok WHERE len(toks) >= 2
+), bg AS (
+  SELECT doc_id, unnest([{'w1': toks[i], 'bg': toks[i] || ' ' || toks[i + 1]}
+                         for i in range(1, len(toks))]) AS b
+  FROM base
+), bigrams AS (
+  SELECT doc_id, b.w1 AS w1, b.bg AS bg FROM bg
+), uni AS (
+  SELECT unnest(toks) AS w1 FROM base
+), cu AS (
+  SELECT w1, CAST(COUNT(*) AS BIGINT) AS cu FROM uni GROUP BY 1
+), vocab AS (
+  SELECT CAST(COUNT(DISTINCT w1) AS BIGINT) AS v FROM uni
+), cbg AS (
+  SELECT bg, CAST(COUNT(*) AS BIGINT) AS cbg FROM bigrams GROUP BY 1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       round(SUM(ln(CAST(cu + v AS DOUBLE) / (cbg + 1))) / COUNT(*), 6) AS nll_nats
+FROM bigrams JOIN cbg USING (bg) JOIN cu USING (w1) CROSS JOIN vocab
+GROUP BY doc_id
+"""
+
+
+REGISTRY["text_bigram_nll"] = (text.text_bigram_nll, _bigram_nll_sql())
+
+
+REGISTRY["text_lexical_stats"] = (
+    text.text_lexical_stats,
+    """
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+  FROM documents
+), pt AS (
+  SELECT doc_id, unnest(toks) AS tok FROM tok WHERE len(toks) >= 1
+), c AS (
+  SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c FROM pt GROUP BY 1, 2
+), agg AS (
+  SELECT doc_id,
+         SUM(c) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_types,
+         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS n_hapax,
+         SUM(c * ln(CAST(c AS DOUBLE))) AS sum_clnc
+  FROM c GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_types,
+       (1000000 * n_types) // n_tokens AS ttr_ppm,
+       (1000000 * n_hapax) // n_types AS hapax_ppm,
+       round(ln(CAST(n_tokens AS DOUBLE)) - sum_clnc / n_tokens, 6)
+         AS token_entropy_nats
+FROM agg
+""",
+)
+
+
+def _zipf_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+  FROM documents
+), freq AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+  FROM (SELECT unnest(toks) AS tok FROM tok)
+  GROUP BY 1 HAVING COUNT(*) >= {text.ZIPF_MIN_COUNT}
+), ranked AS (
+  SELECT ln(CAST(row_number() OVER (ORDER BY c DESC, tok ASC) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+  FROM freq
+), m AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM ranked
+)
+SELECT n,
+       round((n * sxy - sx * sy) / NULLIF(n * sxx - sx * sx, 0.0), 6) AS slope,
+       round((sy * sxx - sx * sxy) / NULLIF(n * sxx - sx * sx, 0.0), 6) AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / NULLIF(NULLIF(n * sxx - sx * sx, 0.0)
+                      * (n * syy - sy * sy), 0.0), 6) AS r2
+FROM m
+"""
+
+
+REGISTRY["stats_zipf_slope"] = (text.stats_zipf_slope, _zipf_sql())

@@ -2265,3 +2265,165 @@ def stats_benford_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("dev_ppm", F.expr("abs(obs_ppm - benford_ppm)"))
     )
+
+
+def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney rank-sum test between every pair of event types'
+    value distributions — the nonparametric sibling of stats_ks_distance
+    for the drift gate (reference analogue: StixToNeoDB emits per-type
+    populations whose parity we audit; StixToNeoDB.scala:24-38).
+
+    Everything stays integer: values are discretized like KS
+    (floor(v+0.5)); tied ranks use DOUBLED midranks
+    dm = 2·cum_before + c_pool + 1 (always odd/even integer, never a
+    .5 float), so the rank sum R2 = Σ c_a·dm is exact int64 and
+    U2 = R2 − n_a·(n_a+1) is exactly twice the U statistic.  The
+    readout is the common-language effect size (AUC) in ppm:
+    1e6·U2 div (2·n_a·n_b) — pure integer division on both engines.
+
+    Scale shape: the per-(type,value) count is ONE map-side-combined
+    agg over the facts; the pair grid is (types² × distinct values) —
+    distribution-summary scale — and the cumsum window runs there,
+    partitioned per pair.  int64 bound: R2 ≤ 2n², safe to n≈2e9 per
+    type (decimal past that).
+    """
+    v = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("vd")
+    )
+    c = v.groupBy("event_type", "vd").agg(F.count("*").alias("c"))
+    tot = v.groupBy("event_type").agg(F.count("*").alias("n"))
+    pairs = tot.select(F.col("event_type").alias("ta"), F.col("n").alias("na")).join(
+        tot.select(F.col("event_type").alias("tb"), F.col("n").alias("nb")),
+        F.col("ta") < F.col("tb"),
+    )
+    # per-pair union of value rows, pivoted to (ca, cb) — only values
+    # present in either side (midranks don't need the dense grid KS does);
+    # the types² pair grid is the broadcast side, the value counts stream
+    sides = c.join(
+        F.broadcast(pairs),
+        (F.col("event_type") == F.col("ta")) | (F.col("event_type") == F.col("tb")),
+    )
+    grid = sides.groupBy("ta", "tb", "na", "nb", "vd").agg(
+        F.sum(F.expr("if(event_type = ta, c, 0)")).alias("ca"),
+        F.sum(F.expr("if(event_type = tb, c, 0)")).alias("cb"),
+    )
+    w = (
+        Window.partitionBy("ta", "tb")
+        .orderBy("vd")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        grid.withColumn("cum_before", F.coalesce(F.sum(F.expr("ca + cb")).over(w), F.lit(0)))
+        .withColumn("dm", F.expr("2 * cum_before + (ca + cb) + 1"))
+        .groupBy("ta", "tb", "na", "nb")
+        .agg(F.sum(F.expr("ca * dm")).alias("r2a"))
+        .select(
+            "ta",
+            "tb",
+            F.expr("r2a - na * (na + 1)").alias("u2"),
+            F.expr("(1000000 * (r2a - na * (na + 1))) div (2 * na * nb)").alias("auc_ppm"),
+        )
+    )
+
+
+MI_BUCKET = 50  # value-bucket width for the mutual-information grid
+
+
+def stats_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (nats) between event_type and the bucketed
+    value — the feature-selection / leakage audit next to
+    stats_chi2_independence (chi2 says "dependent?", MI says "how many
+    bits does one leak about the other").
+
+    Counts are exact integers; the only float is the final
+    Σ (nxy/n)·ln(nxy·n/(nx·ny)) assembled from identical integer-ratio
+    expression trees on both engines and rounded to 6 dp (the PMI
+    precedent: a 1-ulp libm ln divergence is 9 orders below the
+    rounding grain).  H(x) and H(y) ship alongside so the oracle also
+    checks the normalization ceiling MI ≤ min(H(x), H(y)).
+
+    Scale shape: one map-side-combined (x,y) count over the facts; the
+    MI sum runs at contingency-grid scale (types × buckets).  The
+    marginals come from re-aggregating the grid, never a second fact
+    scan.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("x"),
+        (F.floor(F.col("value") + F.lit(0.5)).cast("long") / F.lit(MI_BUCKET))
+        .cast("long")
+        .alias("y"),
+    )
+    nxy = e.groupBy("x", "y").agg(F.count("*").alias("nxy"))
+    nx = nxy.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    ny = nxy.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    n = nxy.agg(F.sum("nxy").alias("n"))
+    joint = (
+        nxy.join(F.broadcast(nx), "x")
+        .join(F.broadcast(ny), "y")
+        .join(F.broadcast(n))
+    )
+    mi_term = (
+        "(cast(nxy as double) / n)"
+        " * ln(cast(nxy as double) * n / (cast(nx as double) * ny))"
+    )
+    hx_term = "(cast(nx as double) / n) * ln(cast(n as double) / nx)"
+    hy_term = "(cast(ny as double) / n) * ln(cast(n as double) / ny)"
+    mi = joint.agg(
+        F.round(F.sum(F.expr(mi_term)), 6).alias("mi_nats"),
+        F.max("n").alias("n"),
+    )
+    hx = nx.join(F.broadcast(n)).agg(F.round(F.sum(F.expr(hx_term)), 6).alias("h_x"))
+    hy = ny.join(F.broadcast(n)).agg(F.round(F.sum(F.expr(hy_term)), 6).alias("h_y"))
+    return mi.join(F.broadcast(hx)).join(F.broadcast(hy)).select(
+        "n", "mi_nats", "h_x", "h_y"
+    )
+
+
+def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detector per event type: the time-ordered
+    cumulative deviation from the series mean, S_t = Σ_{i≤t}(x_i − x̄),
+    peaks exactly at the most likely single changepoint.  Kept in the
+    cross-multiplied integer form D_t = n·cum_t − t·total (never a
+    float mean), so argmax|D_t| and the magnitude are exact; ties break
+    to the EARLIEST t.  Readout ppm normalizes by the series' total
+    mass: 1e6·|D|max div (n·total).
+
+    Scale shape: the fact scan projects (type, ts, value); the cumsum
+    is a per-type ordered window (series scale after the project);
+    argmax is a row_number()=1 filter on the same partitioning — one
+    shuffle total, no self-join.  int64: n·cum ≤ n²·x̄ — decimal swap
+    at sf where n_type·total > 9e18.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("x"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    stat = (
+        e.withColumn("t", F.row_number().over(wt))
+        .withColumn(
+            "cum", F.sum("x").over(wt.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .withColumn("n", F.count("*").over(Window.partitionBy("event_type")))
+        .withColumn(
+            "total", F.sum("x").over(Window.partitionBy("event_type"))
+        )
+        .withColumn("d", F.expr("abs(n * cum - t * total)"))
+    )
+    pick = F.row_number().over(
+        Window.partitionBy("event_type").orderBy(F.desc("d"), F.asc("t"))
+    )
+    return (
+        stat.withColumn("rk", pick)
+        .where(F.col("rk") == 1)
+        .select(
+            "event_type",
+            "n",
+            F.col("t").alias("t_star"),
+            F.col("ts").alias("ts_star"),
+            F.col("d").alias("d_max"),
+            F.expr("(1000000 * d) div (n * total)").alias("mag_ppm"),
+        )
+    )

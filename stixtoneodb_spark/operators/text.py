@@ -1490,3 +1490,163 @@ def corpus_interleave_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("pos") <= MIX_TAKE_N)
         .select("pos", "lang", "doc_id")
     )
+
+
+def text_bigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document negative log-likelihood under an add-one-smoothed
+    bigram LM trained on the whole corpus — the KenLM/CCNet-style
+    perplexity quality gate: boilerplate and templated spam score LOW
+    (predictable), lexical soup scores HIGH, and the tails of the NLL
+    distribution are what a curation pass drops.
+
+    Model: P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V), where c(w1 w2) is
+    the corpus bigram count (2-shingles WITH multiplicity), c(w1) the
+    corpus unigram occurrence count, and V the corpus vocabulary size.
+    nll = Σ ln((c(w1)+V)/(c(w1 w2)+1)) / n_bigrams, rounded to 6 dp —
+    every ratio is an identical integer-ratio expression tree on both
+    engines (the PMI ln precedent).
+
+    Scale shape: token explode → ONE map-side-combined count per
+    unigram and per bigram; scoring is a token-scale shuffle join on
+    the bigram key (the LM tables are corpus-vocabulary scale — joined,
+    not broadcast, because a web-scale bigram table outgrows the
+    driver).  No Python, no windows — bigrams come from a vectorized
+    transform() over the token array.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_ws_tokens(F.col("text")), lambda t: t != F.lit(""))
+    base = d.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 2)
+    bigrams = base.select(
+        "doc_id",
+        F.expr(
+            "transform(sequence(1, size(toks) - 1),"
+            " i -> struct(element_at(toks, i) as w1,"
+            "             concat(element_at(toks, i), ' ',"
+            "                    element_at(toks, i + 1)) as bg))"
+        ).alias("bgs"),
+    ).select("doc_id", F.explode("bgs").alias("b")).select(
+        "doc_id", F.col("b.w1").alias("w1"), F.col("b.bg").alias("bg")
+    )
+    uni = base.select(F.explode("toks").alias("w1"))
+    cu = uni.groupBy("w1").agg(F.count("*").alias("cu"))
+    vocab = uni.select("w1").distinct().agg(F.count("*").alias("v"))
+    cbg = bigrams.groupBy("bg").agg(F.count("*").alias("cbg"))
+    scored = (
+        bigrams.join(cbg, "bg")
+        .join(cu, "w1")
+        .join(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.expr("ln(cast(cu + v as double) / (cbg + 1))").alias("nll_term"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.expr("sum(nll_term) / count(*)"), 6).alias("nll_nats"),
+    )
+
+
+def text_lexical_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document lexical-diversity profile: type-token ratio, hapax
+    share, and token-level Shannon entropy — the trio that separates
+    natural prose (TTR ~0.5-0.8, entropy near ln(n_types)) from
+    keyword-stuffed or looped spam (low TTR, entropy collapsed onto a
+    few heavy types).  Complements text_repetition_signals (which looks
+    at ADJACENT repeats; this is bag-of-words global).
+
+    ttr_ppm and hapax_ppm are exact integer divisions; entropy
+    -Σ (c/n)·ln(c/n) is the identical integer-ratio ln tree on both
+    engines, rounded to 6 dp.
+
+    Scale shape: ONE token explode → per-(doc, token) count (map-side
+    combined) → per-doc re-aggregate.  Both aggs share the doc_id
+    shuffle key — AQE coalesces; nothing leaves token scale except the
+    final per-doc rows.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_ws_tokens(F.col("text")), lambda t: t != F.lit(""))
+    per_tok = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= 1)
+        .select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.expr("if(c = 1, 1, 0)")).alias("n_hapax"),
+            F.sum(F.expr("c * ln(cast(c as double))")).alias("sum_clnc"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            F.expr("(1000000 * n_types) div n_tokens").alias("ttr_ppm"),
+            F.expr("(1000000 * n_hapax) div n_types").alias("hapax_ppm"),
+            F.round(
+                F.expr("ln(cast(n_tokens as double)) - sum_clnc / n_tokens"), 6
+            ).alias("token_entropy_nats"),
+        )
+    )
+
+
+ZIPF_MIN_COUNT = 2  # rank-frequency fit ignores the hapax noise floor
+
+
+def stats_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level Zipf fit: OLS of ln(freq) on ln(rank) over the
+    token frequency table — natural corpora land near slope −1; a
+    far-off slope is the classic synthetic/corrupted-corpus smell
+    test (and the sampling-weight input for corpus_language_sampling
+    style temperature schedules).
+
+    Ranks are exact integers (freq desc, token asc tie-break —
+    deterministic on both engines); the OLS moments are double sums of
+    identical ln expression trees, and slope/intercept/r² round to
+    6 dp.  Tokens below ZIPF_MIN_COUNT are excluded (the hapax shelf
+    flattens the fit; standard practice).
+
+    Scale shape: token explode → ONE map-side-combined count; the
+    rank window and 6-term moment agg run at vocabulary scale.  The
+    single-partition rank window is the documented scale ceiling —
+    at web vocabulary (1e8 types) swap to a two-pass range-partitioned
+    rank; the moments stay one agg either way.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_ws_tokens(F.col("text")), lambda t: t != F.lit(""))
+    freq = (
+        d.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .where(F.col("c") >= ZIPF_MIN_COUNT)
+    )
+    ranked = freq.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok")))
+    ).select(
+        F.expr("ln(cast(rk as double))").alias("x"),
+        F.expr("ln(cast(c as double))").alias("y"),
+    )
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    # nullif guards: a single-type vocabulary (den=0) or an all-equal
+    # frequency shelf (syy variance 0) emit NULL, not an ANSI error
+    den = "nullif(n * sxx - sx * sx, 0.0)"
+    num_b = "(n * sxy - sx * sy)"
+    return m.select(
+        "n",
+        F.round(F.expr(f"{num_b} / {den}"), 6).alias("slope"),
+        F.round(F.expr(f"(sy * sxx - sx * sxy) / {den}"), 6).alias("intercept"),
+        F.round(
+            F.expr(f"({num_b} * {num_b}) / nullif({den} * (n * syy - sy * sy), 0.0)"),
+            6,
+        ).alias("r2"),
+    )
