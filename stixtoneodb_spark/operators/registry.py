@@ -3461,3 +3461,144 @@ FROM m
 
 
 REGISTRY["stats_zipf_slope"] = (text.stats_zipf_slope, _zipf_sql())
+
+
+REGISTRY["embedding_hard_negatives"] = (
+    similarity.embedding_hard_negatives,
+    """
+WITH s AS (
+  SELECT a.vec_id AS vec_id, a.label AS la, b.vec_id AS vid2, b.label AS lb,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[])) AS cos
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+), neg AS (
+  SELECT vec_id, vid2 AS neg_id, cos AS cos_neg,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos DESC, vid2 ASC) AS rn
+  FROM s WHERE la <> lb
+), pos AS (
+  SELECT vec_id, vid2 AS pos_id, cos AS cos_pos,
+         row_number() OVER (PARTITION BY vec_id ORDER BY cos ASC, vid2 ASC) AS rn
+  FROM s WHERE la = lb
+)
+SELECT vec_id, pos_id, neg_id, round(cos_pos - cos_neg, 6) AS margin
+FROM (SELECT vec_id, neg_id, cos_neg FROM neg WHERE rn = 1) n
+JOIN (SELECT vec_id, pos_id, cos_pos FROM pos WHERE rn = 1) p USING (vec_id)
+""",
+)
+
+
+REGISTRY["stats_jensen_shannon"] = (
+    text.stats_jensen_shannon,
+    """
+WITH tokens AS (
+  SELECT source AS s,
+         unnest(list_filter(string_split(lower(text), ' '), t -> t <> '')) AS tok
+  FROM documents
+), c AS (
+  SELECT s, tok, CAST(COUNT(*) AS BIGINT) AS c FROM tokens GROUP BY 1, 2
+), tot AS (
+  SELECT s, SUM(c) AS n FROM c GROUP BY 1
+), pairs AS (
+  SELECT a.s AS sa, a.n AS na, b.s AS sb, b.n AS nb
+  FROM tot a JOIN tot b ON a.s < b.s
+), grid AS (
+  SELECT sa, sb, na, nb, tok,
+         SUM(CASE WHEN c.s = sa THEN c.c ELSE 0 END) AS ca,
+         SUM(CASE WHEN c.s = sb THEN c.c ELSE 0 END) AS cb
+  FROM c JOIN pairs ON c.s = sa OR c.s = sb
+  GROUP BY 1, 2, 3, 4, 5
+)
+SELECT sa, sb, CAST(COUNT(*) AS BIGINT) AS n_union_tokens,
+       round(0.5 * SUM(
+         CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / na)
+           * ln(2.0 * ca * nb / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na))
+           ELSE 0.0 END
+         + CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / nb)
+           * ln(2.0 * cb * na / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na))
+           ELSE 0.0 END), 6) AS jsd_nats
+FROM grid GROUP BY sa, sb
+""",
+)
+
+
+def _novelty_sql() -> str:
+    w = text.NOVELTY_SHINGLE
+    return f"""
+WITH tok AS (
+  SELECT doc_id, list_filter(string_split(lower(text), ' '), t -> t <> '') AS toks
+  FROM documents
+), sh0 AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+{w - 1}], ' ')
+                        for i in range(1, len(toks) - {w - 2})]) AS shl
+  FROM tok WHERE len(toks) >= {w}
+), sh AS (
+  SELECT doc_id, unnest(shl) AS sh FROM sh0
+), first AS (
+  SELECT sh, MIN(doc_id) AS first_doc FROM sh GROUP BY 1
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       (1000000 * SUM(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END))
+         // COUNT(*) AS novelty_ppm
+FROM sh JOIN first USING (sh)
+GROUP BY doc_id
+"""
+
+
+REGISTRY["corpus_ngram_novelty"] = (text.corpus_ngram_novelty, _novelty_sql())
+
+
+def _seasonal_sql() -> str:
+    z2 = relational.SEASONAL_Z * relational.SEASONAL_Z
+    return f"""
+WITH e AS (
+  SELECT event_id, event_type, CAST(hour(ts) AS BIGINT) AS hr,
+         CAST(floor(value + 0.5) AS BIGINT) AS x
+  FROM events
+), base AS (
+  SELECT event_type, hr, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS s, SUM(x * x) AS sxx
+  FROM e GROUP BY 1, 2
+)
+SELECT event_id, event_type, hr, x, n,
+       (n * x - s) * (n * x - s) AS dev2_scaled,
+       {z2} * (n * sxx - s * s) AS thr_scaled
+FROM e JOIN base USING (event_type, hr)
+WHERE n >= {relational.SEASONAL_MIN_N}
+  AND (n * x - s) * (n * x - s) > {z2} * (n * sxx - s * s)
+"""
+
+
+REGISTRY["events_seasonal_baseline"] = (
+    relational.events_seasonal_baseline,
+    _seasonal_sql(),
+)
+
+
+REGISTRY["kg_scc"] = (
+    relational.kg_scc,
+    """
+WITH RECURSIVE trans AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events)
+  WHERE dst IS NOT NULL GROUP BY 1, 2
+), cut AS (
+  SELECT SUM(c) // COUNT(*) AS cut FROM trans
+), edges AS (
+  SELECT src, dst FROM trans, cut WHERE c >= cut
+), nodes AS (
+  SELECT DISTINCT v FROM (
+    SELECT src AS v FROM trans UNION SELECT dst FROM trans)
+), r(src, dst) AS (
+  SELECT v, v FROM nodes
+  UNION
+  SELECT r.src, e.dst FROM r JOIN edges e ON r.dst = e.src
+)
+SELECT f.src AS v, MIN(f.dst) AS scc_id, CAST(COUNT(*) AS BIGINT) AS scc_size
+FROM r f JOIN r b ON f.src = b.dst AND f.dst = b.src
+GROUP BY f.src
+""",
+)

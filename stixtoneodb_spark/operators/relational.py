@@ -2427,3 +2427,134 @@ def stats_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * d) div (n * total)").alias("mag_ppm"),
         )
     )
+
+
+SEASONAL_Z = 3       # flag |x - mean| > Z sigma within the (type, hour) cell
+SEASONAL_MIN_N = 30  # cells thinner than this can't estimate a baseline
+
+
+def events_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal outlier detection: each event judged against the
+    hour-of-day baseline OF ITS OWN (type, hour) cell — the
+    time-of-day-aware sibling of agg_anomaly_zscore (a value normal at
+    peak hour is anomalous at 4am; a flat global z-score can't see
+    that).
+
+    The 3σ test never materializes a float mean or σ: with exact cell
+    moments (n, s = Σx, sxx = Σx²) the condition |x − s/n| > Z·σ is the
+    cross-multiplied integer inequality
+        (n·x − s)² > Z² · (n·sxx − s²)
+    — exact int64 end-to-end.  Cells below SEASONAL_MIN_N rows are
+    skipped (no stable baseline).
+
+    Scale shape: the baseline is ONE map-side-combined agg at
+    (types × 24) summary scale, broadcast back over the fact scan —
+    zero extra shuffles on the facts; the output is only the
+    anomalous rows.  int64: (n·x)² — decimal swap when a cell's
+    n·max(x) exceeds 3e9.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.hour("ts").cast("long").alias("hr"),
+        F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("x"),
+    )
+    base = e.groupBy("event_type", "hr").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("s"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    z2 = SEASONAL_Z * SEASONAL_Z
+    return (
+        e.join(F.broadcast(base), ["event_type", "hr"])
+        .where(
+            (F.col("n") >= SEASONAL_MIN_N)
+            & F.expr(f"(n * x - s) * (n * x - s) > {z2} * (n * sxx - s * s)")
+        )
+        .select(
+            "event_id",
+            "event_type",
+            "hr",
+            "x",
+            "n",
+            F.expr("(n * x - s) * (n * x - s)").alias("dev2_scaled"),
+            F.expr(f"{z2} * (n * sxx - s * s)").alias("thr_scaled"),
+        )
+    )
+
+
+SCC_DOUBLINGS = 3  # closure covers paths up to length 2^3 = 8
+
+
+def kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components of the DIRECTED event-type
+    transition graph (the Markov chain's communicating classes): which
+    behavioural states can reach each other and which are one-way
+    absorbing flows — the directed complement of
+    dedup_cluster_components' undirected union-find.
+
+    Graph: edges are the above-average first-order transitions (count
+    ≥ total div cells — data-relative, both engines re-derive it), so
+    the chain has genuine structure instead of the complete graph.
+    Reachability is the reflexive-transitive closure via PATH DOUBLING
+    (R ← R ∪ R∘R, SCC_DOUBLINGS rounds covers paths of length
+    2^SCC_DOUBLINGS ≥ any |types|-node diameter); SCC(u) = {v :
+    reach(u,v) ∧ reach(v,u)}, labeled by its minimum member.
+
+    Scale shape: the alphabet is event-type scale (tiny) — every join
+    broadcasts.  At entity scale this swaps to the alternating
+    large-star/small-star form used by dedup_cluster_components; path
+    doubling is the right shape when |V| is bounded and the chain is
+    dense.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+    )
+    cut = trans.agg(
+        F.expr("sum(c) div count(*)").alias("cut")
+    )
+    edges = (
+        trans.join(F.broadcast(cut))
+        .where(F.col("c") >= F.col("cut"))
+        .select("src", "dst")
+    )
+    nodes = (
+        trans.select(F.col("src").alias("v"))
+        .union(trans.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    # reflexive closure seed, then SCC_DOUBLINGS path-doubling rounds
+    reach = nodes.select(F.col("v").alias("src"), F.col("v").alias("dst")).union(
+        edges
+    ).distinct()
+    for _ in range(SCC_DOUBLINGS):
+        hop = (
+            reach.alias("a")
+            .join(
+                reach.alias("b"),
+                F.col("a.dst") == F.col("b.src"),
+            )
+            .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        )
+        reach = reach.union(hop).distinct()
+    mutual = (
+        reach.alias("f")
+        .join(
+            reach.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            ).alias("r"),
+            ["src", "dst"],
+        )
+    )
+    labeled = mutual.groupBy("src").agg(
+        F.min("dst").alias("scc_id"), F.count("*").alias("scc_size")
+    )
+    return labeled.select(F.col("src").alias("v"), "scc_id", "scc_size")

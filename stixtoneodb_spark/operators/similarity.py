@@ -1039,3 +1039,127 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / (cast(n as double) * cast(n as double)) + 0.5) as bigint)"
         ).alias("var_micro2"),
     )
+
+
+HN_BLOCKS = 4  # tile decomposition for the mining matmuls
+
+
+def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triplet mining for contrastive training: per anchor, the hardest
+    NEGATIVE (max-cosine vector with a DIFFERENT label — the impostor
+    the margin must push away) and the hardest POSITIVE (min-cosine
+    same-label vector — the far edge of the anchor's own class), plus
+    the triplet margin cos(hard_pos) − cos(hard_neg).  Negative margin
+    = active triplet (semi-hard mining keeps exactly these rows).
+
+    Same distributed shape as dedup_embedding_cosine's blocked GEMM:
+    HN_BLOCKS tiles, each unordered block pair is one numpy matmul
+    task that emits only its PER-ANCHOR tile-local champions (argmax
+    cos over negatives, argmin over positives, ties → lowest vec_id);
+    a final per-anchor agg folds the ≤B tile champions.  Shuffle is
+    O(n·B) vector replications + O(n·B) champion rows — never the n²
+    score matrix.  At web scale the exact pass swaps to mining within
+    ann_ivf_topk's probed cells (in-batch negatives); this is the
+    exact tier and the oracle anchor.
+
+    Anchors whose label has no second member (no positive exists) are
+    excluded by the final inner join, matching the oracle.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    nb = HN_BLOCKS
+    blocks = emb.withColumn("blk", F.pmod(F.col("vec_id"), F.lit(nb)).cast("int"))
+    bpairs = spark.createDataFrame(
+        [(p, q) for p in range(nb) for q in range(p, nb)], "bp int, bq int"
+    )
+    rep = blocks.join(
+        F.broadcast(bpairs), (F.col("blk") == F.col("bp")) | (F.col("blk") == F.col("bq"))
+    )
+
+    out_schema = (
+        "vec_id long, cand_id long, cos double, is_pos boolean"
+    )
+    empty = pd.DataFrame(
+        {
+            "vec_id": np.array([], dtype=np.int64),
+            "cand_id": np.array([], dtype=np.int64),
+            "cos": np.array([], dtype=np.float64),
+            "is_pos": np.array([], dtype=bool),
+        }
+    )
+
+    def tile_champions(key, pdf):
+        p, q = int(key[0]), int(key[1])
+        left = pdf[pdf["blk"] == p].sort_values("vec_id")
+        right = pdf[pdf["blk"] == q].sort_values("vec_id") if p != q else left
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        il = left["vec_id"].to_numpy()
+        ir = right["vec_id"].to_numpy()
+        ll = left["label"].to_numpy()
+        lr = right["label"].to_numpy()
+        vl = np.stack(left["embedding"].to_numpy()).astype(np.float64)
+        vr = np.stack(right["embedding"].to_numpy()).astype(np.float64)
+        vl /= np.maximum(np.linalg.norm(vl, axis=1, keepdims=True), 1e-30)
+        vr /= np.maximum(np.linalg.norm(vr, axis=1, keepdims=True), 1e-30)
+        scores = vl @ vr.T
+        frames = []
+        for anchors, cands, sc, lab_a, lab_c in (
+            (il, ir, scores, ll, lr),
+            (ir, il, scores.T, lr, ll),
+        ):
+            same = lab_a[:, None] == lab_c[None, :]
+            selfm = anchors[:, None] == cands[None, :]
+            # negatives: max cos among different-label; ties -> lowest id.
+            # argmax over (cos, -id) lexicographic via stable double keying
+            neg_sc = np.where(~same, sc, -np.inf)
+            pos_sc = np.where(same & ~selfm, sc, np.inf)
+            for score_mat, is_pos, pick_max in (
+                (neg_sc, False, True),
+                (pos_sc, True, False),
+            ):
+                m = score_mat if pick_max else -score_mat
+                # per-row argmax with explicit (score, then lowest-id) ties
+                best = np.full(len(anchors), -1)
+                bm = m.max(axis=1)
+                ok = np.isfinite(bm)
+                for i in np.nonzero(ok)[0]:
+                    tied = np.nonzero(m[i] == bm[i])[0]
+                    best[i] = tied[np.argmin(cands[tied])]
+                rows = np.nonzero(ok)[0]
+                if len(rows):
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "vec_id": anchors[rows],
+                                "cand_id": cands[best[rows]],
+                                "cos": sc[rows, best[rows]],
+                                "is_pos": is_pos,
+                            }
+                        )
+                    )
+            if p == q:
+                break  # diagonal tile: one direction covers all anchors
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
+
+    champs = rep.groupBy("bp", "bq").applyInPandas(tile_champions, out_schema)
+    # fold tile champions: negatives by (cos desc, id asc), positives by
+    # (cos asc, id asc) — struct-ordered min/max keeps it one agg
+    folded = champs.groupBy("vec_id").agg(
+        F.max(
+            F.when(~F.col("is_pos"), F.struct(F.col("cos"), (-F.col("cand_id")).alias("nid")))
+        ).alias("neg"),
+        F.min(
+            F.when(F.col("is_pos"), F.struct(F.col("cos"), F.col("cand_id")))
+        ).alias("pos"),
+    )
+    return (
+        folded.where(F.col("neg").isNotNull() & F.col("pos").isNotNull())
+        .select(
+            "vec_id",
+            F.col("pos.cand_id").alias("pos_id"),
+            (-F.col("neg.nid")).cast("long").alias("neg_id"),
+            F.round(F.col("pos.cos") - F.col("neg.cos"), 6).alias("margin"),
+        )
+    )

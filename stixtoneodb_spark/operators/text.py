@@ -1650,3 +1650,107 @@ def stats_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+def stats_jensen_shannon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence (nats) between every pair of sources'
+    token distributions — the bounded, symmetric corpus-drift measure
+    (KL diverges on disjoint support; JSD ≤ ln 2 always), the standard
+    gate for 'did this crawl snapshot shift' before mixing sources.
+
+    JSD = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q)) with p = ca/na,
+    q = cb/nb; every ln argument is the integer-ratio tree
+    2·ca·nb / (ca·nb + cb·na) — exact int64 inside, identical on both
+    engines, rounded to 6 dp outside (the PMI ln precedent).  Tokens
+    missing from one side contribute p·ln 2 exactly (q = 0) — JSD
+    needs no smoothing.
+
+    Scale shape: ONE token explode → map-side-combined (source, token)
+    count; the sources² pair grid broadcasts against the streaming
+    count table (the stats_mann_whitney_u shape), and the JSD sum runs
+    at pair×vocab summary scale.  int64 bound: ca·nb ≤ n² — decimal
+    swap past ~3e9 tokens per source.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_ws_tokens(F.col("text")), lambda t: t != F.lit(""))
+    c = (
+        d.select(F.col("source").alias("s"), F.explode(toks).alias("tok"))
+        .groupBy("s", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = c.groupBy("s").agg(F.sum("c").alias("n"))
+    pairs = tot.select(F.col("s").alias("sa"), F.col("n").alias("na")).join(
+        tot.select(F.col("s").alias("sb"), F.col("n").alias("nb")),
+        F.col("sa") < F.col("sb"),
+    )
+    sides = c.join(
+        F.broadcast(pairs),
+        (F.col("s") == F.col("sa")) | (F.col("s") == F.col("sb")),
+    )
+    grid = sides.groupBy("sa", "sb", "na", "nb", "tok").agg(
+        F.sum(F.expr("if(s = sa, c, 0)")).alias("ca"),
+        F.sum(F.expr("if(s = sb, c, 0)")).alias("cb"),
+    )
+    term = (
+        "if(ca > 0, (cast(ca as double) / na)"
+        " * ln(2.0 * ca * nb / (cast(ca as double) * nb + cast(cb as double) * na)), 0.0)"
+        " + if(cb > 0, (cast(cb as double) / nb)"
+        " * ln(2.0 * cb * na / (cast(ca as double) * nb + cast(cb as double) * na)), 0.0)"
+    )
+    return grid.groupBy("sa", "sb").agg(
+        F.count("*").alias("n_union_tokens"),
+        F.round(F.expr(f"0.5 * sum({term})"), 6).alias("jsd_nats"),
+    )
+
+
+NOVELTY_SHINGLE = 3  # token width of the novelty shingles
+
+
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty curve: the share of a document's DISTINCT
+    3-token shingles that no earlier document (lower doc_id = earlier
+    in the stream) has emitted — the marginal-information signal a
+    curriculum/dedup auditor reads to find where a crawl stops adding
+    content (novelty collapsing toward 0 = the corpus is saturating).
+
+    novelty_ppm = 1e6 · |{sh : first_seen(sh) = doc_id}| div n_shingles
+    — pure integer; first_seen is min(doc_id) per shingle.
+
+    Scale shape: shingle explode → map-side-combined min(doc_id) per
+    shingle → shuffle join back on the shingle key → per-doc count.
+    Everything keys on the shingle hash; no window, no driver state.
+    In production the shingle column would be xxhash64-compressed
+    before the shuffle (byte volume, not semantics).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(_ws_tokens(F.col("text")), lambda t: t != F.lit(""))
+    w = NOVELTY_SHINGLE
+    sh = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") >= w)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.expr(
+                        f"transform(sequence(1, size(toks) - {w - 1}),"
+                        f" i -> concat_ws(' ', slice(toks, i, {w})))"
+                    )
+                )
+            ).alias("sh"),
+        )
+    )
+    first = sh.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(F.expr("if(first_doc = doc_id, 1, 0)")).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.expr("(1000000 * n_novel) div n_shingles").alias("novelty_ppm"),
+        )
+    )
