@@ -3602,3 +3602,158 @@ FROM r f JOIN r b ON f.src = b.dst AND f.dst = b.src
 GROUP BY f.src
 """,
 )
+
+
+def _bpe_fertility_sql() -> str:
+    n = text.BPE_MERGES
+    return _bpe_cte() + f"""
+, enc AS (
+  SELECT word, cnt, CAST(len(string_split(seq, '  ')) AS INT) AS n_symbols
+  FROM w{n}
+), hist AS (
+  SELECT n_symbols, CAST(COUNT(*) AS BIGINT) AS n_words,
+         SUM(cnt) AS n_occurrences
+  FROM enc GROUP BY 1
+)
+SELECT n_symbols, n_words, n_occurrences,
+       (1000000 * n_occurrences) // (SELECT SUM(n_occurrences) FROM hist)
+         AS occ_share_ppm
+FROM hist
+"""
+
+
+REGISTRY["tokenizer_bpe_fertility"] = (
+    text.tokenizer_bpe_fertility,
+    _bpe_fertility_sql(),
+)
+
+
+def _soundex_block_sql() -> str:
+    return f"""
+WITH words AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents)
+  WHERE regexp_matches(w, '^[a-z]+$') GROUP BY 1
+), coded AS (
+  SELECT w, cnt, {text._soundex_sql_expr("w")} AS code FROM words
+)
+SELECT code, CAST(COUNT(DISTINCT w) AS BIGINT) AS n_spellings,
+       SUM(cnt) AS n_occurrences,
+       MIN(w) AS spelling_min, MAX(w) AS spelling_max,
+       COUNT(DISTINCT w) >= 2 AS collides
+FROM coded GROUP BY 1
+"""
+
+
+REGISTRY["er_soundex_blocking"] = (text.er_soundex_blocking, _soundex_block_sql())
+
+
+REGISTRY["stats_runs_test"] = (
+    relational.stats_runs_test,
+    """
+WITH e AS (
+  SELECT event_type, ts, event_id, CAST(floor(value + 0.5) AS BIGINT) AS x
+  FROM events
+), r AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY x, event_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM e
+), med AS (
+  SELECT event_type, x AS med FROM r WHERE rn = (n + 1) // 2
+), s AS (
+  SELECT e.event_type, ts, event_id,
+         CASE WHEN x > med THEN 1 ELSE 0 END AS sgn
+  FROM e JOIN med USING (event_type) WHERE x <> med
+), lg AS (
+  SELECT event_type, sgn,
+         lag(sgn) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS prev
+  FROM s
+), agg AS (
+  SELECT event_type, SUM(sgn) AS n1, SUM(1 - sgn) AS n2,
+         1 + SUM(CASE WHEN prev IS NOT NULL AND sgn <> prev THEN 1 ELSE 0 END)
+           AS runs
+  FROM lg GROUP BY 1
+)
+SELECT event_type, n1, n2, runs,
+       (1000000 * ((n1 + n2) + 2 * n1 * n2)) // (n1 + n2) AS e_runs_ppm,
+       CASE WHEN runs * (n1 + n2) < (n1 + n2) + 2 * n1 * n2 THEN 'clustered'
+            WHEN runs * (n1 + n2) > (n1 + n2) + 2 * n1 * n2 THEN 'alternating'
+            ELSE 'exact' END AS verdict
+FROM agg
+""",
+)
+
+
+def _cramers_sql() -> str:
+    b = relational.MI_BUCKET
+    cell = (
+        "CAST((n * nxy - nx * ny) AS DOUBLE) * (n * nxy - nx * ny)"
+        " / (CAST(n AS DOUBLE) * nx * ny)"
+    )
+    return f"""
+WITH e AS (
+  SELECT event_type AS x, CAST(floor(value + 0.5) AS BIGINT) // {b} AS y
+  FROM events
+), nxy AS (
+  SELECT x, y, CAST(COUNT(*) AS BIGINT) AS nxy FROM e GROUP BY 1, 2
+), nx AS (
+  SELECT x, SUM(nxy) AS nx FROM nxy GROUP BY 1
+), ny AS (
+  SELECT y, SUM(nxy) AS ny FROM nxy GROUP BY 1
+), dims AS (
+  SELECT SUM(nxy) AS n, CAST(COUNT(DISTINCT x) AS BIGINT) AS r,
+         CAST(COUNT(DISTINCT y) AS BIGINT) AS c
+  FROM nxy
+)
+, dense AS (
+  SELECT nx.x, ny.y, nx.nx, ny.ny, COALESCE(nxy.nxy, 0) AS nxy
+  FROM nx CROSS JOIN ny LEFT JOIN nxy ON nxy.x = nx.x AND nxy.y = ny.y
+)
+SELECT MAX(n) AS n, MAX(r) AS r, MAX(c) AS c,
+       round(SUM({cell}), 6) AS chi2,
+       round(sqrt(SUM({cell})
+             / (CAST(MAX(n) AS DOUBLE) * least(MAX(r) - 1, MAX(c) - 1))), 6)
+         AS cramers_v
+FROM dense CROSS JOIN dims
+"""
+
+
+REGISTRY["stats_cramers_v"] = (relational.stats_cramers_v, _cramers_sql())
+
+
+REGISTRY["embedding_centroid_drift"] = (
+    similarity.embedding_centroid_drift,
+    """
+WITH med AS (
+  SELECT label, vec_id AS med_id FROM (
+    SELECT label, vec_id,
+           row_number() OVER (PARTITION BY label ORDER BY vec_id) AS rn,
+           CAST(COUNT(*) OVER (PARTITION BY label) AS BIGINT) AS n
+    FROM embeddings) WHERE rn = (n + 1) // 2
+), halved AS (
+  SELECT e.label, CASE WHEN e.vec_id <= med_id THEN 0 ELSE 1 END AS half,
+         e.embedding
+  FROM embeddings e JOIN med USING (label)
+), cells AS (
+  SELECT label, half, dim, SUM(v) / COUNT(*) AS m FROM (
+    SELECT label, half, generate_subscripts(embedding, 1) AS dim,
+           CAST(unnest(embedding) AS DOUBLE) AS v
+    FROM halved)
+  GROUP BY 1, 2, 3
+), paired AS (
+  SELECT label, dim,
+         SUM(CASE WHEN half = 0 THEN m ELSE 0 END) AS m0,
+         SUM(CASE WHEN half = 1 THEN m ELSE 0 END) AS m1,
+         SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS h0,
+         SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS h1
+  FROM cells GROUP BY 1, 2
+), lab AS (
+  SELECT label, MIN(h0 + h1) AS hmin,
+         SUM(m0 * m1) AS s01, SUM(m0 * m0) AS s00, SUM(m1 * m1) AS s11
+  FROM paired GROUP BY 1
+)
+SELECT label, round(s01 / (sqrt(s00) * sqrt(s11)), 6) AS drift_cos
+FROM lab WHERE hmin = 2
+""",
+)

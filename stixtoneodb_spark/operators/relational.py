@@ -2558,3 +2558,123 @@ def kg_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dst").alias("scc_id"), F.count("*").alias("scc_size")
     )
     return labeled.select(F.col("src").alias("v"), "scc_id", "scc_size")
+
+
+def stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type: is the above/below-median
+    sign sequence random in TIME ORDER, or clustered (a sorted or
+    append-by-batch table) / alternating?  This is the row-order audit a
+    training pipeline runs before trusting sequential reads as an
+    implicit shuffle — exactly the failure mode of ingest-sorted data.
+
+    Median is the exact lower median (rank ⌈n/2⌉ by value); ties AT the
+    median drop (the classical treatment).  runs = 1 + #sign changes
+    over (ts, event_id) order; the expected count E = (m + 2·n1·n2)/m
+    (m = n1+n2) ships as exact integer ppm, and the verdict compares
+    runs·m vs m + 2·n1·n2 cross-multiplied — no float anywhere.
+
+    Scale shape: two per-type ordered windows (the median rank and the
+    lag) on the SAME (type → ts) sort — one shuffle; everything after
+    is summary scale.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("x"),
+    )
+    wv = Window.partitionBy("event_type").orderBy("x", "event_id")
+    n_w = Window.partitionBy("event_type")
+    med = (
+        e.withColumn("rn", F.row_number().over(wv))
+        .withColumn("n", F.count("*").over(n_w))
+        .where(F.expr("rn = (n + 1) div 2"))
+        .select("event_type", F.col("x").alias("med"))
+    )
+    signed = (
+        e.join(F.broadcast(med), "event_type")
+        .where(F.col("x") != F.col("med"))
+        .withColumn("sgn", F.expr("if(x > med, 1, 0)"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    runs = (
+        signed.withColumn("prev", F.lag("sgn").over(wt))
+        .groupBy("event_type")
+        .agg(
+            F.sum("sgn").alias("n1"),
+            F.sum(F.expr("1 - sgn")).alias("n2"),
+            (F.lit(1) + F.sum(F.expr("if(prev is not null and sgn <> prev, 1, 0)"))).alias("runs"),
+        )
+    )
+    return runs.select(
+        "event_type",
+        "n1",
+        "n2",
+        "runs",
+        F.expr("(1000000 * ((n1 + n2) + 2 * n1 * n2)) div (n1 + n2)").alias("e_runs_ppm"),
+        F.expr(
+            "case when runs * (n1 + n2) < (n1 + n2) + 2 * n1 * n2 then 'clustered'"
+            " when runs * (n1 + n2) > (n1 + n2) + 2 * n1 * n2 then 'alternating'"
+            " else 'exact' end"
+        ).alias("verdict"),
+    )
+
+
+def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V effect size for the event_type × value-bucket
+    contingency — the [0,1]-normalized companion to
+    stats_chi2_independence's raw cells (chi² says "significant at this
+    n"; V says "how strong regardless of n").
+
+    χ² is assembled from exact integer moments: each cell contributes
+    (n·nxy − nx·ny)² / (n·nx·ny) — integer numerator, the division is
+    the only float — then V = sqrt(χ² / (n·min(r−1, c−1))).  Both
+    rounded to 6 dp (sqrt/ln 1-ulp precedent).
+
+    Scale shape: identical to stats_mutual_information — one
+    map-side-combined (x,y) count, marginals re-aggregated from the
+    grid, all broadcast joins.  int64: (n·nxy)² — decimal swap past
+    ~3e9 facts.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("x"),
+        (F.floor(F.col("value") + F.lit(0.5)).cast("long") / F.lit(MI_BUCKET))
+        .cast("long")
+        .alias("y"),
+    )
+    nxy = e.groupBy("x", "y").agg(F.count("*").alias("nxy"))
+    nx = nxy.groupBy("x").agg(F.sum("nxy").alias("nx"))
+    ny = nxy.groupBy("y").agg(F.sum("nxy").alias("ny"))
+    dims = nxy.agg(
+        F.sum("nxy").alias("n"),
+        F.countDistinct("x").alias("r"),
+        F.countDistinct("y").alias("c"),
+    )
+    cell = (
+        "cast((n * nxy - nx * ny) as double) * (n * nxy - nx * ny)"
+        " / (cast(n as double) * nx * ny)"
+    )
+    # χ² sums over the DENSE r×c grid — zero-observed cells still
+    # contribute E = nx·ny/n (the whole point of the test); the grid is
+    # marginal×marginal summary scale, built by cross join + left join
+    dense = (
+        nx.crossJoin(ny)
+        .join(nxy, ["x", "y"], "left")
+        .fillna(0, subset=["nxy"])
+    )
+    return (
+        dense.join(F.broadcast(dims))
+        .agg(
+            F.max("n").alias("n"),
+            F.max("r").alias("r"),
+            F.max("c").alias("c"),
+            F.round(F.sum(F.expr(cell)), 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.sum(F.expr(cell))
+                    / F.expr("cast(max(n) as double) * least(max(r) - 1, max(c) - 1)")
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+    )

@@ -1163,3 +1163,64 @@ def embedding_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("pos.cos") - F.col("neg.cos"), 6).alias("margin"),
         )
     )
+
+
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between the corpus's two id-halves
+    (vec_id at or below the per-label median id = the 'early' snapshot,
+    above = 'late') — the embedding-space stability monitor: cosine
+    near 1 means the class geometry held between ingest waves; a dip
+    flags re-embedding drift or upstream distribution shift BEFORE a
+    similarity index is rebuilt on mixed geometry.
+
+    Entirely JVM-side: posexplode to (label, half, dim, value), exact
+    per-cell mean (sum/count in double), then the cosine of the two
+    mean vectors folds over the dim axis — sum of products per label,
+    one sqrt at the end, rounded to 6 dp.
+
+    Scale shape: the explode is (rows × dim) but collapses immediately
+    into a (labels × 2 × dim) map-side-combined agg — summary scale
+    from the first shuffle on.  The median-id split is a per-label
+    window on the id sort (ids are the partition key at scale → the
+    window is partition-local).
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding", "label")
+    wl = Window.partitionBy("label").orderBy("vec_id")
+    nw = Window.partitionBy("label")
+    med = (
+        emb.select("label", "vec_id")
+        .withColumn("rn", F.row_number().over(wl))
+        .withColumn("n", F.count("*").over(nw))
+        .where(F.expr("rn = (n + 1) div 2"))
+        .select("label", F.col("vec_id").alias("med_id"))
+    )
+    halved = emb.join(F.broadcast(med), "label").withColumn(
+        "half", F.expr("if(vec_id <= med_id, 0, 1)")
+    )
+    cells = (
+        halved.select(
+            "label", "half", F.posexplode("embedding").alias("dim", "v")
+        )
+        .groupBy("label", "half", "dim")
+        .agg((F.sum(F.col("v").cast("double")) / F.count("*")).alias("m"))
+    )
+    paired = cells.groupBy("label", "dim").agg(
+        F.sum(F.expr("if(half = 0, m, 0)")).alias("m0"),
+        F.sum(F.expr("if(half = 1, m, 0)")).alias("m1"),
+        F.sum(F.expr("if(half = 0, 1, 0)")).alias("h0"),
+        F.sum(F.expr("if(half = 1, 1, 0)")).alias("h1"),
+    )
+    return (
+        paired.groupBy("label")
+        .agg(
+            F.min(F.expr("h0 + h1")).alias("_hmin"),
+            F.sum(F.expr("m0 * m1")).alias("s01"),
+            F.sum(F.expr("m0 * m0")).alias("s00"),
+            F.sum(F.expr("m1 * m1")).alias("s11"),
+        )
+        .where(F.col("_hmin") == 2)  # labels missing a half emit nothing
+        .select(
+            "label",
+            F.round(F.expr("s01 / (sqrt(s00) * sqrt(s11))"), 6).alias("drift_cos"),
+        )
+    )

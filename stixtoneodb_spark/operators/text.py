@@ -1754,3 +1754,103 @@ def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(1000000 * n_novel) div n_shingles").alias("novelty_ppm"),
         )
     )
+
+
+def tokenizer_bpe_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer health readout: the occurrence-weighted fertility
+    histogram of the trained BPE encoder — how many subword symbols
+    each corpus word occurrence costs.  Fertility creeping up is THE
+    signal a tokenizer has drifted off its corpus (symbols/word ≈
+    compute/word at training time); the histogram shape localizes it
+    (head words staying 1-symbol vs tail words fragmenting).
+
+    One row per symbol count: how many distinct words and word
+    OCCURRENCES encode to that many symbols, and the occurrence share
+    in exact integer ppm.
+
+    Scale shape: rides tokenizer_bpe_encode's vocabulary-scale plan
+    (distinct words, Zipf-collapsed); the histogram is one further
+    map-side-combined agg at symbol-count scale, the total joins back
+    broadcast.
+    """
+    enc = tokenizer_bpe_encode(spark, sf_dir)
+    hist = enc.groupBy("n_symbols").agg(
+        F.count("*").alias("n_words"),
+        F.sum("cnt").alias("n_occurrences"),
+    )
+    tot = hist.agg(F.sum("n_occurrences").alias("t"))
+    return hist.join(F.broadcast(tot)).select(
+        "n_symbols",
+        "n_words",
+        "n_occurrences",
+        F.expr("(1000000 * n_occurrences) div t").alias("occ_share_ppm"),
+    )
+
+
+# Classic Soundex, spec pinned for both engines: keep the first letter;
+# H/W are transparent (removed before coding, EXCEPT a leading H/W which
+# survives as the letter); vowels AEIOUY code to '0' and act as
+# separators; B F P V→1, C G J K Q S X Z→2, D T→3, L→4, M N→5, R→6;
+# adjacent equal codes collapse (including across the kept first
+# letter); zeros drop; pad/truncate to letter + 3 digits.
+_SOUNDEX_FROM = "AEIOUYBFPVCGJKQSXZDTLMNR"
+_SOUNDEX_TO = "000000111122222222334556"
+
+
+def _soundex_sql_expr(col: str) -> str:
+    """The shared Soundex expression (Spark SQL == DuckDB SQL: upper,
+    translate, fixed-pass adjacent-duplicate collapse — replace() is
+    left-to-right non-overlapping in both engines; 3 passes cover runs
+    to length 8, beyond any real word)."""
+    digits = f"translate(translate(upper({col}), 'HW', ''), '{_SOUNDEX_FROM}', '{_SOUNDEX_TO}')"
+    for _ in range(3):
+        for d in "0123456":
+            digits = f"replace({digits}, '{d}{d}', '{d}')"
+    # drop the first letter's own (collapsed) code group BEFORE stripping
+    # the vowel zeros — a vowel first letter codes to 0 and would already
+    # be gone, silently eating the next consonant's code instead.  A
+    # leading H/W was removed by the HW-translate: nothing to drop.
+    tail = (
+        f"if(substring(upper({col}), 1, 1) in ('H', 'W'), "
+        f"replace({digits}, '0', ''), replace(substring({digits}, 2), '0', ''))"
+    )
+    return f"concat(substring(upper({col}), 1, 1), rpad(substring({tail}, 1, 3), 3, '0'))"
+
+
+def er_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phonetic blocking for entity resolution: classic Soundex over the
+    corpus's alphabetic vocabulary, emitting every block with its
+    spelling stats and a `collides` flag (≥2 distinct spellings = a
+    candidate pair to adjudicate) — the candidate-pair generator that
+    catches 'smith/smyth' misspellings Levenshtein blocking only finds
+    by brute force (reference analogue: the loader's MERGE-by-id has no
+    fuzzy layer; this is the scale-path upgrade, StixToNeoDB README.md:75).
+
+    Pure string engine both sides — upper/translate/replace/rpad chains,
+    zero floats, zero UDFs (the collapse is a fixed 3-pass replace
+    program, whole-stage codegen).  Output per colliding block: code,
+    distinct-spelling count, total occurrences, and the lexicographic
+    min/max spellings as the audit sample.
+
+    Scale shape: vocabulary-scale frame (distinct alpha tokens) → ONE
+    map-side-combined agg on the 4-char code key.  No skew risk: code
+    space is 26×7³.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_ws_tokens(F.col("text"))).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    coded = words.withColumn("code", F.expr(_soundex_sql_expr("w")))
+    return (
+        coded.groupBy("code")
+        .agg(
+            F.countDistinct("w").alias("n_spellings"),
+            F.sum("cnt").alias("n_occurrences"),
+            F.min("w").alias("spelling_min"),
+            F.max("w").alias("spelling_max"),
+        )
+        .withColumn("collides", F.col("n_spellings") >= 2)
+    )
