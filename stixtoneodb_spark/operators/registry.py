@@ -3757,3 +3757,154 @@ SELECT label, round(s01 / (sqrt(s00) * sqrt(s11)), 6) AS drift_cos
 FROM lab WHERE hmin = 2
 """,
 )
+
+
+REGISTRY["events_burst_hysteresis"] = (
+    relational.events_burst_hysteresis,
+    """
+WITH e AS (
+  SELECT event_type,
+         date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                   date_trunc('hour', ts)) AS hour_id
+  FROM events
+), c AS (
+  SELECT event_type, hour_id, CAST(COUNT(*) AS BIGINT) AS c
+  FROM e GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, SUM(c) AS total, CAST(COUNT(*) AS BIGINT) AS n_hours
+  FROM c GROUP BY 1
+), flagged AS (
+  SELECT c.event_type, hour_id, c,
+         c * n_hours >= 2 * total AS is_hi
+  FROM c JOIN tot USING (event_type)
+  WHERE c * n_hours >= total
+), isl AS (
+  SELECT event_type, hour_id, c, is_hi,
+         hour_id - row_number() OVER (PARTITION BY event_type
+                                      ORDER BY hour_id) AS isl
+  FROM flagged
+), fh AS (
+  SELECT event_type, hour_id, c,
+         MIN(CASE WHEN is_hi THEN hour_id END)
+           OVER (PARTITION BY event_type, isl) AS first_hi
+  FROM isl
+)
+SELECT event_type,
+       MIN(hour_id) AS burst_start,
+       MAX(hour_id) AS burst_end,
+       CAST(COUNT(*) AS BIGINT) AS n_hours_burst,
+       MAX(c) AS peak_per_hour,
+       SUM(c) AS n_events_burst
+FROM fh WHERE hour_id >= first_hi
+GROUP BY event_type, first_hi
+""",
+)
+
+
+REGISTRY["kg_directed_triads"] = (
+    relational.kg_directed_triads,
+    """
+WITH trans AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events)
+  WHERE dst IS NOT NULL GROUP BY 1, 2
+), cut AS (
+  SELECT SUM(c) // COUNT(*) AS cut FROM trans
+), edges AS (
+  SELECT src, dst FROM trans, cut WHERE c >= cut AND src <> dst
+), two_path AS (
+  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+  FROM edges ab JOIN edges bc ON ab.dst = bc.src
+  WHERE ab.src <> bc.dst
+), nt AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_transitive
+  FROM two_path t JOIN edges e ON e.src = t.a AND e.dst = t.c
+), nc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cyclic
+  FROM two_path t JOIN edges e ON e.src = t.c AND e.dst = t.a
+  WHERE t.a < t.b AND t.a < t.c
+)
+SELECT n_transitive, n_cyclic FROM nt CROSS JOIN nc
+""",
+)
+
+
+REGISTRY["stats_theil_sen"] = (
+    relational.stats_theil_sen,
+    """
+WITH e AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+         CAST(floor(value + 0.5) AS BIGINT) AS v
+  FROM events
+), prof AS (
+  SELECT event_type, x, (1000000 * SUM(v)) // COUNT(*) AS y
+  FROM e GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, b.y - a.y AS num, b.x - a.x AS den
+  FROM prof a JOIN prof b
+    ON a.event_type = b.event_type AND a.x < b.x
+), ranked AS (
+  SELECT event_type, num, den,
+         row_number() OVER (PARTITION BY event_type
+           ORDER BY CAST(num AS DOUBLE) / den, num, den) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS cnt
+  FROM pairs
+)
+SELECT event_type, num AS slope_num_micro, den AS slope_den_hours,
+       round(CAST(num AS DOUBLE) / den, 6) AS slope_micro_per_hour
+FROM ranked WHERE rn = (cnt + 1) // 2
+""",
+)
+
+
+def _eigvec_sql() -> str:
+    s = similarity.GRAM_SCALE
+    chain = """
+, u{k} AS (
+  SELECT i, SUM(g * v) AS u FROM sym JOIN v{p} ON sym.j = v{p}.j GROUP BY i
+), n{k} AS (
+  SELECT sqrt(SUM(u * u)) AS nrm FROM u{k}
+), v{k} AS (
+  SELECT i AS j, u / nrm AS v FROM u{k}, n{k}
+)"""
+    iters = "".join(
+        chain.format(k=k, p=k - 1 if k > 1 else 0)
+        for k in range(1, similarity.POWER_ITERS + 1)
+    )
+    last = similarity.POWER_ITERS
+    return f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {s} + 0.5) AS BIGINT) AS q
+  FROM embeddings
+), gram AS (
+  SELECT a.d AS i, b.d AS j, SUM(a.q * b.q) AS gram
+  FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.d <= b.d
+  GROUP BY 1, 2
+), nn AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_rows FROM embeddings
+), g AS (
+  SELECT i, j, CAST(gram AS DOUBLE) / (n_rows * {s}.0 * {s}.0) AS g
+  FROM gram, nn
+), sym AS (
+  SELECT i, j, g FROM g
+  UNION ALL
+  SELECT j AS i, i AS j, g FROM g WHERE i <> j
+), dd AS (
+  SELECT CAST(len(embedding) AS BIGINT) AS d FROM embeddings LIMIT 1
+), v0 AS (
+  SELECT unnest(range(0, d)) AS j, 1.0 / sqrt(CAST(d AS DOUBLE)) AS v FROM dd
+){iters}
+SELECT v{last}.j AS dim, round(v{last}.v, 6) AS component,
+       round(n{last}.nrm, 6) AS lambda_est
+FROM v{last}, n{last}
+"""
+
+
+REGISTRY["embedding_top_eigvec"] = (
+    similarity.embedding_top_eigvec,
+    _eigvec_sql(),
+)

@@ -2678,3 +2678,150 @@ def stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cramers_v"),
         )
     )
+
+
+def events_burst_hysteresis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold burst detection over the hourly rate series — the
+    deterministic hysteresis core of Kleinberg-style burst mining: a
+    burst ARMS at the first hour ≥ 2× the type's mean hourly rate and
+    holds while hours stay ≥ 1× (dropping below the low bar ends it) —
+    the classic trick that keeps one noisy dip from splitting a real
+    burst.
+
+    Sequential state becomes gaps-and-islands: ≥lo hours form islands
+    (hour_id − row_number() run key); a burst is the island SUFFIX from
+    its first ≥hi hour.  Both thresholds are cross-multiplied integer
+    tests (c·n_hours vs total, vs 2·total) — no float rate anywhere.
+
+    Scale shape: the hourly count is ONE map-side-combined agg; islands
+    and suffixes are per-type windows at series scale (hours, not
+    facts); per-type totals ride a broadcast join.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr(
+            "timestampdiff(HOUR, timestamp'2024-01-01 00:00:00',"
+            " date_trunc('hour', ts))"
+        ).alias("hour_id"),
+    )
+    c = e.groupBy("event_type", "hour_id").agg(F.count("*").alias("c"))
+    tot = c.groupBy("event_type").agg(
+        F.sum("c").alias("total"), F.count("*").alias("n_hours")
+    )
+    flagged = (
+        c.join(F.broadcast(tot), "event_type")
+        .where(F.expr("c * n_hours >= total"))  # >= lo bar
+        .withColumn("is_hi", F.expr("c * n_hours >= 2 * total"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("hour_id")
+    isl = flagged.withColumn(
+        "isl", F.col("hour_id") - F.row_number().over(wt)
+    )
+    wi = Window.partitionBy("event_type", "isl")
+    return (
+        isl.withColumn(
+            "first_hi", F.min(F.when(F.col("is_hi"), F.col("hour_id"))).over(wi)
+        )
+        .where(F.col("hour_id") >= F.col("first_hi"))
+        .groupBy("event_type", "first_hi")
+        .agg(
+            F.min("hour_id").alias("burst_start"),
+            F.max("hour_id").alias("burst_end"),
+            F.count("*").alias("n_hours_burst"),
+            F.max("c").alias("peak_per_hour"),
+            F.sum("c").alias("n_events_burst"),
+        )
+        .drop("first_hi")
+    )
+
+
+def kg_directed_triads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed triad census of the transition graph: transitive wedges
+    (a→b→c closed by the shortcut a→c — hierarchy / pipeline structure)
+    vs cyclic triangles (a→b→c→a — feedback loops), the two closed
+    3-node motifs whose ratio separates DAG-like provenance flows from
+    oscillating behaviour.  Same above-average edge cut as kg_scc (both
+    engines re-derive it from the data); self-loops excluded.
+
+    Cycles are emitted once per triangle (counted at the lexicographic
+    minimum rotation); transitive wedges once per (a,b,c) instance.
+
+    Scale shape: the alphabet is event-type scale — broadcast joins
+    end to end.  At entity scale this is the standard two-path +
+    closing-edge semi-join with the edge list repartitioned by src
+    (the kg_triangle_count shape), unchanged semantics.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("c"))
+    )
+    cut = trans.agg(F.expr("sum(c) div count(*)").alias("cut"))
+    edges = (
+        trans.join(F.broadcast(cut))
+        .where((F.col("c") >= F.col("cut")) & (F.col("src") != F.col("dst")))
+        .select("src", "dst")
+    )
+    ab = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = edges.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    two_path = ab.join(bc, "b").where(F.col("a") != F.col("c"))
+    closed_t = two_path.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("c")), ["a", "c"]
+    )
+    closed_c = two_path.join(
+        edges.select(F.col("src").alias("c"), F.col("dst").alias("a")), ["a", "c"]
+    ).where((F.col("a") < F.col("b")) & (F.col("a") < F.col("c")))
+    nt = closed_t.agg(F.count("*").alias("n_transitive"))
+    nc = closed_c.agg(F.count("*").alias("n_cyclic"))
+    return nt.join(F.broadcast(nc))
+
+
+def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type Theil-Sen robust trend: the MEDIAN of all pairwise
+    slopes over the (hour-of-day, mean value) profile — immune to the
+    outlier hours that drag stats_linreg_by_group's OLS line (the
+    published robust-regression companion; same input grid).
+
+    y per cell is the truncating integer micro-mean (1e6·Σx div n —
+    spec'd identically both engines); each pair (x1<x2) yields the
+    exact fraction (num = y2−y1, den = x2−x1).  The median picks by
+    ordering on the DOUBLE quotient — a SINGLE IEEE division of
+    identical operands is bit-identical across engines (no sums, no
+    libm) — with (num, den) integer tie-breaks, rank (cnt+1) div 2.
+
+    Scale shape: the profile is (types × 24) summary scale; the pair
+    grid is 24²/2 per type — driver-invisible, window-ranked per type.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("v"),
+    )
+    prof = e.groupBy("event_type", "x").agg(
+        F.expr("(1000000 * sum(v)) div count(*)").alias("y")
+    )
+    a = prof.select("event_type", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = prof.select("event_type", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = a.join(b, "event_type").where(F.col("x1") < F.col("x2")).select(
+        "event_type",
+        (F.col("y2") - F.col("y1")).alias("num"),
+        (F.col("x2") - F.col("x1")).alias("den"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.expr("cast(num as double) / den"), "num", "den"
+    )
+    ranked = pairs.withColumn("rn", F.row_number().over(wr)).withColumn(
+        "cnt", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    return ranked.where(F.expr("rn = (cnt + 1) div 2")).select(
+        "event_type",
+        F.col("num").alias("slope_num_micro"),
+        F.col("den").alias("slope_den_hours"),
+        F.round(F.expr("cast(num as double) / den"), 6).alias("slope_micro_per_hour"),
+    )

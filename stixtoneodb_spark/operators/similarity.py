@@ -1224,3 +1224,76 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.expr("s01 / (sqrt(s00) * sqrt(s11))"), 6).alias("drift_cos"),
         )
     )
+
+
+POWER_ITERS = 3  # fixed, spec-pinned power-iteration count
+
+
+def embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding second-moment matrix by
+    POWER ITERATION over the exact integer Gram matrix — the direction
+    PCA whitening removes first, and the anisotropy probe ('all the
+    embeddings lean one way' = a common representation pathology that
+    wrecks cosine ANN recall).
+
+    Rides embedding_gram_matrix's bit-identical int64 micro-unit Gram
+    (both engines share it EXACTLY — no float accumulation over the
+    corpus), normalized to covariance scale by one double division,
+    then POWER_ITERS fixed matvec+renormalize rounds from the uniform
+    start v₀ = 1/√d.  Every float op after the Gram is d²-scale with
+    identical expression trees; output rounds to 6 dp.  λ is the final
+    pre-normalization magnitude ‖G·v‖ (the Rayleigh estimate under
+    convergence).
+
+    Scale shape: the corpus is touched ONCE (the Gram's map-side
+    integer GEMM); all POWER_ITERS iterations run at d² summary scale
+    — joins of a 64-row vector against a ~2k-row matrix.  This is the
+    canonical split: heavy pass distributed and exact, iterative tail
+    on mergeable moments.
+    """
+    gram = embedding_gram_matrix(spark, sf_dir)
+    n = load_table(spark, sf_dir, "embeddings").agg(
+        F.count("*").alias("n_rows")
+    )
+    dim = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.size("embedding").alias("d"))
+        .limit(1)  # every row shares the dimension; no sort needed
+    )
+    # symmetrize + covariance scale: g = gram_int / (n · SCALE²)
+    g = (
+        gram.join(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                f"cast(gram as double) / (cast(n_rows as double) * {GRAM_SCALE}.0 * {GRAM_SCALE}.0)"
+            ).alias("g"),
+        )
+    )
+    sym = g.union(
+        g.where(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
+    v = dim.select(
+        F.explode(F.sequence(F.lit(0), F.col("d") - 1)).alias("j"),
+        F.expr("1.0 / sqrt(cast(d as double))").alias("v"),
+    )
+    lam = None
+    for _ in range(POWER_ITERS):
+        u = (
+            sym.join(v, "j")
+            .groupBy("i")
+            .agg(F.sum(F.expr("g * v")).alias("u"))
+        )
+        nrm = u.agg(F.expr("sqrt(sum(u * u))").alias("nrm"))
+        lam = nrm
+        v = u.join(F.broadcast(nrm)).select(
+            F.col("i").alias("j"), F.expr("u / nrm").alias("v")
+        )
+    return v.join(F.broadcast(lam)).select(
+        F.col("j").alias("dim"),
+        F.round("v", 6).alias("component"),
+        F.round("nrm", 6).alias("lambda_est"),
+    )
