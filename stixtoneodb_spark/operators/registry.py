@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from stixtoneodb_spark.operators import (
     dedup,
+    evals,
     graph,
     multimodal,
     pandas_surface,
@@ -3907,4 +3908,170 @@ FROM v{last}, n{last}
 REGISTRY["embedding_top_eigvec"] = (
     similarity.embedding_top_eigvec,
     _eigvec_sql(),
+)
+
+
+# -- evaluation-metric family (operators/evals.py) --------------------------
+
+def _ranking_metrics_sql() -> str:
+    disc_rows = ", ".join(
+        f"({r + 1}, {w})" for r, w in enumerate(evals.DISCOUNT_MICRO)
+    )
+    cum_rows = ", ".join(f"({m}, {c})" for m, c in enumerate(evals.CUM_DISCOUNT))
+    k = evals.RANK_K
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS qlabel
+  FROM embeddings WHERE vec_id % {evals.RANK_QMOD} = 0
+), topk AS (
+  SELECT query_id, qlabel, neighbor_id, rank FROM (
+    SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, e.embedding) DESC,
+                      e.vec_id) AS rank
+    FROM q, embeddings e WHERE e.vec_id <> q.query_id)
+  WHERE rank <= {k}
+), disc(rank, wgt) AS (VALUES {disc_rows}),
+scored AS (
+  SELECT t.query_id, t.qlabel, t.rank, disc.wgt,
+         CASE WHEN e.label = t.qlabel THEN 1 ELSE 0 END AS rel
+  FROM topk t JOIN embeddings e ON e.vec_id = t.neighbor_id
+  JOIN disc ON disc.rank = t.rank
+), perq AS (
+  SELECT query_id, qlabel, SUM(rel) AS n_rel,
+         MIN(CASE WHEN rel = 1 THEN rank END) AS first_rel_rank,
+         SUM(rel * wgt) AS dcg_micro
+  FROM scored GROUP BY 1, 2
+), labn AS (
+  SELECT label AS qlabel, CAST(COUNT(*) - 1 AS BIGINT) AS r_total
+  FROM embeddings GROUP BY 1
+), cum(m, cw) AS (VALUES {cum_rows})
+SELECT query_id, n_rel,
+       (1000000 * n_rel) // {k} AS p_at_k_micro,
+       COALESCE(1000000 // first_rel_rank, 0) AS mrr_micro,
+       dcg_micro, cw AS idcg_micro,
+       CASE WHEN cw > 0 THEN (1000000 * dcg_micro) // cw ELSE 0 END AS ndcg_micro
+FROM perq JOIN labn USING (qlabel)
+JOIN cum ON cum.m = LEAST(r_total, {k})
+"""
+
+
+REGISTRY["eval_ranking_metrics"] = (
+    evals.eval_ranking_metrics,
+    _ranking_metrics_sql(),
+)
+
+
+REGISTRY["eval_pass_at_k"] = (
+    evals.eval_pass_at_k,
+    f"""
+WITH attempts AS (
+  SELECT doc_id, source, t.a,
+         CASE WHEN ('0x' || substr(md5(doc_id || ':' || t.a), 1, 6))::BIGINT
+                   % 100 < {evals.PASS_THRESH} THEN 1 ELSE 0 END AS pass
+  FROM documents CROSS JOIN (SELECT unnest(range(0, {evals.PASS_N})) AS a) t
+), per_doc AS (
+  SELECT doc_id, source, SUM(pass) AS c FROM attempts GROUP BY 1, 2
+), est AS (
+  SELECT source, c,
+         (1000000 * c) // 10 AS pass1_micro,
+         (1000000 * (252 - (CASE WHEN c > 5 THEN 0 ELSE
+           ((10-c)*(9-c)*(8-c)*(7-c)*(6-c)) // 120 END))) // 252 AS pass5_micro
+  FROM per_doc
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tasks, SUM(c) AS total_passes,
+       SUM(pass1_micro) // COUNT(*) AS mean_pass1_micro,
+       SUM(pass5_micro) // COUNT(*) AS mean_pass5_micro
+FROM est GROUP BY source
+""",
+)
+
+
+REGISTRY["stats_calibration_bins"] = (
+    evals.stats_calibration_bins,
+    """
+WITH scored AS (
+  SELECT event_id,
+         ('0x' || substr(md5('p:' || event_id), 1, 6))::BIGINT % 1000 AS p_milli
+  FROM events
+), sy AS (
+  SELECT p_milli,
+         CASE WHEN ('0x' || substr(md5('y:' || event_id), 1, 6))::BIGINT % 1000
+                   < p_milli THEN 1 ELSE 0 END AS y
+  FROM scored
+), agg AS (
+  SELECT p_milli // 100 AS bin, CAST(COUNT(*) AS BIGINT) AS n,
+         (1000 * SUM(p_milli)) // COUNT(*) AS mean_pred_micro,
+         (1000000 * SUM(y)) // COUNT(*) AS emp_rate_micro,
+         SUM((p_milli - 1000 * y) * (p_milli - 1000 * y)) // COUNT(*)
+           AS brier_micro
+  FROM sy GROUP BY 1
+)
+SELECT bin, n, mean_pred_micro, emp_rate_micro, brier_micro,
+       abs(mean_pred_micro - emp_rate_micro) AS abs_gap_micro
+FROM agg
+""",
+)
+
+
+def _bradley_terry_sql() -> str:
+    ts = evals.BT_TERM_SCALE
+    sc = evals.BT_SCALE
+    it = """
+, d{k} AS (
+  SELECT u.i, SUM((u.n * {ts}) // (pi.p + pj.p)) AS denom
+  FROM und u JOIN p{p} pi ON pi.i = u.i JOIN p{p} pj ON pj.i = u.j
+  WHERE pi.p + pj.p > 0
+  GROUP BY u.i
+), r{k} AS (
+  SELECT it.i, it.wins, it.battles,
+         CASE WHEN d.denom > 0 THEN (it.wins * {ts}) // d.denom
+              ELSE pp.p END AS praw
+  FROM items it LEFT JOIN d{k} d ON d.i = it.i
+  JOIN p{p} pp ON pp.i = it.i
+), s{k} AS (SELECT SUM(praw) AS s FROM r{k})
+, p{k} AS (
+  SELECT i, (praw * t * {sc}) // s AS p FROM r{k}, s{k}, tot
+)"""
+    iters = "".join(
+        it.format(k=k, p=k - 1 if k > 1 else 0, ts=ts, sc=sc)
+        for k in range(1, evals.BT_ITERS + 1)
+    )
+    last = evals.BT_ITERS
+    return f"""
+WITH seq AS (
+  SELECT event_type AS a, value AS va,
+         lead(event_type) OVER w AS b, lead(value) OVER w AS vb
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), battles AS (
+  SELECT CASE WHEN va > vb THEN a ELSE b END AS winner,
+         CASE WHEN va > vb THEN b ELSE a END AS loser
+  FROM seq WHERE b IS NOT NULL AND a <> b AND va <> vb
+), dir AS (
+  SELECT winner, loser, CAST(COUNT(*) AS BIGINT) AS n
+  FROM battles GROUP BY 1, 2
+), und AS (
+  SELECT i, j, SUM(n) AS n FROM (
+    SELECT winner AS i, loser AS j, n FROM dir
+    UNION ALL SELECT loser AS i, winner AS j, n FROM dir)
+  GROUP BY 1, 2
+), items AS (
+  SELECT i, SUM(CASE WHEN iswin THEN n ELSE 0 END) AS wins,
+         SUM(n) AS battles FROM (
+    SELECT winner AS i, n, TRUE AS iswin FROM dir
+    UNION ALL SELECT loser AS i, n, FALSE AS iswin FROM dir)
+  GROUP BY 1
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM items)
+, p0 AS (SELECT i, CAST({sc} AS BIGINT) AS p FROM items)
+{iters}
+SELECT r.i AS event_type, r.wins, r.battles, p{last}.p AS bt_score_micro,
+       ROW_NUMBER() OVER (ORDER BY p{last}.p DESC, r.i) AS bt_rank
+FROM r{last} r JOIN p{last} ON p{last}.i = r.i
+"""
+
+
+REGISTRY["eval_bradley_terry"] = (
+    evals.eval_bradley_terry,
+    _bradley_terry_sql(),
 )
