@@ -4075,3 +4075,156 @@ REGISTRY["eval_bradley_terry"] = (
     evals.eval_bradley_terry,
     _bradley_terry_sql(),
 )
+
+
+# -- survival / attribution / recsys / rank-correlation ---------------------
+
+REGISTRY["stats_kaplan_meier"] = (
+    relational.stats_kaplan_meier,
+    f"""
+WITH RECURSIVE span AS (
+  SELECT max(epoch_us(ts) // 1000000)
+         - (max(epoch_us(ts) // 1000000) - min(epoch_us(ts) // 1000000)) // 5
+           AS horizon
+  FROM events
+), sess AS (
+  SELECT user_id, epoch_us(ts) // 1000000 AS s,
+         SUM(CASE WHEN prev_s IS NULL
+                       OR epoch_us(ts) // 1000000 - prev_s > {relational.KM_GAP_S}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM (
+    SELECT user_id, ts, event_id,
+           lag(epoch_us(ts) // 1000000)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+    FROM events)
+), per_user AS (
+  SELECT (max(s) - min(s)) // 60 AS dur_h,
+         CASE WHEN max(s) < horizon THEN 1 ELSE 0 END AS event
+  FROM sess, span GROUP BY user_id, sess_id, horizon
+), counts AS (
+  SELECT dur_h, CAST(COUNT(*) AS BIGINT) AS n_at, SUM(event) AS d
+  FROM per_user GROUP BY 1
+), risk AS (
+  SELECT dur_h, d,
+         SUM(n_at) OVER (ORDER BY dur_h DESC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM counts
+), deaths AS (
+  SELECT dur_h, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+         row_number() OVER (ORDER BY dur_h) AS rn
+  FROM risk WHERE d > 0
+), km AS (
+  SELECT rn, dur_h, n_risk, d,
+         ({relational.KM_SCALE} * (n_risk - d)) // n_risk AS s
+  FROM deaths WHERE rn = 1
+  UNION ALL
+  SELECT d2.rn, d2.dur_h, d2.n_risk, d2.d,
+         (km.s * (d2.n_risk - d2.d)) // d2.n_risk
+  FROM km JOIN deaths d2 ON d2.rn = km.rn + 1
+)
+SELECT dur_h AS t_minutes, n_risk, d, s AS surv_micro FROM km
+""",
+)
+
+
+REGISTRY["attribution_position_weighted"] = (
+    relational.attribution_position_weighted,
+    """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS p_before
+  FROM events
+), touches AS (
+  SELECT user_id, ts, event_id, event_type, p_before AS path_id
+  FROM tagged WHERE is_p = 0
+), convs AS (
+  SELECT user_id, p_before AS path_id FROM tagged WHERE is_p = 1
+), pos AS (
+  SELECT t.event_type,
+         row_number() OVER (PARTITION BY t.user_id, t.path_id
+                            ORDER BY t.ts, t.event_id) AS pos,
+         COUNT(*) OVER (PARTITION BY t.user_id, t.path_id) AS m
+  FROM touches t
+  JOIN convs c ON c.user_id = t.user_id AND c.path_id = t.path_id
+), cr AS (
+  SELECT event_type, pos, m,
+         CASE WHEN m = 1 THEN 1000000
+              WHEN m = 2 THEN 500000
+              WHEN pos = 1 THEN 400000
+              WHEN pos = m THEN 600000 - (m - 2) * (200000 // (m - 2))
+              ELSE 200000 // (m - 2) END AS credit_micro
+  FROM pos
+)
+SELECT event_type AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       SUM(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS n_first,
+       SUM(CASE WHEN pos = m THEN 1 ELSE 0 END) AS n_last,
+       SUM(credit_micro) AS credit_micro_total
+FROM cr GROUP BY 1
+""",
+)
+
+
+REGISTRY["recsys_item_cosine_topk"] = (
+    relational.recsys_item_cosine_topk,
+    f"""
+WITH inc AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS item FROM lineitem),
+sup AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS n_item FROM inc GROUP BY 1),
+pairs AS (
+  SELECT a.item AS ia, b.item AS ib, CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM inc a JOIN inc b ON a.o = b.o AND a.item < b.item
+  GROUP BY 1, 2
+), sym AS (
+  SELECT ia, ib, n_common FROM pairs
+  UNION ALL SELECT ib AS ia, ia AS ib, n_common FROM pairs
+), scored AS (
+  SELECT sym.ia, sym.ib, n_common,
+         CAST(floor((1000000 * n_common)
+                    / sqrt(CAST(sa.n_item * sb.n_item AS DOUBLE)) + 0.5)
+              AS BIGINT) AS cos_micro
+  FROM sym JOIN sup sa ON sa.item = sym.ia JOIN sup sb ON sb.item = sym.ib
+)
+SELECT ia AS item_id, ib AS neighbor_item_id, rank, cos_micro, n_common FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY ia
+                               ORDER BY cos_micro DESC, ib) AS rank
+  FROM scored)
+WHERE rank <= {relational.RECSYS_TOP_K}
+""",
+)
+
+
+REGISTRY["stats_spearman_rank"] = (
+    relational.stats_spearman_rank,
+    """
+WITH e AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+         CAST(floor(value + 0.5) AS BIGINT) AS v
+  FROM events
+), prof AS (
+  SELECT event_type, x, (1000000 * SUM(v)) // COUNT(*) AS y
+  FROM e GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+           + COUNT(*) OVER (PARTITION BY event_type, x) - 1 AS a,
+         2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+           + COUNT(*) OVER (PARTITION BY event_type, y) - 1 AS b
+  FROM prof
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(a * b) AS sab, SUM(a) AS sa, SUM(b) AS sb,
+         SUM(a * a) AS saa, SUM(b * b) AS sbb
+  FROM ranked GROUP BY 1
+)
+SELECT event_type, n AS n_points,
+       round(CAST(n * sab - sa * sb AS DOUBLE)
+             / sqrt(CAST(n * saa - sa * sa AS DOUBLE)
+                    * CAST(n * sbb - sb * sb AS DOUBLE)), 6) AS spearman_rho
+FROM agg
+""",
+)

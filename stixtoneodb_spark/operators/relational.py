@@ -2825,3 +2825,264 @@ def stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("den").alias("slope_den_hours"),
         F.round(F.expr("cast(num as double) / den"), 6).alias("slope_micro_per_hour"),
     )
+
+
+# -- survival / attribution / recsys / rank-correlation (8th continuation) --
+
+KM_SCALE = 1_000_000
+
+
+KM_GAP_S = 1800  # session boundary: >30 min of silence
+
+
+def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over SESSION lifetimes (first→last
+    event of each 30-min-gap session, whole minutes), right-censored
+    for sessions still open in the final fifth of the observation
+    window — the survival view of engagement that sessionize_events
+    feeds as raw segments.
+
+    Exactness: the survival recurrence S_i = S_{i-1}·(n_i−d_i) div n_i
+    runs in INTEGER micro-units, so there is no float product to drift
+    between engines; the DuckDB oracle replays the identical recurrence
+    with a recursive CTE over the same ordered death table.
+
+    Distribution: session assembly is the sessionize window (one
+    user-key shuffle), then the death table collapses to ≤ distinct
+    duration-minutes rows (bounded, summary-scale); ONLY that tiny
+    table is collected for the O(rows) driver recurrence, like the IVF
+    seed collect.  Risk sets come from one cumulative window over it,
+    not from rescanning sessions.
+    """
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events")
+    span = e.agg(
+        F.min(F.unix_timestamp("ts")).alias("t0"),
+        F.max(F.unix_timestamp("ts")).alias("t1"),
+    ).collect()[0]
+    horizon = span["t1"] - (span["t1"] - span["t0"]) // 5
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.select("user_id", "ts", "event_id", F.unix_timestamp("ts").alias("s"))
+        .withColumn("prev_s", F.lag("s").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev_s").isNull() | (F.col("s") - F.col("prev_s") > KM_GAP_S))
+            .cast("long"),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.min("s").alias("first_s"), F.max("s").alias("last_s")
+    ).select(
+        F.expr("(last_s - first_s) div 60").alias("dur_h"),
+        (F.col("last_s") < F.lit(horizon)).cast("long").alias("event"),
+    )
+    counts = (
+        per_sess.groupBy("dur_h")
+        .agg(F.count("*").alias("n_at"), F.sum("event").alias("d"))
+        .orderBy("dur_h")
+    )
+    rows = counts.collect()
+    total = sum(r["n_at"] for r in rows)
+    out, at_risk, s = [], total, KM_SCALE
+    for r in rows:
+        if r["d"] > 0:  # death times only; censor-only times just shrink risk
+            s = s * (at_risk - r["d"]) // at_risk
+            out.append((int(r["dur_h"]), int(at_risk), int(r["d"]), int(s)))
+        at_risk -= r["n_at"]
+    schema = T.StructType(
+        [
+            T.StructField("t_minutes", T.LongType()),
+            T.StructField("n_risk", T.LongType()),
+            T.StructField("d", T.LongType()),
+            T.StructField("surv_micro", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution: each purchase
+    conversion splits 1.0 of credit over the user's touchpoints since
+    the previous purchase — 40% first touch, 40% last, 20% spread over
+    the middles (integer micro-credits; div remainders land on the last
+    touch so every path sums to exactly 1e6; 1-touch paths get all of
+    it, 2-touch paths split 50/50).
+
+    Distribution: everything is windows over the user-key partitioning
+    (purchase counter, path position fore/aft) plus one broadcast-size
+    join of per-user purchase indices — no new shuffle shape; the final
+    per-channel agg is map-side combined to |channels| rows.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tagged = e.withColumn("is_p", (F.col("event_type") == "purchase").cast("long"))
+    # touches carry the count of purchases strictly before them; purchase
+    # k (0-based p_before) closes path k.
+    tagged = tagged.withColumn(
+        "p_before",
+        F.coalesce(
+            F.sum("is_p").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    touches = tagged.where(F.col("is_p") == 0).select(
+        "user_id", "ts", "event_id", "event_type", F.col("p_before").alias("path_id")
+    )
+    convs = tagged.where(F.col("is_p") == 1).select(
+        "user_id", F.col("p_before").alias("path_id")
+    )
+    path = touches.join(convs, ["user_id", "path_id"])
+    wp = Window.partitionBy("user_id", "path_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id", "path_id")
+    pos = (
+        path.withColumn("pos", F.row_number().over(wp))
+        .withColumn("m", F.count("*").over(wn))
+    )
+    credit = (
+        F.when(F.col("m") == 1, F.lit(1_000_000))
+        .when(F.col("m") == 2,
+              F.when(F.col("pos") == 1, F.lit(500_000)).otherwise(F.lit(500_000)))
+        .when(F.col("pos") == 1, F.lit(400_000))
+        .when(
+            F.col("pos") == F.col("m"),
+            F.lit(400_000) + F.lit(200_000) - (F.col("m") - 2) * F.expr("200000 div (m - 2)"),
+        )
+        .otherwise(F.expr("200000 div (m - 2)"))
+    )
+    return (
+        pos.withColumn("credit_micro", credit.cast("long"))
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count("*").alias("n_touches"),
+            F.sum((F.col("pos") == 1).cast("long")).alias("n_first"),
+            F.sum((F.col("pos") == F.col("m")).cast("long")).alias("n_last"),
+            F.sum("credit_micro").alias("credit_micro_total"),
+        )
+    )
+
+
+RECSYS_TOP_K = 5
+
+
+def recsys_item_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over market baskets: orders are
+    baskets, parts are items, and each item's top-5 neighbors rank by
+    binary cosine n_ab / sqrt(n_a·n_b) — the classic co-purchase
+    similarity behind 'users also bought'.
+
+    Parity: cos_micro = floor(1e6·n_ab / sqrt(n_a·n_b) + 0.5) is one
+    IEEE-exact integer product, one correctly-rounded sqrt, and one
+    correctly-rounded division — bit-identical across engines, ties
+    break on neighbor id.
+
+    Distribution: the pair expansion self-joins lineitem on l_orderkey,
+    so its cost is Σ basket² — bounded because baskets are small (≤7
+    lines in TPC-H; cap-and-log any pathological basket upstream).  The
+    pair agg shuffles on (a,b) with map-side combine; item supports
+    broadcast back onto the pair table; per-item top-k is one ranked
+    window.  Nothing is collected.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    inc = li.distinct()  # binary incidence
+    sup = inc.groupBy(F.col("l_partkey").alias("item")).agg(
+        F.count("*").alias("n_item")
+    )
+    a = inc.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("ia"))
+    b = inc.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("ib"))
+    pairs = (
+        a.join(b, "o")
+        .where(F.col("ia") < F.col("ib"))
+        .groupBy("ia", "ib")
+        .agg(F.count("*").alias("n_common"))
+    )
+    sym = pairs.union(
+        pairs.select(F.col("ib").alias("ia"), F.col("ia").alias("ib"), "n_common")
+    )
+    joined = (
+        sym.join(F.broadcast(sup.withColumnRenamed("item", "ia")
+                             .withColumnRenamed("n_item", "na")), "ia")
+        .join(F.broadcast(sup.withColumnRenamed("item", "ib")
+                          .withColumnRenamed("n_item", "nb")), "ib")
+        .withColumn(
+            "cos_micro",
+            F.expr(
+                "cast(floor((1000000 * n_common) / sqrt(cast(na * nb as double))"
+                " + 0.5) as bigint)"
+            ),
+        )
+    )
+    wr = Window.partitionBy("ia").orderBy(F.desc("cos_micro"), "ib")
+    return (
+        joined.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= RECSYS_TOP_K)
+        .select(
+            F.col("ia").alias("item_id"),
+            F.col("ib").alias("neighbor_item_id"),
+            "rank",
+            "cos_micro",
+            "n_common",
+        )
+    )
+
+
+def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between hour-of-day and the hourly mean
+    value, per event type — the monotonic-association companion to
+    stats_linreg_by_group (OLS) and stats_theil_sen (robust slope) on
+    the same 24-point profile.
+
+    Ties use average ranks, carried as EXACT integer double-ranks
+    (2·avg_rank = 2·rank() + ties − 1); Pearson on the double-ranks is
+    pure integer sums (24 points → no overflow) and the ONLY float op
+    is the final num / sqrt(d1·d2) division, rounded to 6 places
+    identically in both engines.
+
+    Distribution: same shape as theil_sen — a (types × 24)-row profile
+    after one map-side-combined agg; the rank windows and correlation
+    agg run on summary-scale data.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("v"),
+    )
+    prof = e.groupBy("event_type", "x").agg(
+        F.expr("(1000000 * sum(v)) div count(*)").alias("y")
+    )
+    wx = Window.partitionBy("event_type").orderBy("x")
+    wy = Window.partitionBy("event_type").orderBy("y")
+    cx = Window.partitionBy("event_type", "x")
+    cy = Window.partitionBy("event_type", "y")
+    ranked = prof.select(
+        "event_type",
+        (2 * F.rank().over(wx) + F.count("*").over(cx) - 1).alias("a"),
+        (2 * F.rank().over(wy) + F.count("*").over(cy) - 1).alias("b"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").alias("n_points"),
+        F.round(
+            F.expr(
+                "cast(n * sab - sa * sb as double)"
+                " / sqrt(cast((n * saa - sa * sa) as double)"
+                "        * cast((n * sbb - sb * sb) as double))"
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
