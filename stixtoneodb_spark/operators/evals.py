@@ -372,3 +372,40 @@ def eval_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.createDataFrame(out, schema)
+
+
+# -- eval_ann_recall_at_k ----------------------------------------------------
+
+def eval_ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the LSH-bucketed ANN tier against exact brute-force
+    cosine top-k — the quality gate that decides whether the cheap tier
+    may serve a query class, measured entirely in-engine.
+
+    Both systems are the registry's own operators (ann_cosine_topk /
+    ann_lsh_bucketed), so this oracle verifies the COMPOSITION: the
+    DuckDB side re-runs both full algorithms as subqueries and joins
+    them the same way.  recall_micro = 1e6·hits div k, integer.
+
+    Scale shape: adds one candidate-cardinality left join and a Q-row
+    agg on top of the two tiers' existing plans — negligible next to
+    either tier; no collect beyond ann_cosine_topk's query broadcast.
+    """
+    from stixtoneodb_spark.operators import similarity
+
+    exact = similarity.ann_cosine_topk(spark, sf_dir)
+    lsh = similarity.ann_lsh_bucketed(spark, sf_dir)
+    nbrs = (
+        lsh.select(F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id"))
+        .union(
+            lsh.select(
+                F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id")
+            )
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("hit", F.lit(1))
+    )
+    marked = exact.join(nbrs, ["query_id", "neighbor_id"], "left")
+    return marked.groupBy("query_id").agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"),
+    ).withColumn("recall_micro", F.expr("(1000000 * n_hits) div n_exact"))

@@ -4228,3 +4228,117 @@ SELECT event_type, n AS n_points,
 FROM agg
 """,
 )
+
+
+# -- readability / compaction / JL projection / ANN recall ------------------
+
+REGISTRY["text_readability"] = (
+    text.text_readability,
+    """
+WITH scored AS (
+  SELECT source,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS w,
+         greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+           AS s,
+         CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+           AS syl
+  FROM documents
+), fre AS (
+  SELECT source, w, s, syl,
+         206835 - (1015 * w) // s - (84600 * syl) // w AS fre_milli
+  FROM scored WHERE w > 0
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       SUM(fre_milli) // COUNT(*) AS mean_fre_milli,
+       MIN(fre_milli) AS min_fre_milli,
+       MAX(fre_milli) AS max_fre_milli,
+       (1000 * SUM(syl)) // SUM(w) AS syll_per_kword
+FROM fre GROUP BY source
+""",
+)
+
+
+REGISTRY["layout_compaction_bins"] = (
+    relational.layout_compaction_bins,
+    f"""
+WITH tot AS (
+  SELECT SUM(n_chars) // {relational.COMPACT_BINS} + 1 AS target FROM documents
+), binned AS (
+  SELECT doc_id, n_chars, target,
+         (SUM(n_chars) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+           // target AS bin
+  FROM documents, tot
+)
+SELECT bin, CAST(COUNT(*) AS BIGINT) AS n_files, SUM(n_chars) AS bytes,
+       MIN(doc_id) AS min_doc_id, MAX(doc_id) AS max_doc_id,
+       (1000000 * SUM(n_chars)) // MAX(target) AS fill_ppm
+FROM binned GROUP BY bin
+""",
+)
+
+
+def _random_projection_sql() -> str:
+    s = similarity.GRAM_SCALE
+    k = similarity.RP_K
+    p_cols = ",\n         ".join(
+        f"SUM(q * (CASE WHEN ('0x' || substr(md5('rp:' || d || ':' || {j}), 1, 1))"
+        f"::BIGINT % 2 = 0 THEN 1 ELSE -1 END)) AS p{j}"
+        for j in range(k)
+    )
+    proj_sq = " + ".join(f"p{j} * p{j}" for j in range(k))
+    return f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS d,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {s} + 0.5) AS BIGINT)
+           AS q
+  FROM embeddings
+), proj AS (
+  SELECT vec_id,
+         {p_cols},
+         SUM(q * q) AS orig_sq
+  FROM comp GROUP BY vec_id
+)
+SELECT *, {proj_sq} AS proj_sq,
+       CAST(round(CAST({proj_sq} AS DOUBLE)
+                  / CAST({k} * orig_sq AS DOUBLE) * 1000000, 0) AS BIGINT)
+         AS ratio_ppm
+FROM proj
+"""
+
+
+REGISTRY["embedding_random_projection"] = (
+    similarity.embedding_random_projection,
+    _random_projection_sql(),
+)
+
+
+def _ann_recall_sql() -> str:
+    """Composes the exact tier's and the LSH tier's FULL oracle SQL and
+    measures the latter's recall against the former — end-to-end
+    verification through both algorithms (the RRF composition idiom)."""
+    s_exact = REGISTRY["ann_cosine_topk"][1]
+    s_lsh = REGISTRY["ann_lsh_bucketed"][1]
+    return f"""
+WITH exact AS ({s_exact}
+), lsh AS ({s_lsh}
+), nbrs AS (
+  SELECT id_a AS query_id, id_b AS neighbor_id FROM lsh
+  UNION
+  SELECT id_b AS query_id, id_a AS neighbor_id FROM lsh
+)
+SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       SUM(CASE WHEN n.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits,
+       (1000000 * SUM(CASE WHEN n.neighbor_id IS NOT NULL THEN 1 ELSE 0 END))
+         // COUNT(*) AS recall_micro
+FROM exact e
+LEFT JOIN nbrs n
+  ON n.query_id = e.query_id AND n.neighbor_id = e.neighbor_id
+GROUP BY e.query_id
+"""
+
+
+REGISTRY["eval_ann_recall_at_k"] = (
+    evals.eval_ann_recall_at_k,
+    _ann_recall_sql(),
+)

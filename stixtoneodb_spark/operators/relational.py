@@ -3086,3 +3086,42 @@ def stats_spearman_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("spearman_rho"),
     )
+
+
+COMPACT_BINS = 16
+
+
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planning: stream documents in doc_id order
+    into target-size output files (target = corpus bytes div 16 + 1,
+    data-derived), assigning each doc to bin = bytes-before div target —
+    the greedy sequential packer behind every lakehouse OPTIMIZE /
+    rewriteDataFiles job.  Pure integer plan: both engines land every
+    doc in the same bin.
+
+    Output: the per-bin manifest (file count, bytes, id range, fill
+    ppm) a compactor would execute.
+
+    Scale shape: the running byte total is a global ordered window at
+    plan-audit scale; the documented 100-TB swap is the repo's two-pass
+    bucketed prefix sum (range-partition by doc_id, partition-local
+    cumsum + bucket-total carry — events_max_concurrency's shape).  The
+    final manifest agg is map-side combined to 16 rows.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tot = d.agg(F.expr(f"sum(n_chars) div {COMPACT_BINS} + 1").alias("target"))
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    binned = (
+        d.withColumn("cum", F.sum("n_chars").over(w))
+        .join(F.broadcast(tot))
+        .withColumn("bin", F.expr("(cum - n_chars) div target"))
+    )
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_chars").alias("bytes"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+        F.expr("(1000000 * sum(n_chars)) div max(target)").alias("fill_ppm"),
+    )

@@ -1297,3 +1297,57 @@ def embedding_top_eigvec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("v", 6).alias("component"),
         F.round("nrm", 6).alias("lambda_est"),
     )
+
+
+# -- round-4 eighth-continuation: JL random projection -----------------------
+
+RP_K = 8  # projected dimensionality
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection: each embedding is
+    mapped to RP_K dims through a ±1 matrix derived from md5('rp:d:j')
+    parity — the model-free dimensionality reducer that feeds cheap
+    downstream dedup/clustering when the full vector is too wide.
+
+    Components are quantized to GRAM_SCALE integers first (the Gram
+    matrix idiom), so every projected coordinate is an EXACT integer
+    sum; the norm-preservation readout ratio_ppm ≈ proj²/(K·orig²)
+    (its two casts and one division are correctly-rounded IEEE ops,
+    identical cross-engine).
+
+    Scale shape: posexplode to (vec, dim, q) is narrow; the 8
+    conditional sums fold in ONE map-side-combined groupBy(vec_id) —
+    no joins, no collect, and the ±1 matrix never materializes (it is
+    an expression on (d, j)).
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("d", "v"),
+    ).select(
+        "vec_id",
+        "d",
+        F.expr(f"cast(floor(cast(v as double) * {GRAM_SCALE} + 0.5) as bigint)").alias(
+            "q"
+        ),
+    )
+
+    def sign(j: int):
+        return F.expr(
+            f"CASE WHEN conv(substr(md5(concat('rp:', d, ':', {j})), 1, 1), 16, 10)"
+            f" % 2 = 0 THEN 1 ELSE -1 END"
+        )
+
+    aggs = [F.sum(F.col("q") * sign(j)).alias(f"p{j}") for j in range(RP_K)]
+    aggs.append(F.sum(F.col("q") * F.col("q")).alias("orig_sq"))
+    proj = comp.groupBy("vec_id").agg(*aggs)
+    proj_sq = sum(F.col(f"p{j}") * F.col(f"p{j}") for j in range(RP_K))
+    return proj.withColumn("proj_sq", proj_sq).withColumn(
+        "ratio_ppm",
+        F.round(
+            F.expr(f"cast(proj_sq as double) / cast({RP_K} * orig_sq as double)")
+            * 1_000_000,
+            0,
+        ).cast("long"),
+    )

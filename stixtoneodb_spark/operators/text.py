@@ -1854,3 +1854,41 @@ def er_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("collides", F.col("n_spellings") >= 2)
     )
+
+
+# -- round-4 eighth-continuation: readability --------------------------------
+
+def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease profile per source — the classic readability
+    gate an LLM-corpus curation pass runs next to text_quality_score.
+
+    Per doc: words = single-space tokens (the text_token_count spec),
+    sentences = max(1, count of [.!?]+ runs), syllables = count of
+    [aeiouy]+ vowel runs (the standard heuristic).  The score is held
+    in EXACT milli-units with spec'd integer division:
+    fre_milli = 206835 − (1015·W) div S − (84600·Syl) div W, so the
+    per-source means are integer-reproducible in any engine.
+
+    Scale shape: three regexp counters per row (codegen, no UDF), then
+    one map-side-combined agg to |sources| rows — scan-bound at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "source",
+        F.size(F.split(F.lower("text"), " ")).cast("long").alias("w"),
+        F.greatest(
+            F.lit(1), F.regexp_count(F.col("text"), F.lit(r"[.!?]+")).cast("long")
+        ).alias("s"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).cast("long").alias("syl"),
+    ).where(F.col("w") > 0)
+    scored = scored.withColumn(
+        "fre_milli",
+        F.expr("206835 - (1015 * w) div s - (84600 * syl) div w"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.expr("sum(fre_milli) div count(*)").alias("mean_fre_milli"),
+        F.min("fre_milli").alias("min_fre_milli"),
+        F.max("fre_milli").alias("max_fre_milli"),
+        F.expr("(1000 * sum(syl)) div sum(w)").alias("syll_per_kword"),
+    )
