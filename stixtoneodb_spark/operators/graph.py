@@ -987,3 +987,70 @@ def kg_community_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_ppm"),
         )
     )
+
+
+PPR_SEED = "join"  # restart target; must be a PR_VOCAB member (= KHOP_SEED)
+
+
+def kg_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: the random walk restarts at ONE seed
+    entity instead of teleporting uniformly, so scores measure
+    closeness-to-seed — the 'related entities' ranking that global
+    kg_pagerank can't provide (its teleport washes locality out).
+
+        ppr_{k+1}(v) = (1-d)·1[v = seed] + d · Σ_{u→v} ppr_k(u)·w/wout(u)
+
+    Same FIXED-iteration protocol, damping, graph build, and round-6
+    readout as kg_pagerank (constants shared with the oracle, which
+    unrolls the identical steps with the restart CASE).  Init is the
+    restart vector itself (all mass on the seed).
+
+    Scale shape: identical to kg_pagerank — vocabulary-scale graph,
+    one edges⋈pr shuffle join + groupBy(dst) per iteration,
+    localCheckpoint truncating lineage.  The restart vector costs a
+    CASE, not a join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    m = (
+        d.select("doc_id", F.explode(_ws_tokens(F.col("text"))).alias("token"))
+        .where(F.col("token").isin(*PR_VOCAB))
+        .distinct()
+    )
+    a = m.select("doc_id", F.col("token").alias("src"))
+    b = m.select("doc_id", F.col("token").alias("dst"))
+    half = (
+        a.join(b, "doc_id")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("double").alias("w"))
+    )
+    edges = half.unionByName(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w")
+    ).localCheckpoint(eager=True)
+    outw = edges.groupBy("src").agg(F.sum("w").alias("wout"))
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+
+    restart = F.when(F.col("node") == PPR_SEED, F.lit(1.0)).otherwise(F.lit(0.0))
+    pr = nodes.withColumn("pr", restart)
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(outw, "src")
+            .join(pr, pr.node == F.col("src"))
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("wout")).alias("c"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.node == F.col("dst"), "left")
+            .select(
+                "node",
+                (
+                    F.when(F.col("node") == PPR_SEED, F.lit(1.0 - PR_DAMPING))
+                    .otherwise(F.lit(0.0))
+                    + F.lit(PR_DAMPING) * F.coalesce(F.col("c"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return pr.select(F.col("node").alias("mention"), F.round("pr", 6).alias("ppr"))

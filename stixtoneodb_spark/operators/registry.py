@@ -4342,3 +4342,286 @@ REGISTRY["eval_ann_recall_at_k"] = (
     evals.eval_ann_recall_at_k,
     _ann_recall_sql(),
 )
+
+
+# -- agreement / forecasting / CEP / robust means ---------------------------
+
+REGISTRY["stats_fleiss_kappa"] = (
+    relational.stats_fleiss_kappa,
+    f"""
+WITH rated AS (
+  SELECT doc_id,
+         CASE WHEN ('0x' || substr(md5('fk:' || t.r || ':' || doc_id), 1, 6))
+                   ::BIGINT % {relational.FLEISS_NOISE_MOD} = 0
+              THEN ('0x' || substr(md5('fk:' || t.r || ':' || doc_id), 7, 6))
+                   ::BIGINT % {relational.FLEISS_CATS}
+              ELSE doc_id % {relational.FLEISS_CATS} END AS cat
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, {relational.FLEISS_RATERS})) AS r) t
+), cell AS (
+  SELECT doc_id, cat, CAST(COUNT(*) AS BIGINT) AS nij
+  FROM rated GROUP BY 1, 2
+), a_n AS (
+  SELECT SUM(sq) AS a, CAST(COUNT(*) AS BIGINT) AS n_items FROM (
+    SELECT doc_id, SUM(nij * nij) AS sq FROM cell GROUP BY 1)
+), b_agg AS (
+  SELECT SUM(cj * cj) AS b FROM (
+    SELECT cat, SUM(nij) AS cj FROM cell GROUP BY 1)
+)
+SELECT n_items, CAST({relational.FLEISS_RATERS} AS BIGINT) AS n_raters,
+       (1000000 * (a - 3 * n_items)) // (6 * n_items) AS pbar_ppm,
+       (1000000 * b) // (9 * n_items * n_items) AS pe_ppm,
+       round(CAST(3 * n_items * (a - 3 * n_items) - 2 * b AS DOUBLE)
+             / CAST(18 * n_items * n_items - 2 * b AS DOUBLE), 6)
+         AS fleiss_kappa
+FROM a_n CROSS JOIN b_agg
+""",
+)
+
+
+def _holt_sql() -> str:
+    am, bm = relational.HOLT_ALPHA_M, relational.HOLT_BETA_M
+    step_l = f"({am} * nxt.ym + {1000 - am} * (hw.l + hw.b)) // 1000"
+    return f"""
+WITH RECURSIVE c AS (
+  SELECT event_type,
+         date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                   date_trunc('hour', ts)) AS h,
+         CAST(COUNT(*) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM c GROUP BY 1
+), gall AS (SELECT MIN(h) AS gmn, MAX(h) AS gmx FROM c),
+gr AS (
+  SELECT gmn AS h, gmx FROM gall
+  UNION ALL
+  SELECT h + 1, gmx FROM gr WHERE h < gmx
+), grid AS (
+  SELECT b.event_type, gr.h, b.mn, b.mx
+  FROM bounds b, gr
+  WHERE gr.h BETWEEN b.mn AND b.mx
+), series AS (
+  SELECT grid.event_type, grid.h,
+         1000 * COALESCE(c.y, 0) AS ym,
+         grid.h - grid.mn + 1 AS rn,
+         grid.mx - grid.mn + 1 AS t_n
+  FROM grid LEFT JOIN c ON c.event_type = grid.event_type AND c.h = grid.h
+), hw AS (
+  SELECT s1.event_type, CAST(1 AS BIGINT) AS rn,
+         s1.ym AS l, s2.ym - s1.ym AS b
+  FROM series s1 JOIN series s2
+    ON s2.event_type = s1.event_type AND s2.rn = 2
+  WHERE s1.rn = 1
+  UNION ALL
+  SELECT nxt.event_type, nxt.rn,
+         {step_l} AS l,
+         ({bm} * ({step_l} - hw.l) + {1000 - bm} * hw.b) // 1000 AS b
+  FROM hw JOIN series nxt
+    ON nxt.event_type = hw.event_type AND nxt.rn = hw.rn + 1
+)
+SELECT hw.event_type, t.t_n AS n_hours, l AS level_milli, b AS trend_milli,
+       l + b AS forecast1_milli, l + 2 * b AS forecast2_milli,
+       l + 3 * b AS forecast3_milli
+FROM hw JOIN (SELECT DISTINCT event_type, t_n FROM series) t
+  USING (event_type)
+WHERE hw.rn = t.t_n
+"""
+
+
+REGISTRY["events_holt_linear"] = (relational.events_holt_linear, _holt_sql())
+
+
+REGISTRY["events_regex_patterns"] = (
+    relational.events_regex_patterns,
+    """
+WITH j AS (
+  SELECT user_id,
+         string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+           AS journey
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       CAST(length(journey) AS BIGINT) AS journey_len,
+       CAST(len(regexp_extract_all(journey, 'ee+')) AS BIGINT)
+         AS n_error_storms,
+       CAST(len(regexp_extract_all(journey, 'e+p')) AS BIGINT)
+         AS n_recovered_purchases,
+       CASE WHEN journey LIKE 's%' THEN 1 ELSE 0 END AS signup_first
+FROM j
+""",
+)
+
+
+REGISTRY["stats_winsorized_mean"] = (
+    relational.stats_winsorized_mean,
+    f"""
+WITH e AS (
+  SELECT event_type, event_id,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+  FROM events
+), ranked AS (
+  SELECT event_type, v_milli,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY v_milli, event_id) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM e
+), kd AS (
+  SELECT *, n // {relational.WINSOR_TRIM_DECI} AS k FROM ranked
+), agg AS (
+  SELECT event_type, MAX(n) AS n_rows, MAX(k) AS n_trimmed_each,
+         SUM(CASE WHEN rn > k AND rn <= n - k THEN v_milli END) AS sum_mid,
+         SUM(CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END) AS cnt_mid,
+         MAX(CASE WHEN rn = k + 1 THEN v_milli END) AS lo_clamp_milli,
+         MAX(CASE WHEN rn = n - k THEN v_milli END) AS hi_clamp_milli
+  FROM kd GROUP BY 1
+)
+SELECT event_type, n_rows, n_trimmed_each, lo_clamp_milli, hi_clamp_milli,
+       (1000 * sum_mid) // cnt_mid AS trimmed_mean_micro,
+       (1000 * (sum_mid + n_trimmed_each * (lo_clamp_milli + hi_clamp_milli)))
+         // n_rows AS winsor_mean_micro
+FROM agg
+""",
+)
+
+
+# -- PPR / entropy rate / vocab coverage / freshness SLA --------------------
+
+def _ppr_sql() -> str:
+    """Unrolled personalized-PageRank oracle: kg_pagerank's graph and
+    iteration protocol with the teleport replaced by the single-seed
+    restart CASE (constants interpolated from graph.py)."""
+    vocab = ",".join(f"'{t}'" for t in graph.PR_VOCAB)
+    num = repr(1.0 - graph.PR_DAMPING)
+    d = repr(graph.PR_DAMPING)
+    seed = graph.PPR_SEED
+    iters = "".join(
+        f""", r{k} AS (
+  SELECT nd.node,
+         (CASE WHEN nd.node = '{seed}' THEN {num} ELSE 0.0 END)
+           + {d} * coalesce(c.c, 0.0) AS pr
+  FROM nodes nd LEFT JOIN (
+    SELECT e.dst AS node, sum(rp.pr * e.w / o.wout) AS c
+    FROM edges e JOIN outw o ON e.src = o.src JOIN r{k - 1} rp ON rp.node = e.src
+    GROUP BY e.dst) c ON c.node = nd.node
+)"""
+        for k in range(1, graph.PR_ITERS + 1)
+    )
+    return f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+  WHERE token IN ({vocab})
+), half AS (
+  SELECT a.token AS src, b.token AS dst, COUNT(*)::DOUBLE AS w
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY a.token, b.token
+), edges AS (
+  SELECT src, dst, w FROM half UNION ALL SELECT dst, src, w FROM half
+), outw AS (
+  SELECT src, sum(w) AS wout FROM edges GROUP BY src
+), nodes AS (
+  SELECT DISTINCT src AS node FROM edges
+), r0 AS (
+  SELECT node, CASE WHEN node = '{seed}' THEN 1.0 ELSE 0.0 END AS pr
+  FROM nodes
+){iters}
+SELECT node AS mention, round(pr, 6) AS ppr FROM r{graph.PR_ITERS}
+"""
+
+
+REGISTRY["kg_personalized_pagerank"] = (
+    graph.kg_personalized_pagerank,
+    _ppr_sql(),
+)
+
+
+REGISTRY["stats_entropy_rate"] = (
+    relational.stats_entropy_rate,
+    """
+WITH trans AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS nij FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events)
+  WHERE dst IS NOT NULL GROUP BY 1, 2
+), ni AS (
+  SELECT src, SUM(nij) AS n_out, CAST(COUNT(*) AS BIGINT) AS n_dst
+  FROM trans GROUP BY 1
+), tot AS (SELECT SUM(nij) AS n_total FROM trans)
+SELECT src AS event_type, n_out, n_dst,
+       (1000000 * n_out) // n_total AS pi_ppm,
+       round(SUM((CAST(nij AS DOUBLE) / n_out)
+                 * ln(CAST(n_out AS DOUBLE) / nij)), 6) AS h_state_nats
+FROM trans JOIN ni USING (src), tot
+GROUP BY src, n_out, n_dst, n_total
+""",
+)
+
+
+REGISTRY["dq_freshness_sla"] = (
+    relational.dq_freshness_sla,
+    """
+WITH hours AS (
+  SELECT event_type, epoch_us(ts) // 1000000 // 3600 AS h,
+         epoch_us(ts) // 1000000 AS s
+  FROM events
+), gw AS (
+  SELECT MIN(h) AS gmn, MAX(h) AS gmx, MAX(s) AS gmax_s FROM hours
+), per_hour AS (
+  SELECT event_type, h, MAX(s) AS last_s FROM hours GROUP BY 1, 2
+), gaps AS (
+  SELECT event_type, h, last_s,
+         lag(h) OVER (PARTITION BY event_type ORDER BY h) AS prev_h
+  FROM per_hour
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS observed_hours,
+         MAX(last_s) AS last_s,
+         MAX(CASE WHEN prev_h IS NOT NULL THEN h - prev_h - 1 END)
+           AS max_gap_hours
+  FROM gaps GROUP BY 1
+)
+SELECT event_type, observed_hours,
+       gmx - gmn + 1 AS expected_hours,
+       gmx - gmn + 1 - observed_hours AS missing_hours,
+       (1000000 * observed_hours) // (gmx - gmn + 1) AS coverage_ppm,
+       COALESCE(max_gap_hours, 0) AS max_gap_hours,
+       (gmax_s - last_s) // 60 AS staleness_minutes
+FROM agg, gw
+""",
+)
+
+
+REGISTRY["tokenizer_vocab_coverage"] = (
+    text.tokenizer_vocab_coverage,
+    f"""
+WITH words AS (
+  SELECT lang, unnest(string_split(lower(text), ' ')) AS w FROM documents
+), gf AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq FROM words GROUP BY 1
+), nv AS (
+  SELECT CAST(COUNT(*) AS BIGINT) // {text.VOCAB_DIV} + 1 AS v_size FROM gf
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS rk FROM gf), nv
+  WHERE rk <= v_size
+), marked AS (
+  SELECT words.lang, words.w,
+         CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END AS in_vocab
+  FROM words LEFT JOIN vocab v ON v.w = words.w
+), tok AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         SUM(in_vocab) AS n_covered
+  FROM marked GROUP BY 1
+), typ AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_types,
+         SUM(in_vocab) AS n_types_covered
+  FROM (SELECT DISTINCT lang, w, in_vocab FROM marked) GROUP BY 1
+)
+SELECT lang, n_tokens, n_covered,
+       (1000000 * n_covered) // n_tokens AS token_coverage_ppm,
+       n_types, n_types_covered,
+       (1000000 * n_types_covered) // n_types AS type_coverage_ppm
+FROM tok JOIN typ USING (lang)
+""",
+)

@@ -3125,3 +3125,355 @@ def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("doc_id").alias("max_doc_id"),
         F.expr("(1000000 * sum(n_chars)) div max(target)").alias("fill_ppm"),
     )
+
+
+# -- agreement / forecasting / CEP / robust means (8th continuation, pt 4) --
+
+FLEISS_RATERS = 3
+FLEISS_CATS = 3
+FLEISS_NOISE_MOD = 5  # 1-in-5 ratings replaced by hash noise
+
+
+def stats_fleiss_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleiss' kappa — chance-corrected agreement among 3 annotators on
+    a 3-category labeling task, the multi-rater generalization of
+    stats_cohens_kappa.  Ratings are synthesized deterministically
+    (md5 idiom: rater r mostly reports doc_id mod 3, with 1-in-5
+    ratings replaced by hash noise) so both engines derive the same
+    rating matrix; in production the table arrives from the annotation
+    tool and only the estimator runs.
+
+    The whole estimator is EXACT integer algebra: with A = Σ_i Σ_j
+    n_ij², B = Σ_j c_j², N items, r raters — kappa = (rN(A−rN) −
+    (r−1)·? ) — concretely for the common-denominator form used here,
+    num = 3N(A−3N) − 2B and den = 18N² − 2B, and the ONLY float op is
+    the final single division (round 6).
+
+    Distribution: the rating explode is 3× narrow; per-item category
+    counts ride one doc-key shuffle; A, B, N are two map-side-combined
+    scalar aggs — nothing grows with corpus size except the scan.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    r_ids = ",".join(str(r) for r in range(FLEISS_RATERS))
+    rated = d.select(
+        "doc_id", F.explode(F.expr(f"array({r_ids})")).alias("r")
+    ).select(
+        "doc_id",
+        F.expr(
+            f"""CASE WHEN conv(substr(md5(concat('fk:', r, ':', doc_id)), 1, 6),
+                          16, 10) % {FLEISS_NOISE_MOD} = 0
+                 THEN cast(conv(substr(md5(concat('fk:', r, ':', doc_id)), 7, 6),
+                          16, 10) % {FLEISS_CATS} as bigint)
+                 ELSE doc_id % {FLEISS_CATS} END"""
+        ).alias("cat"),
+    )
+    cell = rated.groupBy("doc_id", "cat").agg(F.count("*").alias("nij"))
+    per_item = cell.groupBy("doc_id").agg(F.sum(F.expr("nij * nij")).alias("sq"))
+    a_n = per_item.agg(
+        F.sum("sq").alias("a"), F.count("*").alias("n_items")
+    )
+    b_tab = cell.groupBy("cat").agg(F.sum("nij").alias("cj"))
+    b_agg = b_tab.agg(F.sum(F.expr("cj * cj")).alias("b"))
+    return (
+        a_n.join(b_agg)
+        .select(
+            "n_items",
+            F.lit(FLEISS_RATERS).cast("long").alias("n_raters"),
+            F.expr("(1000000 * (a - 3 * n_items)) div (6 * n_items)").alias(
+                "pbar_ppm"
+            ),
+            F.expr("(1000000 * b) div (9 * n_items * n_items)").alias("pe_ppm"),
+            F.round(
+                F.expr(
+                    "cast(3 * n_items * (a - 3 * n_items) - 2 * b as double)"
+                    " / cast(18 * n_items * n_items - 2 * b as double)"
+                ),
+                6,
+            ).alias("fleiss_kappa"),
+        )
+    )
+
+
+HOLT_ALPHA_M = 300  # alpha = 0.3 in milli
+HOLT_BETA_M = 200   # beta  = 0.2 in milli
+HOLT_H = 3          # forecast horizon (hours)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """Integer division truncating toward zero — the semantics BOTH SQL
+    engines implement (Spark `div`, DuckDB `//`), unlike Python's
+    flooring `//` which differs on negative operands (trend terms go
+    negative on falling series)."""
+    q = a // b
+    if q < 0 and q * b != a:
+        q += 1
+    return q
+
+
+def _holt_integer(series_milli):
+    """Holt's linear-trend recurrence in EXACT milli-integer arithmetic
+    (identical to the oracle's recursive CTE; _tdiv = SQL div):
+      l_t = (300·y_t + 700·(l+b)) div 1000
+      b_t = (200·(l_t − l_prev) + 800·b) div 1000
+    init l = y_0, b = y_1 − y_0.  Returns (level, trend).
+    """
+    l, b = series_milli[0], series_milli[1] - series_milli[0]
+    for y in series_milli[1:]:
+        l_new = _tdiv(HOLT_ALPHA_M * y + (1000 - HOLT_ALPHA_M) * (l + b), 1000)
+        b = _tdiv(HOLT_BETA_M * (l_new - l) + (1000 - HOLT_BETA_M) * b, 1000)
+        l = l_new
+    return l, b
+
+
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend (double exponential) smoothing of the hourly
+    event-count series per type, with a 3-hour-ahead forecast — the
+    level+trend companion to events_ewma_hourly (level only) and the
+    input a capacity planner actually wants.
+
+    Gaps in the hour grid are dense-filled with zero counts (a missing
+    hour IS a zero observation for arrival counts).  The recurrence is
+    EXACT milli-integer (see _holt_integer); the oracle replays it as a
+    recursive CTE over the same dense grid, so the parity check covers
+    init, every smoothing step, and the h·b forecast extrapolation.
+
+    Distribution: the hourly agg is map-side combined to |types|×|hours|
+    rows (bounded summary scale); ONLY that is collected for the O(T)
+    driver fold — the KM/Bradley-Terry collect pattern.  Types with
+    fewer than 2 grid hours are skipped (no trend is estimable).
+    """
+    from pyspark.sql import types as T
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.expr(
+                "(unix_timestamp(date_trunc('hour', ts))"
+                " - unix_timestamp(timestamp '2024-01-01 00:00:00')) div 3600"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("y"))
+        .collect()
+    )
+    by_type: dict = {}
+    for r in hourly:
+        by_type.setdefault(r["event_type"], {})[int(r["h"])] = int(r["y"])
+    out = []
+    for et in sorted(by_type):
+        grid = by_type[et]
+        mn, mx = min(grid), max(grid)
+        if mx == mn:
+            continue
+        series = [1000 * grid.get(h, 0) for h in range(mn, mx + 1)]
+        level, trend = _holt_integer(series)
+        fc = [level + h * trend for h in range(1, HOLT_H + 1)]
+        out.append((et, len(series), level, trend, fc[0], fc[1], fc[2]))
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_hours", T.LongType()),
+            T.StructField("level_milli", T.LongType()),
+            T.StructField("trend_milli", T.LongType()),
+            T.StructField("forecast1_milli", T.LongType()),
+            T.StructField("forecast2_milli", T.LongType()),
+            T.StructField("forecast3_milli", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+def events_regex_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing readout: each user's journey is the
+    ordered string of event-type initials (c/v/p/s/e), scanned with
+    regexes — error storms ('ee+'), error-then-recovered purchases
+    ('e+p'), and signup-first journeys — the MATCH_RECOGNIZE-lite that
+    funnels can't express (funnel_user_steps counts milestones, not
+    adjacency patterns).
+
+    Parity: journey assembly is an ordered string agg with the full
+    (ts, event_id) tie-break; both engines' regex scans are leftmost
+    non-overlapping on the same deterministic string.
+
+    Distribution: one user-key shuffle builds the journey (array_sort
+    of collected structs — bounded by per-user event count, the same
+    envelope sessionize carries); the regex counters are per-row
+    codegen.  At 100 TB journey length is the thing to cap — chunk by
+    (user, day) exactly like corpus_chunk_documents if users run hot.
+    """
+    e = load_table(spark, sf_dir, "events")
+    j = (
+        e.groupBy("user_id")
+        .agg(
+            F.expr(
+                "concat_ws('', transform("
+                "array_sort(collect_list(struct(ts, event_id,"
+                " substring(event_type, 1, 1) as ini))), x -> x.ini))"
+            ).alias("journey")
+        )
+    )
+    return j.select(
+        "user_id",
+        F.length("journey").cast("long").alias("journey_len"),
+        F.regexp_count(F.col("journey"), F.lit("ee+")).cast("long").alias(
+            "n_error_storms"
+        ),
+        F.regexp_count(F.col("journey"), F.lit("e+p")).cast("long").alias(
+            "n_recovered_purchases"
+        ),
+        F.col("journey").startswith("s").cast("long").alias("signup_first"),
+    )
+
+
+WINSOR_TRIM_DECI = 10  # trim n div 10 rows from each tail
+
+
+def stats_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trimmed and winsorized means of event value per type — the
+    robust-location pair next to agg_anomaly_mad (scale) and
+    agg_weighted_median: trim drops the top/bottom n div 10 rows,
+    winsorize clamps them to the cut values.
+
+    Values quantize to EXACT milli integers (one correctly-rounded
+    multiply + floor, identical cross-engine); ranks carry the
+    (v, event_id) total order so the cut is deterministic; every mean
+    is an integer div at micro scale.
+
+    Distribution: one rank window per type (the same sort
+    agg_value_quantiles already pays), then a single agg with
+    conditional sums — no second pass, no collect.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias("v_milli"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v_milli", "event_id")
+    ranked = e.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count("*").over(Window.partitionBy("event_type"))
+    )
+    ranked = ranked.withColumn("k", F.expr(f"n div {WINSOR_TRIM_DECI}"))
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_rows"),
+        F.max("k").alias("n_trimmed_each"),
+        F.sum(F.expr("CASE WHEN rn > k AND rn <= n - k THEN v_milli END")).alias(
+            "sum_mid"
+        ),
+        F.sum(F.expr("CASE WHEN rn > k AND rn <= n - k THEN 1 ELSE 0 END")).alias(
+            "cnt_mid"
+        ),
+        F.max(F.expr("CASE WHEN rn = k + 1 THEN v_milli END")).alias("lo_clamp_milli"),
+        F.max(F.expr("CASE WHEN rn = n - k THEN v_milli END")).alias("hi_clamp_milli"),
+    )
+    return agg.select(
+        "event_type",
+        "n_rows",
+        "n_trimmed_each",
+        "lo_clamp_milli",
+        "hi_clamp_milli",
+        F.expr("(1000 * sum_mid) div cnt_mid").alias("trimmed_mean_micro"),
+        F.expr(
+            "(1000 * (sum_mid + n_trimmed_each * (lo_clamp_milli + hi_clamp_milli)))"
+            " div n_rows"
+        ).alias("winsor_mean_micro"),
+    )
+
+
+def stats_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-state conditional entropy of the event-type Markov chain —
+    how predictable the NEXT event is from the current one, the
+    information-theoretic reading of events_transition_matrix (same
+    transition extraction).  States with H ≈ 0 are deterministic
+    funnels; H ≈ ln(|types|) is noise.
+
+    Per source state i: π in exact ppm (occupancy among transition
+    sources) and H_i = Σ_j (n_ij/n_i)·ln(n_i/n_ij) nats, round-6 — the
+    stats_mutual_information float idiom (per-state sums are ≤|types|
+    terms, so partial-order noise sits far below the rounding).
+
+    Distribution: one lead() window per user (the transition-matrix
+    shuffle), a (src,dst) map-side agg to ≤|types|² rows, then
+    summary-scale arithmetic.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("nij"))
+    )
+    ni = trans.groupBy("src").agg(
+        F.sum("nij").alias("n_out"), F.count("*").alias("n_dst")
+    )
+    tot = trans.agg(F.sum("nij").alias("n_total"))
+    joined = trans.join(ni, "src").join(F.broadcast(tot))
+    return joined.groupBy("src", "n_out", "n_dst", "n_total").agg(
+        F.round(
+            F.sum(
+                (F.col("nij").cast("double") / F.col("n_out"))
+                * F.log(F.col("n_out").cast("double") / F.col("nij"))
+            ),
+            6,
+        ).alias("h_state_nats")
+    ).select(
+        F.col("src").alias("event_type"),
+        "n_out",
+        "n_dst",
+        F.expr("(1000000 * n_out) div n_total").alias("pi_ppm"),
+        "h_state_nats",
+    )
+
+
+def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness / completeness SLA monitor per event type: staleness
+    (minutes since the stream's last row at the corpus watermark),
+    hour-grid coverage against the GLOBAL observation window, and the
+    longest silent gap — the table a lakehouse on-call actually pages
+    on, next to dq_constraint_violations (row-level) and
+    profile_table_stats (column-level).
+
+    Everything is exact integer: hour ids via epoch-seconds div 3600,
+    coverage in ppm, gaps from one lag() over the per-type observed
+    hour set (summary scale).
+
+    Distribution: one (type, hour) map-side agg rides the scan; the
+    global window bounds are a broadcast 1-row aggregate; the gap
+    window runs over ≤ |types|×|hours| rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hours = e.select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 3600").alias("h"),
+        F.unix_timestamp("ts").alias("s"),
+    )
+    glob = hours.agg(
+        F.min("h").alias("gmn"), F.max("h").alias("gmx"), F.max("s").alias("gmax_s")
+    )
+    per_hour = hours.groupBy("event_type", "h").agg(F.max("s").alias("last_s"))
+    wg = Window.partitionBy("event_type").orderBy("h")
+    gaps = per_hour.withColumn("prev_h", F.lag("h").over(wg))
+    agg = gaps.groupBy("event_type").agg(
+        F.count("*").alias("observed_hours"),
+        F.max("last_s").alias("last_s"),
+        F.max(
+            F.when(F.col("prev_h").isNotNull(), F.col("h") - F.col("prev_h") - 1)
+        ).alias("max_gap_hours"),
+    )
+    return agg.join(F.broadcast(glob)).select(
+        "event_type",
+        "observed_hours",
+        (F.col("gmx") - F.col("gmn") + 1).alias("expected_hours"),
+        (F.col("gmx") - F.col("gmn") + 1 - F.col("observed_hours")).alias(
+            "missing_hours"
+        ),
+        F.expr(
+            "(1000000 * observed_hours) div (gmx - gmn + 1)"
+        ).alias("coverage_ppm"),
+        F.coalesce("max_gap_hours", F.lit(0)).alias("max_gap_hours"),
+        F.expr("(gmax_s - last_s) div 60").alias("staleness_minutes"),
+    )

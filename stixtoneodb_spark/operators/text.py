@@ -1892,3 +1892,67 @@ def text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("fre_milli").alias("max_fre_milli"),
         F.expr("(1000 * sum(syl)) div sum(w)").alias("syll_per_kword"),
     )
+
+
+# -- round-4 eighth-continuation: vocab coverage -----------------------------
+
+VOCAB_DIV = 3  # vocab size = distinct-word count div 3 + 1 (data-derived)
+
+
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV audit per language: build the top-V
+    frequency vocabulary over the whole corpus (V data-derived so the
+    readout stays partial at any scale), then report per language the
+    share of TOKEN occurrences covered and the share of distinct TYPES
+    covered — the first thing to check before freezing a tokenizer on a
+    multilingual corpus (high token coverage with low type coverage =
+    a long OOV tail the fertility histogram will pay for).
+
+    Vocabulary rank ties break on the word itself, so the cut is
+    deterministic; coverage is exact ppm.
+
+    Distribution: word counts are one map-side-combined shuffle; the
+    vocabulary is a broadcast top-V (ranked window over |vocab| rows);
+    the per-lang readout is a broadcast semi-join + one agg — corpus
+    scan dominates at 100 TB.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    words = d.select("lang", F.explode(_ws_tokens(F.col("text"))).alias("w"))
+    global_freq = words.groupBy("w").agg(F.count("*").alias("freq"))
+    n_distinct = global_freq.count()
+    v_size = n_distinct // VOCAB_DIV + 1
+    wr = Window.orderBy(F.desc("freq"), "w")
+    vocab = (
+        global_freq.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= v_size)
+        .select("w")
+        .withColumn("in_vocab", F.lit(1))
+    )
+    marked = words.join(F.broadcast(vocab), "w", "left")
+    tok = marked.groupBy("lang").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.coalesce("in_vocab", F.lit(0))).alias("n_covered"),
+    )
+    typ = (
+        marked.select("lang", "w", "in_vocab")
+        .distinct()
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum(F.coalesce("in_vocab", F.lit(0))).alias("n_types_covered"),
+        )
+    )
+    return (
+        tok.join(typ, "lang")
+        .select(
+            "lang",
+            "n_tokens",
+            "n_covered",
+            F.expr("(1000000 * n_covered) div n_tokens").alias("token_coverage_ppm"),
+            "n_types",
+            "n_types_covered",
+            F.expr("(1000000 * n_types_covered) div n_types").alias(
+                "type_coverage_ppm"
+            ),
+        )
+    )
