@@ -1054,3 +1054,54 @@ def kg_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return pr.select(F.col("node").alias("mention"), F.round("pr", 6).alias("ppr"))
+
+
+def kg_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the entity co-occurrence graph: the
+    Pearson correlation of endpoint degrees over all directed edge
+    slots — do hubs link to hubs (assortative, r > 0) or to leaves
+    (disassortative, r < 0)?  One scalar a KG health dashboard tracks
+    next to kg_triangle_count and the degree profile.
+
+    Exact integer moments (degrees and their products summed as
+    int64); the ONLY float ops are the final covariance division and
+    sqrt on identical operands, round-6.  Density in exact ppm.
+
+    Distribution: the co-occurrence edge build (vocabulary scale);
+    degrees via one groupBy; moments via one agg over 2·|edges| rows.
+    """
+    edges = _cooccurrence_edges(spark, sf_dir)
+    deg = edges.groupBy("src").agg(F.count("*").alias("d"))
+    both = (
+        edges.join(deg.withColumnRenamed("src", "u_"), edges.src == F.col("u_"))
+        .select(edges.dst.alias("v"), F.col("d").alias("du"))
+        .join(deg.withColumnRenamed("src", "v_"), F.col("v") == F.col("v_"))
+        .select(F.col("du"), F.col("d").alias("dv"))
+    )
+    n_nodes = deg.count()
+    agg = both.agg(
+        F.count("*").alias("m2"),  # directed slots = 2|E|
+        F.sum("du").alias("sx"),
+        F.sum("dv").alias("sy"),
+        F.sum(F.expr("du * dv")).alias("sxy"),
+        F.sum(F.expr("du * du")).alias("sxx"),
+        F.sum(F.expr("dv * dv")).alias("syy"),
+    )
+    return agg.select(
+        F.expr("m2 div 2").alias("n_edges"),
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.expr(
+            f"(1000000 * m2) div ({n_nodes} * ({n_nodes} - 1))"
+        ).alias("density_ppm"),
+        F.round(
+            F.expr(
+                # a degree-regular graph (complete graphs included) has
+                # zero degree variance: assortativity undefined -> NULL
+                "CASE WHEN m2 * sxx = sx * sx OR m2 * syy = sy * sy THEN NULL"
+                " ELSE cast(m2 * sxy - sx * sy as double)"
+                " / sqrt(cast(m2 * sxx - sx * sx as double)"
+                "        * cast(m2 * syy - sy * sy as double)) END"
+            ),
+            6,
+        ).alias("assortativity"),
+    )

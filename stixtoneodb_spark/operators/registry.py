@@ -4625,3 +4625,409 @@ SELECT lang, n_tokens, n_covered,
 FROM tok JOIN typ USING (lang)
 """,
 )
+
+
+# -- filter cascade / concentration / TWAP / time-to-convert ----------------
+
+def _gopher_sql() -> str:
+    stops = ",".join(f"'{s}'" for s in text.GOPHER_STOPS)
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS w,
+         CAST(length(text) - len(string_split(lower(text), ' ')) + 1 AS BIGINT)
+           AS sum_len,
+         CAST(length(regexp_replace(lower(text), '[a-z ]', '', 'g')) AS BIGINT)
+           AS n_sym,
+         CAST(length(text) AS BIGINT) AS n_chars_t,
+         CAST(len(list_distinct(list_filter(string_split(lower(text), ' '),
+                                            x -> x IN ({stops})))) AS BIGINT)
+           AS n_stops
+  FROM documents
+), topw AS (
+  SELECT doc_id, MAX(c) AS top_c FROM (
+    SELECT doc_id, tk, CAST(COUNT(*) AS BIGINT) AS c FROM (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tk
+      FROM documents)
+    GROUP BY 1, 2) GROUP BY 1
+), v AS (
+  SELECT CASE
+           WHEN w < {text.GOPHER_W_MIN} OR w > {text.GOPHER_W_MAX}
+             THEN 'r1_word_count'
+           WHEN sum_len < {text.GOPHER_MWL_MIN} * w
+                OR sum_len > {text.GOPHER_MWL_MAX} * w
+             THEN 'r2_mean_word_len'
+           WHEN 10 * n_sym > {text.GOPHER_SYM_DECI} * n_chars_t
+             THEN 'r3_symbol_ratio'
+           WHEN {text.GOPHER_TOPW_MULT} * top_c > w THEN 'r4_repetition'
+           WHEN n_stops < {text.GOPHER_STOP_MIN} THEN 'r5_stopword_floor'
+           ELSE 'kept' END AS rule
+  FROM base JOIN topw USING (doc_id)
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents)
+SELECT rule, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       (1000000 * COUNT(*)) // (SELECT t FROM tot) AS share_ppm
+FROM v GROUP BY 1
+"""
+
+
+REGISTRY["corpus_gopher_rules"] = (text.corpus_gopher_rules, _gopher_sql())
+
+
+REGISTRY["stats_gini_concentration"] = (
+    relational.stats_gini_concentration,
+    """
+WITH act AS (
+  SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), ranked AS (
+  SELECT event_type, x,
+         row_number() OVER (PARTITION BY event_type ORDER BY x, user_id) AS i
+  FROM act
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users, SUM(x) AS n_events,
+       (1000000 * (2 * SUM(i * x) - (COUNT(*) + 1) * SUM(x)))
+         // (COUNT(*) * SUM(x)) AS gini_ppm
+FROM ranked GROUP BY 1
+""",
+)
+
+
+REGISTRY["events_twap"] = (
+    relational.events_twap,
+    """
+WITH seq AS (
+  SELECT event_type,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli,
+         epoch_us(ts) // 1000000 AS s,
+         lead(epoch_us(ts) // 1000000)
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS next_s
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MAX(s) - MIN(s) AS span_s,
+       (1000 * SUM(CASE WHEN next_s IS NOT NULL
+                        THEN v_milli * (next_s - s) END))
+         // (MAX(s) - MIN(s)) AS twap_micro,
+       (1000 * SUM(v_milli)) // COUNT(*) AS row_mean_micro
+FROM seq GROUP BY 1 HAVING MAX(s) - MIN(s) > 0
+""",
+)
+
+
+def _ttc_sql() -> str:
+    picks = ",\n       ".join(
+        f"MAX(CASE WHEN rn = ({q} * n + 99) // 100 THEN lat_min END) AS p{q}_min"
+        for q in relational.TTC_QUANTS
+    )
+    return f"""
+WITH pu AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'signup'
+                  THEN epoch_us(ts) // 1000000 END) AS fs,
+         MIN(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) // 1000000 END) AS fp
+  FROM events GROUP BY 1
+), signed AS (SELECT * FROM pu WHERE fs IS NOT NULL),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_signed FROM signed),
+conv AS (
+  SELECT user_id, (fp - fs) // 60 AS lat_min FROM signed
+  WHERE fp IS NOT NULL AND fp >= fs
+), ranked AS (
+  SELECT lat_min,
+         row_number() OVER (ORDER BY lat_min, user_id) AS rn,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n
+  FROM conv
+)
+SELECT MAX(n) AS n_converted,
+       (SELECT n_signed FROM ns) AS n_signed_up,
+       (1000000 * MAX(n)) // (SELECT n_signed FROM ns) AS conversion_ppm,
+       {picks}
+FROM ranked
+"""
+
+
+REGISTRY["funnel_time_to_convert"] = (
+    relational.funnel_time_to_convert,
+    _ttc_sql(),
+)
+
+
+# -- stationary dist / A/B z-test / assortativity / split leakage -----------
+
+def _markov_stationary_sql() -> str:
+    iters = "".join(
+        f""", pi{k} AS (
+  SELECT p.dst AS state, SUM(pi{k - 1}.pi * p.pij) AS pi
+  FROM p JOIN pi{k - 1} ON pi{k - 1}.state = p.src
+  GROUP BY p.dst
+)"""
+        for k in range(1, relational.MARKOV_ITERS + 1)
+    )
+    last = relational.MARKOV_ITERS
+    return f"""
+WITH trans AS (
+  SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS nij FROM (
+    SELECT event_type AS src,
+           lead(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events)
+  WHERE dst IS NOT NULL GROUP BY 1, 2
+), ni AS (
+  SELECT src, SUM(nij) AS n_out FROM trans GROUP BY 1
+), p AS (
+  SELECT src, dst, CAST(nij AS DOUBLE) / n_out AS pij
+  FROM trans JOIN ni USING (src)
+), states AS (SELECT DISTINCT src AS state FROM trans),
+ns AS (SELECT COUNT(*)::DOUBLE AS k FROM states),
+pi0 AS (SELECT state, (SELECT 1.0 / k FROM ns) AS pi FROM states)
+{iters},
+emp AS (SELECT src, SUM(nij) AS n_src FROM trans GROUP BY 1),
+tot AS (SELECT SUM(nij) AS n_total FROM trans)
+SELECT pi{last}.state AS event_type, round(pi{last}.pi, 6) AS pi_stationary,
+       (1000000 * emp.n_src) // (SELECT n_total FROM tot) AS pi_empirical_ppm
+FROM pi{last} JOIN emp ON emp.src = pi{last}.state
+"""
+
+
+REGISTRY["events_markov_stationary"] = (
+    relational.events_markov_stationary,
+    _markov_stationary_sql(),
+)
+
+
+REGISTRY["events_ab_test_proportions"] = (
+    relational.events_ab_test_proportions,
+    """
+WITH pu AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY 1
+), byv AS (
+  SELECT user_id % 2 AS variant, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(conv) AS BIGINT) AS c
+  FROM pu GROUP BY 1
+)
+SELECT a.n AS na, a.c AS ca, b.n AS nb, b.c AS cb,
+       (1000000 * a.c) // a.n AS rate_a_ppm,
+       (1000000 * b.c) // b.n AS rate_b_ppm,
+       round(CASE WHEN a.c + b.c = 0 OR a.c + b.c = a.n + b.n THEN NULL
+             ELSE (CAST(a.c AS DOUBLE) / a.n - CAST(b.c AS DOUBLE) / b.n)
+             / sqrt((CAST(a.c + b.c AS DOUBLE) / (a.n + b.n))
+                    * (1.0 - CAST(a.c + b.c AS DOUBLE) / (a.n + b.n))
+                    * (1.0 / a.n + 1.0 / b.n)) END, 6) AS z_score
+FROM (SELECT * FROM byv WHERE variant = 0) a,
+     (SELECT * FROM byv WHERE variant = 1) b
+""",
+)
+
+
+def _assortativity_sql() -> str:
+    vocab = ",".join(f"'{t}'" for t in graph.PR_VOCAB)
+    return f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents)
+  WHERE token IN ({vocab})
+), half AS (
+  SELECT DISTINCT a.token AS src, b.token AS dst
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+), edges AS (
+  SELECT src, dst FROM half UNION ALL SELECT dst AS src, src AS dst FROM half
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY 1
+), both_t AS (
+  SELECT du.d AS du, dv.d AS dv
+  FROM edges e JOIN deg du ON du.src = e.src JOIN deg dv ON dv.src = e.dst
+), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+         SUM(du) AS sx, SUM(dv) AS sy, SUM(du * dv) AS sxy,
+         SUM(du * du) AS sxx, SUM(dv * dv) AS syy
+  FROM both_t
+)
+SELECT m2 // 2 AS n_edges, (SELECT n_nodes FROM nn) AS n_nodes,
+       (1000000 * m2) // ((SELECT n_nodes FROM nn)
+                          * ((SELECT n_nodes FROM nn) - 1)) AS density_ppm,
+       round(CASE WHEN m2 * sxx = sx * sx OR m2 * syy = sy * sy THEN NULL
+             ELSE CAST(m2 * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE)
+                    * CAST(m2 * syy - sy * sy AS DOUBLE)) END, 6)
+         AS assortativity
+FROM agg
+"""
+
+
+REGISTRY["kg_degree_assortativity"] = (
+    graph.kg_degree_assortativity,
+    _assortativity_sql(),
+)
+
+
+REGISTRY["corpus_split_leakage"] = (
+    text.corpus_split_leakage,
+    f"""
+WITH tagged AS (
+  SELECT doc_id, md5(text) AS th,
+         CASE WHEN ('0x' || substr(md5('sp:' || doc_id), 1, 6))::BIGINT % 100
+                   < {text.SPLIT_TRAIN_PCT} THEN 'train'
+              WHEN ('0x' || substr(md5('sp:' || doc_id), 1, 6))::BIGINT % 100
+                   < {text.SPLIT_VAL_PCT} THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+), spans AS (
+  SELECT th, CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits
+  FROM tagged GROUP BY 1
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM documents)
+SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       (1000000 * COUNT(*)) // (SELECT t FROM tot) AS share_ppm,
+       CAST(COUNT(DISTINCT th) AS BIGINT) AS n_distinct_texts,
+       SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS n_leaked_docs,
+       (1000000 * SUM(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END)) // COUNT(*)
+         AS leak_ppm
+FROM tagged JOIN spans USING (th)
+GROUP BY split
+""",
+)
+
+
+# -- bloom sketch / kendall tau / RFM / zone-map pruning --------------------
+
+REGISTRY["sketch_bloom_membership"] = (
+    relational.sketch_bloom_membership,
+    f"""
+WITH tagged AS (
+  SELECT doc_id, doc_id % 2 = 0 AS is_member,
+         ('0x' || substr(md5(t.i || ':' || md5(text)), 1, 6))::BIGINT
+           % {relational.BLOOM_M} AS p
+  FROM documents
+  CROSS JOIN (SELECT unnest(range(0, {relational.BLOOM_K})) AS i) t
+), bits AS (SELECT DISTINCT p FROM tagged WHERE is_member),
+probed AS (
+  SELECT doc_id, is_member,
+         SUM(CASE WHEN b.p IS NOT NULL THEN 1 ELSE 0 END) AS n_hit
+  FROM tagged LEFT JOIN bits b ON b.p = tagged.p
+  GROUP BY 1, 2
+), ag AS (
+  SELECT CAST(SUM(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_members,
+         CAST((SELECT COUNT(*) FROM bits) AS BIGINT) AS n_bits_set,
+         SUM(CASE WHEN is_member AND n_hit = {relational.BLOOM_K}
+                  THEN 1 ELSE 0 END) AS true_positives,
+         SUM(CASE WHEN NOT is_member AND n_hit = {relational.BLOOM_K}
+                  THEN 1 ELSE 0 END) AS false_positives,
+         CAST(SUM(CASE WHEN NOT is_member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_non_members
+  FROM probed
+)
+SELECT n_members, CAST({relational.BLOOM_M} AS BIGINT) AS m_bits, n_bits_set,
+       true_positives, false_positives,
+       (1000000 * false_positives) // n_non_members AS fpr_ppm,
+       (1000000 * n_bits_set * n_bits_set * n_bits_set)
+         // (CAST({relational.BLOOM_M} AS BIGINT)
+             * {relational.BLOOM_M} * {relational.BLOOM_M}) AS theo_fpr_ppm
+FROM ag
+""",
+)
+
+
+REGISTRY["stats_kendall_tau"] = (
+    relational.stats_kendall_tau,
+    """
+WITH e AS (
+  SELECT event_type, CAST(hour(ts) AS BIGINT) AS x,
+         CAST(floor(value + 0.5) AS BIGINT) AS v
+  FROM events
+), prof AS (
+  SELECT event_type, x, (1000000 * SUM(v)) // COUNT(*) AS y
+  FROM e GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type, a.y AS y1, b.y AS y2
+  FROM prof a JOIN prof b ON a.event_type = b.event_type AND a.x < b.x
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n0,
+         SUM(CASE WHEN y2 > y1 THEN 1 ELSE 0 END) AS n_concordant,
+         SUM(CASE WHEN y2 < y1 THEN 1 ELSE 0 END) AS n_discordant,
+         SUM(CASE WHEN y2 = y1 THEN 1 ELSE 0 END) AS n_tied_y
+  FROM pairs GROUP BY 1
+), np_ AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_points
+  FROM prof GROUP BY 1
+)
+SELECT event_type, n_points, n_concordant, n_discordant, n_tied_y,
+       round(CAST(n_concordant - n_discordant AS DOUBLE)
+             / sqrt(CAST(n0 AS DOUBLE) * CAST(n0 - n_tied_y AS DOUBLE)), 6)
+         AS kendall_tau
+FROM agg JOIN np_ USING (event_type)
+""",
+)
+
+
+REGISTRY["users_rfm_segments"] = (
+    relational.users_rfm_segments,
+    f"""
+WITH wmk AS (SELECT MAX(epoch_us(ts) // 1000000) AS wm FROM events),
+pu AS (
+  SELECT user_id, MAX(epoch_us(ts) // 1000000) AS last_s,
+         CAST(COUNT(*) AS BIGINT) AS f,
+         SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS m_milli
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), pr AS (
+  SELECT *, ((SELECT wm FROM wmk) - last_s) // 86400 AS r_days FROM pu
+), scored AS (
+  SELECT user_id, f, m_milli,
+         ntile({relational.RFM_BINS}) OVER (ORDER BY r_days DESC, user_id)
+           AS r_score,
+         ntile({relational.RFM_BINS}) OVER (ORDER BY f, user_id) AS f_score,
+         ntile({relational.RFM_BINS}) OVER (ORDER BY m_milli, user_id)
+           AS m_score
+  FROM pr
+), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM pu)
+SELECT CAST(100 * r_score + 10 * f_score + m_score AS BIGINT) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       (1000 * SUM(f)) // COUNT(*) AS mean_f_milli,
+       (1000 * SUM(m_milli)) // COUNT(*) AS mean_m_micro,
+       (1000000 * COUNT(*)) // (SELECT t FROM tot) AS share_ppm
+FROM scored GROUP BY 1
+""",
+)
+
+
+REGISTRY["layout_zone_map_pruning"] = (
+    relational.layout_zone_map_pruning,
+    f"""
+WITH tot AS (
+  SELECT SUM(n_chars) // {relational.COMPACT_BINS} + 1 AS target,
+         MIN(n_chars) AS vmin, MAX(n_chars) AS vmax
+  FROM documents
+), b1 AS (
+  SELECT 'id_order' AS layout,
+         (SUM(n_chars) OVER (ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+           // target AS bin,
+         n_chars
+  FROM documents, tot
+), b2 AS (
+  SELECT 'value_order' AS layout,
+         (SUM(n_chars) OVER (ORDER BY n_chars, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars)
+           // target AS bin,
+         n_chars
+  FROM documents, tot
+), zones AS (
+  SELECT layout, bin, MIN(n_chars) AS zmin, MAX(n_chars) AS zmax
+  FROM (SELECT * FROM b1 UNION ALL SELECT * FROM b2) GROUP BY 1, 2
+), probes AS (
+  SELECT DISTINCT vmin + (t.k * (vmax - vmin)) // {relational.ZONE_PROBES}
+           AS probe_value
+  FROM tot, (SELECT unnest(range(0, {relational.ZONE_PROBES} + 1)) AS k) t
+)
+SELECT layout, probe_value, CAST(COUNT(*) AS BIGINT) AS n_bins,
+       SUM(CASE WHEN probe_value BETWEEN zmin AND zmax THEN 1 ELSE 0 END)
+         AS n_candidate_bins,
+       (1000000 * (COUNT(*) - SUM(CASE WHEN probe_value BETWEEN zmin AND zmax
+                                       THEN 1 ELSE 0 END))) // COUNT(*)
+         AS pruned_ppm
+FROM zones CROSS JOIN probes GROUP BY 1, 2
+""",
+)

@@ -3477,3 +3477,498 @@ def dq_freshness_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("max_gap_hours", F.lit(0)).alias("max_gap_hours"),
         F.expr("(gmax_s - last_s) div 60").alias("staleness_minutes"),
     )
+
+
+def stats_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity concentration, per event
+    type — the inequality reading of profile_key_skew (is 'purchase'
+    driven by everyone or by three whales?).  Rank form over ascending
+    activity: G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx), EXACT integer ppm
+    (tie order between equal x values cannot change Σ i·x_i).
+
+    Distribution: per-(type,user) counts ride one map-side-combined
+    shuffle; the rank window runs per type over |users| summary rows;
+    the final agg is |types| rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    act = e.groupBy("event_type", "user_id").agg(F.count("*").alias("x"))
+    w = Window.partitionBy("event_type").orderBy("x", "user_id")
+    ranked = act.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum("x").alias("n_events"),
+            F.sum(F.expr("cast(i as bigint) * x")).alias("six"),
+        )
+        .select(
+            "event_type",
+            "n_users",
+            "n_events",
+            F.expr(
+                "(1000000 * (2 * six - (n_users + 1) * n_events))"
+                " div (n_users * n_events)"
+            ).alias("gini_ppm"),
+        )
+    )
+
+
+def events_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per event type (each reading holds
+    until the next one) versus the naive row mean — the pair that
+    exposes sampling bias: a sensor that reports often while high drags
+    the row mean up but not the TWAP.
+
+    Exact integers: values in milli, holds in whole seconds, so the
+    integral Σ v_milli·dt_s fits int64 through ~10^12 value-seconds per
+    type (document the DECIMAL(38) swap past that); one final div per
+    mean.  The last reading contributes no interval (no successor).
+
+    Distribution: one lead() window per type rides the (type)-key
+    sort; everything after is a map-side-combined agg to |types| rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias("v_milli"),
+        F.unix_timestamp("ts").alias("s"),
+        "ts",
+        "event_id",
+    ).withColumn("next_s", F.lead(F.unix_timestamp("ts")).over(w))
+    agg = seq.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        (F.max("s") - F.min("s")).alias("span_s"),
+        F.sum(
+            F.when(
+                F.col("next_s").isNotNull(),
+                F.col("v_milli") * (F.col("next_s") - F.col("s")),
+            )
+        ).alias("integral"),
+        F.sum("v_milli").alias("sum_v"),
+    )
+    return agg.where(F.col("span_s") > 0).select(
+        "event_type",
+        "n_rows",
+        "span_s",
+        F.expr("(1000 * integral) div span_s").alias("twap_micro"),
+        F.expr("(1000 * sum_v) div n_rows").alias("row_mean_micro"),
+    )
+
+
+TTC_QUANTS = (25, 50, 75, 90)
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→first-purchase conversion latency: conversion rate plus
+    exact rank-based latency percentiles (type-1 quantiles: value at
+    rank ceil(q·n div 100)) — the funnel_user_steps companion that
+    answers 'how long', not just 'how many'.
+
+    Exact integers end to end: latencies in whole minutes, quantile
+    ranks by ceiling division, ppm rate.
+
+    Distribution: two conditional mins ride one user-key agg; the
+    percentile pick is a rank window over |converted-users| summary
+    rows (the agg_value_quantiles shape).
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.unix_timestamp("ts"))
+        ).alias("first_signup"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.unix_timestamp("ts"))
+        ).alias("first_purchase"),
+    )
+    signed = per_user.where(F.col("first_signup").isNotNull())
+    conv = signed.where(
+        F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") >= F.col("first_signup"))
+    ).select(
+        "user_id",
+        F.expr("(first_purchase - first_signup) div 60").alias("lat_min"),
+    )
+    n_signed = signed.count()
+    wq = Window.orderBy("lat_min", "user_id")
+    ranked = conv.withColumn("rn", F.row_number().over(wq)).withColumn(
+        "n", F.count("*").over(Window.partitionBy())
+    )
+    picks = [
+        F.max(
+            F.when(
+                F.expr(f"rn = ({q} * n + 99) div 100"),  # integer ceil(q·n/100)
+                F.col("lat_min"),
+            )
+        ).alias(f"p{q}_min")
+        for q in TTC_QUANTS
+    ]
+    return ranked.agg(
+        F.max("n").alias("n_converted"),
+        F.lit(n_signed).cast("long").alias("n_signed_up"),
+        F.expr(f"(1000000 * max(n)) div {n_signed}").alias("conversion_ppm"),
+        *picks,
+    )
+
+
+MARKOV_ITERS = 6
+
+
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stationary distribution of the event-type Markov chain by fixed
+    power iteration (π ← πP, MARKOV_ITERS steps from uniform) next to
+    the EMPIRICAL source occupancy — when the two diverge the chain is
+    far from mixed and funnel position matters; the long-run companion
+    to stats_entropy_rate (same transition extraction).
+
+    The |types|² probability matrix lives as a DataFrame of exact
+    per-row divisions p_ij = n_ij/n_i (identical cross-engine); each
+    iteration is a tiny join+agg and the oracle unrolls the SAME fixed
+    steps (kg_pagerank's float round-6 idiom — partial-sum order noise
+    sits ~1e-15, far under the rounding).
+
+    Distribution: one lead() window per user; after the (src,dst) agg
+    everything is |types|-scale — iterations cost |types|² rows each,
+    driver-invisible.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("nij"))
+    )
+    ni = trans.groupBy("src").agg(F.sum("nij").alias("n_out"))
+    p = trans.join(ni, "src").select(
+        "src", "dst", (F.col("nij").cast("double") / F.col("n_out")).alias("pij")
+    ).localCheckpoint(eager=True)
+    states = p.select(F.col("src").alias("state")).distinct().localCheckpoint(
+        eager=True
+    )
+    n_states = states.count()
+    tot = trans.agg(F.sum("nij").alias("n_total"))
+    emp = trans.groupBy("src").agg(F.sum("nij").alias("n_src"))
+
+    pi = states.withColumn("pi", F.lit(1.0 / n_states))
+    for _ in range(MARKOV_ITERS):
+        pi = (
+            p.join(pi, pi.state == p.src)
+            .groupBy(F.col("dst").alias("state"))
+            .agg(F.sum(F.col("pi") * F.col("pij")).alias("pi"))
+            .localCheckpoint(eager=True)
+        )
+    return (
+        pi.join(emp, pi.state == emp.src)
+        .join(F.broadcast(tot))
+        .select(
+            F.col("state").alias("event_type"),
+            F.round("pi", 6).alias("pi_stationary"),
+            F.expr("(1000000 * n_src) div n_total").alias("pi_empirical_ppm"),
+        )
+    )
+
+
+def events_ab_test_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on user conversion (≥1 purchase) between
+    the deterministic A/B assignment user_id mod 2 — the
+    experimentation readout every product pipeline ends in.  On the
+    synthetic corpus the split is null by construction, so |z| should
+    sit inside ±3; the machinery (pooled variance, the z formula) is
+    what the oracle locks.
+
+    Parity: counts are exact integers; the z expression is ONE shared
+    tree of IEEE ops on identical integer inputs (each /, *, sqrt is
+    correctly rounded → identical), round-6.
+
+    Distribution: one user-key agg (conversion bit) then a 2-row
+    variant agg — scan-bound.
+    """
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias("conv")
+    )
+    byv = per_user.groupBy((F.col("user_id") % 2).alias("variant")).agg(
+        F.count("*").alias("n"), F.sum("conv").alias("c")
+    )
+    a = byv.where(F.col("variant") == 0).select(
+        F.col("n").alias("na"), F.col("c").alias("ca")
+    )
+    b = byv.where(F.col("variant") == 1).select(
+        F.col("n").alias("nb"), F.col("c").alias("cb")
+    )
+    return a.join(b).select(
+        "na",
+        "ca",
+        "nb",
+        "cb",
+        F.expr("(1000000 * ca) div na").alias("rate_a_ppm"),
+        F.expr("(1000000 * cb) div nb").alias("rate_b_ppm"),
+        F.round(
+            F.expr(
+                # degenerate experiments (0% or 100% pooled conversion)
+                # have zero pooled variance: z is undefined -> NULL
+                "CASE WHEN ca + cb = 0 OR ca + cb = na + nb THEN NULL ELSE "
+                "(cast(ca as double) / na - cast(cb as double) / nb)"
+                " / sqrt((cast(ca + cb as double) / (na + nb))"
+                "        * (1.0 - cast(ca + cb as double) / (na + nb))"
+                "        * (1.0 / na + 1.0 / nb)) END"
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+# -- bloom sketch / kendall / RFM / zone-map pruning (8th cont., pt 8) ------
+
+BLOOM_M = 4096  # bits
+BLOOM_K = 3     # hash functions
+
+
+def sketch_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership sketch with a measured-vs-theoretical
+    false-positive readout — the third mergeable sketch next to
+    sketch_hll_union_contract (cardinality) and sketch_count_min_tokens
+    (frequency).  Members are the even-doc_id texts; the filter is the
+    DISTINCT set of k=3 md5-derived bit positions; probing ALL docs
+    must find every member (no false negatives — the Bloom guarantee)
+    and some odd docs (false positives), measured against the exact
+    integer bound (1e6·s³) div m³ for s set bits.
+
+    Everything is integer/portable (md5 positions, set joins) — the
+    oracle replays the identical filter build and probe.
+
+    Distribution: the bit-position set is ≤ m rows (broadcast side);
+    build and probe are each one narrow explode + join; at 100 TB the
+    filter would be built with a real bitset aggregate per partition +
+    OR-merge, which this spec models exactly (DISTINCT positions = the
+    OR of partial bitsets).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    khash = F.array(
+        *[
+            F.expr(
+                f"cast(conv(substr(md5(concat('{i}:', md5(text))), 1, 6),"
+                f" 16, 10) as bigint) % {BLOOM_M}"
+            )
+            for i in range(BLOOM_K)
+        ]
+    )
+    tagged = d.select(
+        "doc_id", khash.alias("pos"), (F.col("doc_id") % 2 == 0).alias("is_member")
+    )
+    bits = (
+        tagged.where("is_member")
+        .select(F.explode("pos").alias("p"))
+        .distinct()
+        .withColumn("set_", F.lit(1))
+    )
+    probed = (
+        tagged.select("doc_id", "is_member", F.explode("pos").alias("p"))
+        .join(F.broadcast(bits), "p", "left")
+        .groupBy("doc_id", "is_member")
+        .agg(F.sum(F.coalesce("set_", F.lit(0))).alias("n_hit"))
+        .withColumn("found", (F.col("n_hit") == BLOOM_K).cast("long"))
+    )
+    n_bits = bits.count()
+    return probed.agg(
+        F.sum(F.col("is_member").cast("long")).alias("n_members"),
+        F.lit(BLOOM_M).cast("long").alias("m_bits"),
+        F.lit(n_bits).cast("long").alias("n_bits_set"),
+        F.sum(F.when(F.col("is_member"), F.col("found"))).alias("true_positives"),
+        F.sum(F.when(~F.col("is_member"), F.col("found"))).alias("false_positives"),
+        F.sum((~F.col("is_member")).cast("long")).alias("n_non_members"),
+    ).select(
+        "n_members",
+        "m_bits",
+        "n_bits_set",
+        "true_positives",
+        "false_positives",
+        F.expr("(1000000 * false_positives) div n_non_members").alias("fpr_ppm"),
+        F.expr(
+            f"(1000000 * n_bits_set * n_bits_set * n_bits_set)"
+            f" div (cast({BLOOM_M} as bigint) * {BLOOM_M} * {BLOOM_M})"
+        ).alias("theo_fpr_ppm"),
+    )
+
+
+def stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's τ-b between hour-of-day and the hourly mean-value
+    profile, per event type — the concordance-counting companion to
+    stats_spearman_rank on the same 24-point grid (τ is the
+    probability-of-agreement reading; more robust to single swaps).
+
+    C, D and tie counts are EXACT integers over the x1<x2 pair grid;
+    x (hours) is tie-free by construction so τ-b = (C−D)/sqrt(n0·(n0−n2))
+    with n0 = n(n−1)/2 and n2 = Σ t(t−1)/2 ties in y — one final
+    division+sqrt, round 6.
+
+    Distribution: same summary-scale shape as theil_sen — the pair
+    grid is 24²/2 per type after one map-side-combined profile agg.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("v"),
+    )
+    prof = e.groupBy("event_type", "x").agg(
+        F.expr("(1000000 * sum(v)) div count(*)").alias("y")
+    )
+    a = prof.select("event_type", F.col("x").alias("x1"), F.col("y").alias("y1"))
+    b = prof.select("event_type", F.col("x").alias("x2"), F.col("y").alias("y2"))
+    pairs = a.join(b, "event_type").where(F.col("x1") < F.col("x2"))
+    agg = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n0"),
+        F.sum((F.col("y2") > F.col("y1")).cast("long")).alias("n_concordant"),
+        F.sum((F.col("y2") < F.col("y1")).cast("long")).alias("n_discordant"),
+        F.sum((F.col("y2") == F.col("y1")).cast("long")).alias("n_tied_y"),
+    )
+    np_ = prof.groupBy("event_type").agg(F.count("*").alias("n_points"))
+    return agg.join(np_, "event_type").select(
+        "event_type",
+        "n_points",
+        "n_concordant",
+        "n_discordant",
+        "n_tied_y",
+        F.round(
+            F.expr(
+                "cast(n_concordant - n_discordant as double)"
+                " / sqrt(cast(n0 as double) * cast(n0 - n_tied_y as double))"
+            ),
+            6,
+        ).alias("kendall_tau"),
+    )
+
+
+RFM_BINS = 5
+
+
+def users_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every purchasing user scored 1-5 on Recency
+    (days since last purchase, recent = high), Frequency (purchase
+    count) and Monetary (purchase value), segment = 100R + 10F + M —
+    the marketing-standard cohorting that retention_cohorts and
+    funnel_time_to_convert don't give.
+
+    Scores are ntile(5) with full deterministic tie-breaks (user_id),
+    so the binning is exact; monetary sums ride milli integers.
+
+    Distribution: one user-key agg (the funnel shuffle), three ntile
+    windows over |purchasers| summary rows, then a ≤125-row segment
+    ledger with exact ppm shares.
+    """
+    e = load_table(spark, sf_dir, "events")
+    wm = e.agg(F.max(F.unix_timestamp("ts")).alias("wm")).collect()[0]["wm"]
+    pu = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max(F.unix_timestamp("ts")).alias("last_s"),
+            F.count("*").alias("f"),
+            F.sum(F.expr("cast(floor(value * 1000 + 0.5) as bigint)")).alias(
+                "m_milli"
+            ),
+        )
+        .withColumn("r_days", F.expr(f"({wm} - last_s) div 86400"))
+    )
+    scored = (
+        pu.withColumn(
+            "r_score",
+            F.ntile(RFM_BINS).over(Window.orderBy(F.desc("r_days"), "user_id")),
+        )
+        .withColumn(
+            "f_score", F.ntile(RFM_BINS).over(Window.orderBy("f", "user_id"))
+        )
+        .withColumn(
+            "m_score", F.ntile(RFM_BINS).over(Window.orderBy("m_milli", "user_id"))
+        )
+    )
+    tot = pu.count()
+    return (
+        scored.groupBy(
+            F.expr("cast(100 * r_score + 10 * f_score + m_score as bigint)").alias(
+                "segment"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_users"),
+            F.expr("(1000 * sum(f)) div count(*)").alias("mean_f_milli"),
+            F.expr("(1000 * sum(m_milli)) div count(*)").alias("mean_m_micro"),
+        )
+        .withColumn("share_ppm", F.expr(f"(1000000 * n_users) div {tot}"))
+    )
+
+
+ZONE_PROBES = 8
+
+
+def layout_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max) file-skipping simulation over the compaction
+    bins, contrasting TWO layouts: documents packed in doc_id order
+    (the naive compactor) versus packed after sorting by the probed
+    column (the clustered layout) — for each probe value, how many bins
+    a point query could skip.  THE demonstration of why data layout is
+    a query-performance feature: identical data, identical bins,
+    ~zero pruning unclustered vs ~all-but-one bin clustered.
+
+    Probes are the 9 integer lattice points of the global [min,max]
+    n_chars range; everything is exact integer.
+
+    Distribution: both layouts reuse layout_compaction_bins' global
+    ordered window (audit scale; two-pass prefix sum at 100 TB); the
+    zone-map table is 2×16 rows and the probe join is a broadcast
+    cross of 9 values.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    tot = d.agg(
+        F.expr(f"sum(n_chars) div {COMPACT_BINS} + 1").alias("target"),
+        F.min("n_chars").alias("vmin"),
+        F.max("n_chars").alias("vmax"),
+    )
+    zone_rows = []
+    for layout, order_cols in (
+        ("id_order", [F.col("doc_id")]),
+        ("value_order", [F.col("n_chars"), F.col("doc_id")]),
+    ):
+        w = Window.orderBy(*order_cols).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        binned = (
+            d.withColumn("cum", F.sum("n_chars").over(w))
+            .join(F.broadcast(tot))
+            .withColumn("bin", F.expr("(cum - n_chars) div target"))
+        )
+        zones = binned.groupBy("bin").agg(
+            F.min("n_chars").alias("zmin"), F.max("n_chars").alias("zmax")
+        ).withColumn("layout", F.lit(layout))
+        zone_rows.append(zones)
+    zones = zone_rows[0].unionByName(zone_rows[1])
+    probes = (
+        tot.select("vmin", "vmax")
+        .select(
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {ZONE_PROBES}),"
+                    f" k -> vmin + (k * (vmax - vmin)) div {ZONE_PROBES})"
+                )
+            ).alias("probe_value")
+        )
+        .distinct()
+    )
+    hit = zones.join(F.broadcast(probes)).withColumn(
+        "cand",
+        (
+            (F.col("probe_value") >= F.col("zmin"))
+            & (F.col("probe_value") <= F.col("zmax"))
+        ).cast("long"),
+    )
+    return hit.groupBy("layout", "probe_value").agg(
+        F.count("*").alias("n_bins"),
+        F.sum("cand").alias("n_candidate_bins"),
+        F.expr("(1000000 * (count(*) - sum(cand))) div count(*)").alias(
+            "pruned_ppm"
+        ),
+    )

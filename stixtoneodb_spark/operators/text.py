@@ -1956,3 +1956,131 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# -- round-4 eighth-continuation: Gopher-style filter cascade ----------------
+
+GOPHER_W_MIN, GOPHER_W_MAX = 5, 1000      # word-count bounds
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 2, 12    # mean word length bounds
+GOPHER_SYM_DECI = 1                       # >10% non-[a-z ] chars
+GOPHER_TOPW_MULT = 5                      # top word > 20% of tokens
+GOPHER_STOP_MIN = 2                       # need >=2 distinct stopwords
+
+GOPHER_STOPS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+
+def corpus_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style quality-filter cascade with FIRST-FAILING-RULE
+    attribution: five ordered rules (word-count bounds, mean word
+    length, symbol ratio, single-word repetition, stopword floor) and a
+    per-rule drop ledger — the audit a curation team reads before
+    shipping a filter, not just the kept/dropped bit that
+    corpus_curate_flags emits.
+
+    Every rule is an integer cross-multiplied predicate (no ratios):
+    e.g. mean word length uses Σlen = length(text) − (W−1) (single-
+    spaced corpus spec) against 2W/12W bounds, repetition compares
+    5·max-token-count > W.
+
+    Distribution: rules 1-3 and 5 are per-row codegen over the scan;
+    rule 4's token mode rides one (doc, token) map-side-combined agg —
+    the same shuffle text_tfidf_top_terms pays.  The verdict ledger is
+    a 6-row final agg.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = _ws_tokens(F.col("text"))
+    stops = ",".join(f"'{s}'" for s in GOPHER_STOPS)
+    base = d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("w"),
+        (F.length("text") - F.size(toks) + 1).cast("long").alias("sum_len"),
+        F.length(F.regexp_replace(F.lower("text"), "[a-z ]", ""))
+        .cast("long")
+        .alias("n_sym"),
+        F.length("text").cast("long").alias("n_chars_t"),
+        F.expr(
+            f"size(array_distinct(filter(split(lower(text), ' '),"
+            f" x -> x IN ({stops}))))"
+        )
+        .cast("long")
+        .alias("n_stops"),
+    )
+    topw = (
+        d.select("doc_id", F.explode(toks).alias("tk"))
+        .groupBy("doc_id", "tk")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_c"))
+    )
+    j = base.join(topw, "doc_id")
+    verdict = F.expr(
+        f"""CASE
+          WHEN w < {GOPHER_W_MIN} OR w > {GOPHER_W_MAX} THEN 'r1_word_count'
+          WHEN sum_len < {GOPHER_MWL_MIN} * w
+               OR sum_len > {GOPHER_MWL_MAX} * w THEN 'r2_mean_word_len'
+          WHEN 10 * n_sym > {GOPHER_SYM_DECI} * n_chars_t THEN 'r3_symbol_ratio'
+          WHEN {GOPHER_TOPW_MULT} * top_c > w THEN 'r4_repetition'
+          WHEN n_stops < {GOPHER_STOP_MIN} THEN 'r5_stopword_floor'
+          ELSE 'kept' END"""
+    )
+    tot = d.count()
+    return (
+        j.select(verdict.alias("rule"))
+        .groupBy("rule")
+        .agg(F.count("*").alias("n_docs"))
+        .withColumn("share_ppm", F.expr(f"(1000000 * n_docs) div {tot}"))
+    )
+
+
+# -- round-4 eighth-continuation: split leakage audit ------------------------
+
+SPLIT_TRAIN_PCT, SPLIT_VAL_PCT = 90, 95  # md5 bucket < 90 / < 95 / rest
+
+
+def corpus_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (md5-bucket of doc_id: 90/5/5)
+    with the LEAKAGE audit: exact-duplicate texts that span two splits
+    are train→eval contamination — the first check any eval pipeline
+    runs, and the one that silently invalidates benchmarks when
+    skipped.
+
+    Per split: doc count, share, distinct text hashes, docs whose text
+    also appears in ANOTHER split (leaked), exact ppm.  All integer.
+
+    Distribution: the split tag is one hash per row; leakage rides a
+    text-hash groupBy (the dedup_exact shuffle) counting distinct
+    splits per hash, broadcast back as a (hash → n_splits) join.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    tagged = d.select(
+        "doc_id",
+        F.md5("text").alias("th"),
+        F.expr(
+            f"""CASE WHEN conv(substr(md5(concat('sp:', doc_id)), 1, 6), 16, 10)
+                          % 100 < {SPLIT_TRAIN_PCT} THEN 'train'
+                     WHEN conv(substr(md5(concat('sp:', doc_id)), 1, 6), 16, 10)
+                          % 100 < {SPLIT_VAL_PCT} THEN 'val'
+                     ELSE 'test' END"""
+        ).alias("split"),
+    )
+    spans = tagged.groupBy("th").agg(
+        F.countDistinct("split").alias("n_splits")
+    )
+    joined = tagged.join(spans, "th")
+    tot = d.count()
+    return (
+        joined.groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("th").alias("n_distinct_texts"),
+            F.sum((F.col("n_splits") > 1).cast("long")).alias("n_leaked_docs"),
+        )
+        .select(
+            "split",
+            "n_docs",
+            F.expr(f"(1000000 * n_docs) div {tot}").alias("share_ppm"),
+            "n_distinct_texts",
+            "n_leaked_docs",
+            F.expr("(1000000 * n_leaked_docs) div n_docs").alias("leak_ppm"),
+        )
+    )

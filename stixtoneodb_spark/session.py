@@ -113,6 +113,18 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # Keep broadcast autodetect on; dims in this pipeline are small.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The 300s default broadcast deadline is a LATENCY guard, not a
+        # correctness one: on a co-tenant-stolen shared box (or a real
+        # cluster with stragglers feeding the broadcast's build side) the
+        # build can legitimately exceed it — measured here: a bench
+        # pipeline run at local[4] that normally finishes in ~280s total
+        # hit the 300s broadcast deadline during a steal window and
+        # failed, where waiting would have succeeded.  A batch engine
+        # prefers the wait; 1200s still catches true deadlocks.
+        .config(
+            "spark.sql.broadcastTimeout",
+            os.environ.get("SPARK_GRAFT_BROADCAST_TIMEOUT", "1200"),
+        )
         # Local mode runs executors inside the driver JVM: the heap must
         # hold the persisted stage outputs AND every concurrent task's
         # working set, or GC becomes a shared bottleneck that caps scaling
