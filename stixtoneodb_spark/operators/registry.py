@@ -5031,3 +5031,97 @@ SELECT layout, probe_value, CAST(COUNT(*) AS BIGINT) AS n_bins,
 FROM zones CROSS JOIN probes GROUP BY 1, 2
 """,
 )
+
+
+# -- TPC-H Q5/Q18 shapes / variance ratio / streak islands ------------------
+
+REGISTRY["q5_local_supplier_volume"] = (
+    relational.q5_local_supplier_volume,
+    """
+SELECT n_name,
+       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                      * (CAST(1 AS DECIMAL(18,2))
+                         - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE)
+         AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND c_nationkey = s_nationkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n_name
+""",
+)
+
+
+REGISTRY["q18_large_volume_customers"] = (
+    relational.q18_large_volume_customers,
+    f"""
+WITH big AS (
+  SELECT l_orderkey,
+         round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS total_qty
+  FROM lineitem GROUP BY 1
+  HAVING round(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2)
+         > {relational.Q18_QTY_FLOOR}
+)
+SELECT c_custkey, c_name, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate_s,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM big
+JOIN orders ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+""",
+)
+
+
+REGISTRY["stats_variance_ratio"] = (
+    relational.stats_variance_ratio,
+    """
+WITH per AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         SUM(x) AS sx, SUM(x * x) AS sxx
+  FROM (SELECT event_type, CAST(floor(value + 0.5) AS BIGINT) AS x
+        FROM events)
+  GROUP BY 1
+), tot AS (
+  SELECT SUM(n) AS tn, SUM(sx) AS tsx, SUM(sxx) AS tsxx FROM per
+)
+SELECT event_type, n, tn - n AS n_rest,
+       round(CASE WHEN n < 2 OR tn - n < 2
+                       OR (tn - n) * (tsxx - sxx) = (tsx - sx) * (tsx - sx)
+             THEN NULL ELSE
+             (CAST(n * sxx - sx * sx AS DOUBLE)
+              / (CAST(n AS DOUBLE) * (n - 1)))
+             / (CAST((tn - n) * (tsxx - sxx)
+                     - (tsx - sx) * (tsx - sx) AS DOUBLE)
+                / (CAST(tn - n AS DOUBLE) * (tn - n - 1))) END, 6) AS f_ratio
+FROM per, tot
+""",
+)
+
+
+REGISTRY["events_islands_summary"] = (
+    relational.events_islands_summary,
+    """
+WITH days AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+), isl AS (
+  SELECT user_id, d,
+         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS isl
+  FROM days
+), per_isl AS (
+  SELECT user_id, isl, CAST(COUNT(*) AS BIGINT) AS len
+  FROM isl GROUP BY 1, 2
+)
+SELECT user_id, SUM(len) AS n_active_days,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       MAX(len) AS longest_streak_days
+FROM per_isl GROUP BY 1
+""",
+)

@@ -3972,3 +3972,153 @@ def layout_zone_map_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pruned_ppm"
         ),
     )
+
+
+# -- TPC-H shapes / variance ratio / streak islands (8th cont., pt 9) -------
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: revenue by nation where the customer and the
+    supplier share the nation, inside one region and one order year —
+    the canonical 6-table star-join Catalyst must reorder (region →
+    nation are broadcast dims; orders carries the selective date
+    filter; lineitem is the fact).
+
+    Money follows the repo's exact-decimal idiom (DECIMAL(18,2) sums →
+    round 2 → double), so partial-agg order can't move a cent.
+
+    Scale shape: region/nation/customer/supplier broadcast (explicitly
+    hinted); orders⋈lineitem is the only real shuffle, on l_orderkey,
+    with the date filter pushed to the orders scan; the
+    c_nationkey = s_nationkey equality rides the fact row once both
+    keys are attached — no second fact shuffle.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    rev = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .where(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.round(F.sum(rev), 2).cast("double").alias("revenue"))
+    )
+
+
+Q18_QTY_FLOOR = 300
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind orders whose total line
+    quantity exceeds the floor — the agg-then-semi-join pattern (the
+    inner aggregate feeds the outer join's filter, the classic
+    'find the whales' query).
+
+    Quantities are exact decimals; the qty filter applies to the
+    AGGREGATED order, not rows, so the inner groupBy must run first —
+    Catalyst keeps it as one shuffle on l_orderkey reused by the
+    orders join (same key).  Customer is broadcast.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(_dec("l_quantity")), 2).alias("total_qty"))
+        .where(F.col("total_qty") > Q18_QTY_FLOOR)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate_s"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+def stats_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-homogeneity readout: per event type, the F ratio of its
+    value variance to the variance of ALL OTHER types pooled — the
+    gate before any pooled-variance test (the A/B z-test included)
+    and the dispersion companion to agg_event_value_spread.
+
+    Exact integer moments both sides (n·Σx² − (Σx)² cross-multiplied
+    form over floor(value+0.5) ints); the final F is one shared
+    double expression, round 6; groups of size < 2 on either side are
+    NULL.
+
+    Distribution: ONE map-side-combined per-type moment agg; the
+    'rest' moments are the broadcast global totals minus the type's
+    own — no second scan, no self-join.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", F.floor(F.col("value") + F.lit(0.5)).cast("long").alias("x")
+    )
+    per = e.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    tot = per.agg(
+        F.sum("n").alias("tn"), F.sum("sx").alias("tsx"), F.sum("sxx").alias("tsxx")
+    )
+    j = per.join(F.broadcast(tot))
+    return j.select(
+        "event_type",
+        "n",
+        (F.col("tn") - F.col("n")).alias("n_rest"),
+        F.round(
+            F.expr(
+                "CASE WHEN n < 2 OR tn - n < 2"
+                "       OR (tn - n) * (tsxx - sxx) = (tsx - sx) * (tsx - sx)"
+                " THEN NULL ELSE"
+                " (cast(n * sxx - sx * sx as double) / (cast(n as double) * (n - 1)))"
+                " / (cast((tn - n) * (tsxx - sxx) - (tsx - sx) * (tsx - sx) as double)"
+                "    / (cast(tn - n as double) * (tn - n - 1))) END"
+            ),
+            6,
+        ).alias("f_ratio"),
+    )
+
+
+def events_islands_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity streaks per user: contiguous runs of ACTIVE DAYS via the
+    gaps-and-islands day − dense-rank trick — n streaks, the longest
+    streak, total active days — the engagement summary retention grids
+    don't expose (a 7-day streak and 7 scattered days look identical
+    to retention_cohorts).
+
+    Pure integer date arithmetic (days since epoch), fully
+    deterministic.
+
+    Distribution: distinct (user, day) rides one user-key shuffle
+    (days per user is bounded by the window); the island window and
+    final agg run on that summary set.
+    """
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.expr("datediff(cast(ts as date), date '1970-01-01')").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("isl", F.col("d") - F.row_number().over(w))
+    per_isl = isl.groupBy("user_id", "isl").agg(F.count("*").alias("len"))
+    return per_isl.groupBy("user_id").agg(
+        F.sum("len").alias("n_active_days"),
+        F.count("*").alias("n_streaks"),
+        F.max("len").alias("longest_streak_days"),
+    )
