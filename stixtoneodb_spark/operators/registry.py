@@ -5125,3 +5125,92 @@ SELECT user_id, SUM(len) AS n_active_days,
 FROM per_isl GROUP BY 1
 """,
 )
+
+
+# -- DAU/WAU stickiness / SCD2 point-in-time / kNN outliers -----------------
+
+REGISTRY["events_dau_wau_stickiness"] = (
+    relational.events_dau_wau_stickiness,
+    f"""
+WITH du AS (
+  SELECT DISTINCT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+  FROM events
+), grid AS (SELECT DISTINCT d FROM du),
+dau AS (
+  SELECT d, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS dau
+  FROM du GROUP BY 1
+), wau AS (
+  SELECT g.d, CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+  FROM grid g JOIN du u
+    ON u.d <= g.d AND u.d > g.d - {relational.WAU_DAYS}
+  GROUP BY 1
+)
+SELECT dau.d AS day_id, dau, wau, (1000000 * dau) // wau AS stickiness_ppm
+FROM dau JOIN wau ON wau.d = dau.d
+""",
+)
+
+
+def _scd2_asof_sql() -> str:
+    """Composes the FULL scd2_user_history oracle as a CTE and runs the
+    point-in-time probe join on top — composition verified end to end
+    (the RRF idiom)."""
+    hist = REGISTRY["scd2_user_history"][1]
+    return f"""
+WITH hist AS ({hist}
+), probes AS (
+  SELECT user_id, epoch_us(ts) - 1 AS probe_us
+  FROM events WHERE event_type = 'purchase'
+), j AS (
+  SELECT p.user_id, h.event_type AS prior_state, h.n_events
+  FROM probes p LEFT JOIN hist h
+    ON h.user_id = p.user_id
+   AND epoch_us(h.valid_from) <= p.probe_us
+   AND (h.valid_to IS NULL OR p.probe_us < epoch_us(h.valid_to))
+)
+SELECT COALESCE(prior_state, '(none)') AS prior_state,
+       CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       (1000 * SUM(COALESCE(n_events, 0))) // COUNT(*)
+         AS mean_run_events_milli
+FROM j GROUP BY 1
+"""
+
+
+REGISTRY["join_scd2_asof"] = (relational.join_scd2_asof, _scd2_asof_sql())
+
+
+REGISTRY["embedding_knn_outliers"] = (
+    relational.embedding_knn_outliers,
+    f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings
+), nrm AS (
+  SELECT vec_id, sqrt(CAST(SUM(qv * qv) AS DOUBLE)) AS nrm
+  FROM comp GROUP BY 1
+), dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.qv * b.qv) AS dot
+  FROM comp a JOIN comp b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), ranked AS (
+  SELECT va, vb, CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) AS c,
+         ROW_NUMBER() OVER (PARTITION BY va
+           ORDER BY CAST(dot AS DOUBLE) / (na.nrm * nb.nrm) DESC, vb) AS rk
+  FROM dots
+  JOIN nrm na ON na.vec_id = dots.va
+  JOIN nrm nb ON nb.vec_id = dots.vb
+), kth AS (
+  SELECT va AS vec_id, vb AS nn_id,
+         CAST(floor(1000000 * c + 0.5) AS BIGINT) AS nn_cos_micro
+  FROM ranked WHERE rk = {relational.KNN_OUT_K}
+), nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+SELECT vec_id, nn_id, nn_cos_micro,
+       CASE WHEN ROW_NUMBER() OVER (ORDER BY nn_cos_micro, vec_id)
+                 <= (SELECT n FROM nt) // {relational.KNN_OUT_DECI}
+            THEN 1 ELSE 0 END AS is_outlier
+FROM kth
+""",
+)

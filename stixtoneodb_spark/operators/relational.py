@@ -4122,3 +4122,169 @@ def events_islands_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_streaks"),
         F.max("len").alias("longest_streak_days"),
     )
+
+
+# -- DAU/WAU / SCD2 point-in-time / kNN outliers (8th cont., pt 10) ---------
+
+WAU_DAYS = 7
+
+
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / stickiness per day — the product-health triple
+    (stickiness = DAU/WAU, 'how many weekly users show up today').
+    Early days use the partial lookback window (spec'd identically in
+    the oracle), so day one has stickiness 1 by construction.
+
+    Distribution: distinct (user, day) rides one shuffle and is
+    SUMMARY scale (users × days); the 7-day lookback is a bounded
+    range join against the day grid (fan-out ≤ 7), then one
+    count-distinct per day — no sliding-window state, no second scan
+    of the corpus.
+    """
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        "user_id",
+        F.expr("datediff(cast(ts as date), date '1970-01-01')").alias("d"),
+    ).distinct()
+    grid = du.select("d").distinct()
+    dau = du.groupBy("d").agg(F.countDistinct("user_id").alias("dau"))
+    wau = (
+        du.alias("u")
+        .join(
+            grid.alias("g"),
+            (F.col("u.d") <= F.col("g.d"))
+            & (F.col("u.d") > F.col("g.d") - WAU_DAYS),
+        )
+        .groupBy(F.col("g.d").alias("d"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").alias("day_id"),
+            "dau",
+            "wau",
+            F.expr("(1000000 * dau) div wau").alias("stickiness_ppm"),
+        )
+    )
+
+
+def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against the SCD2 history: for every purchase,
+    the dimension row valid ONE MICROSECOND BEFORE it — 'what was this
+    user doing when they decided to buy' — the provenance join every
+    warehouse runs against its type-2 dimensions, composed directly on
+    scd2_user_history's output (the oracle re-derives the identical
+    history as a CTE, so the composition is verified end to end).
+
+    Purchases with no prior state (first action of the user) land in
+    the '(none)' bucket — the honest cold-start row.
+
+    Distribution: history and probes share the user_id key, so the
+    interval join is a co-partitioned join with per-user fan-out
+    bounded by run count; the readout agg is |types|+1 rows.
+    """
+    hist = scd2_user_history(spark, sf_dir).select(
+        F.col("user_id").alias("h_uid"),
+        F.col("event_type").alias("prior_state"),
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("vf"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("vt"),
+        "n_events",
+    )
+    probes = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select(
+            "user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("p_us")
+        )
+        .withColumn("probe_us", F.col("p_us") - 1)
+    )
+    j = probes.join(
+        hist,
+        (F.col("user_id") == F.col("h_uid"))
+        & (F.col("vf") <= F.col("probe_us"))
+        & (F.col("vt").isNull() | (F.col("probe_us") < F.col("vt"))),
+        "left",
+    )
+    return j.groupBy(
+        F.coalesce(F.col("prior_state"), F.lit("(none)")).alias("prior_state")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.expr("(1000 * sum(coalesce(n_events, 0))) div count(*)").alias(
+            "mean_run_events_milli"
+        ),
+    )
+
+
+KNN_OUT_K = 5          # score = cosine to the 5th nearest neighbor
+KNN_OUT_DECI = 10      # bottom n div 10 by score are flagged outliers
+
+
+def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN-distance outlier detection over the embedding corpus: each
+    vector's score is its cosine to its 5th nearest neighbor (low =
+    isolated), and the bottom tenth by score is flagged — the
+    unsupervised anomaly screen run before clustering or dedup trusts
+    the geometry.
+
+    Parity: cosines come from GRAM_SCALE-quantized INTEGER components
+    (dot = Σ q_a·q_b exactly, int64 matmul in Spark, join-sum in SQL),
+    so the score floor(1e6·dot/(√Σq_a²·√Σq_b²)+0.5) is bit-portable
+    (correctly-rounded sqrt/div on identical integers) — unlike the
+    raw-float ann tiers that only expose ranks.
+
+    Distribution: the quantized matrix is the broadcast side (the
+    ann_cosine_topk pattern); each Arrow batch computes its rows' k-th
+    neighbor in one integer matmul; the outlier cut is one rank window
+    over vec-count rows.  At corpus scale the IVF tier supplies
+    candidates instead of the full matrix — the score definition is
+    unchanged.
+    """
+    import numpy as np
+    import pandas as pd  # noqa: F401  (Arrow batch frames)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    q = np.stack(
+        [
+            np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1_000_000 + 0.5)
+            for r in rows
+        ]
+    ).astype(np.int64)
+    norms = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+
+    def score_batch(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            bidx = pdf["vec_id"].to_numpy()
+            pos = {int(v): i for i, v in enumerate(ids)}
+            sel = np.array([pos[int(v)] for v in bidx])
+            dots = q[sel] @ q.T  # exact int64
+            cos = dots / (norms[sel][:, None] * norms[None, :])
+            out_id, out_nn, out_sc = [], [], []
+            for r_i, v in enumerate(bidx):
+                c = cos[r_i].copy()
+                c[pos[int(v)]] = -np.inf
+                order = np.lexsort((ids, -c))
+                k_pos = order[KNN_OUT_K - 1]
+                out_id.append(int(v))
+                out_nn.append(int(ids[k_pos]))
+                out_sc.append(int(np.floor(1_000_000 * c[k_pos] + 0.5)))
+            yield pd.DataFrame(
+                {"vec_id": out_id, "nn_id": out_nn, "nn_cos_micro": out_sc}
+            )
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        score_batch, schema="vec_id long, nn_id long, nn_cos_micro long"
+    )
+    w = Window.orderBy("nn_cos_micro", "vec_id")
+    n_total = len(rows)
+    cut = n_total // KNN_OUT_DECI
+    return scored.withColumn("rn", F.row_number().over(w)).select(
+        "vec_id",
+        "nn_id",
+        "nn_cos_micro",
+        (F.col("rn") <= cut).cast("long").alias("is_outlier"),
+    )
