@@ -5214,3 +5214,69 @@ SELECT vec_id, nn_id, nn_cos_micro,
 FROM kth
 """,
 )
+
+
+# -- cohort LTV / Poisson rate-shift ----------------------------------------
+
+REGISTRY["events_cohort_ltv"] = (
+    relational.events_cohort_ltv,
+    """
+WITH first AS (
+  SELECT user_id,
+         MIN(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))) // 7
+           AS cohort_week
+  FROM events GROUP BY 1
+), cohort_n AS (
+  SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_cohort_users
+  FROM first GROUP BY 1
+), buys AS (
+  SELECT e.user_id,
+         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) // 7
+           - f.cohort_week AS age_weeks,
+         f.cohort_week,
+         CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_milli
+  FROM events e JOIN first f ON f.user_id = e.user_id
+  WHERE event_type = 'purchase'
+), grid AS (
+  SELECT cohort_week, age_weeks,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_buyers,
+         SUM(v_milli) AS period_value_milli
+  FROM buys GROUP BY 1, 2
+), cum AS (
+  SELECT *, SUM(period_value_milli) OVER (PARTITION BY cohort_week
+             ORDER BY age_weeks
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_value_milli
+  FROM grid
+)
+SELECT cohort_week, age_weeks, n_cohort_users, n_buyers,
+       period_value_milli, cum_value_milli,
+       (1000 * cum_value_milli) // n_cohort_users AS ltv_per_user_micro
+FROM cum JOIN cohort_n USING (cohort_week)
+""",
+)
+
+
+REGISTRY["stats_poisson_rate_ratio"] = (
+    relational.stats_poisson_rate_ratio,
+    """
+WITH bounds AS (
+  SELECT MIN(epoch_us(ts) // 1000000) AS t0,
+         MAX(epoch_us(ts) // 1000000) AS t1
+  FROM events
+), agg AS (
+  SELECT event_type,
+         SUM(CASE WHEN epoch_us(ts) // 1000000 < t0 + (t1 - t0) // 2
+                  THEN 1 ELSE 0 END) AS c1,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events, bounds GROUP BY 1
+)
+SELECT event_type, CAST(c1 AS BIGINT) AS c1, n - c1 AS c2,
+       CASE WHEN c1 > 0 THEN (1000000 * (n - c1)) // c1 ELSE NULL END
+         AS rate_ratio_ppm,
+       round(CASE WHEN n = 0 THEN NULL ELSE
+             (CAST(c1 AS DOUBLE) - CAST(n AS DOUBLE) / 2)
+             / sqrt(CAST(n AS DOUBLE) / 4) END, 6) AS z_shift
+FROM agg
+""",
+)

@@ -4288,3 +4288,111 @@ def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nn_cos_micro",
         (F.col("rn") <= cut).cast("long").alias("is_outlier"),
     )
+
+
+# -- cohort LTV / rate-shift test (8th cont., pt 11) ------------------------
+
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curve: users grouped by first-seen week, purchase
+    value accumulated by cohort age in weeks — the money-weighted
+    companion to retention_cohorts (same grid, value instead of
+    presence) and the table growth teams actually plot.
+
+    Exact integers end to end: weeks by integer division of epoch
+    days, values in milli, the running total one ordered window per
+    cohort over the tiny (cohort × age) grid, LTV-per-user in micro
+    by integer division.
+
+    Distribution: first-seen rides the user-key agg every funnel op
+    reuses; the purchase scan joins the broadcast (user → cohort) map;
+    the cumulative window runs on the summary grid.
+    """
+    e = load_table(spark, sf_dir, "events")
+    first = e.groupBy("user_id").agg(
+        F.expr(
+            "min(datediff(cast(ts as date), date '2024-01-01')) div 7"
+        ).alias("cohort_week")
+    )
+    cohort_n = first.groupBy("cohort_week").agg(
+        F.count("*").alias("n_cohort_users")
+    )
+    buys = (
+        e.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.expr("datediff(cast(ts as date), date '2024-01-01') div 7").alias(
+                "w"
+            ),
+            F.expr("cast(floor(value * 1000 + 0.5) as bigint)").alias("v_milli"),
+        )
+        .join(F.broadcast(first), "user_id")
+        .withColumn("age_weeks", F.col("w") - F.col("cohort_week"))
+    )
+    grid = buys.groupBy("cohort_week", "age_weeks").agg(
+        F.countDistinct("user_id").alias("n_buyers"),
+        F.sum("v_milli").alias("period_value_milli"),
+    )
+    wc = Window.partitionBy("cohort_week").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        grid.withColumn("cum_value_milli", F.sum("period_value_milli").over(wc))
+        .join(F.broadcast(cohort_n), "cohort_week")
+        .select(
+            "cohort_week",
+            "age_weeks",
+            "n_cohort_users",
+            "n_buyers",
+            "period_value_milli",
+            "cum_value_milli",
+            F.expr("(1000 * cum_value_milli) div n_cohort_users").alias(
+                "ltv_per_user_micro"
+            ),
+        )
+    )
+
+
+def stats_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-shift test per event type: first half of the observation
+    window vs second half — rate ratio in exact cross-multiplied ppm
+    plus the binomial-split z (under H0 each event lands in half one
+    with p = span1/span), the 'did traffic change' answer one level
+    simpler than CUSUM's 'where'.
+
+    Counts and spans are exact integers; the z is one shared double
+    expression on them (round 6, NULL on empty types).
+
+    Distribution: the split point is a broadcast 1-row aggregate; one
+    conditional-count agg per type — a single scan.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.unix_timestamp("ts")).alias("t0"),
+        F.max(F.unix_timestamp("ts")).alias("t1"),
+    )
+    j = e.select("event_type", F.unix_timestamp("ts").alias("s")).join(
+        F.broadcast(bounds)
+    )
+    agg = j.groupBy("event_type").agg(
+        F.sum(
+            F.expr("cast(s < t0 + (t1 - t0) div 2 as long)")
+        ).alias("c1"),
+        F.count("*").alias("n"),
+        F.max(F.expr("t1 - t0")).alias("span"),
+    )
+    return agg.select(
+        "event_type",
+        "c1",
+        (F.col("n") - F.col("c1")).alias("c2"),
+        F.expr(
+            "CASE WHEN c1 > 0 THEN (1000000 * (n - c1)) div c1 ELSE NULL END"
+        ).alias("rate_ratio_ppm"),
+        F.round(
+            F.expr(
+                "CASE WHEN n = 0 THEN NULL ELSE"
+                " (cast(c1 as double) - cast(n as double) / 2)"
+                " / sqrt(cast(n as double) / 4) END"
+            ),
+            6,
+        ).alias("z_shift"),
+    )
