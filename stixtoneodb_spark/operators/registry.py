@@ -5280,3 +5280,125 @@ SELECT event_type, CAST(c1 AS BIGINT) AS c1, n - c1 AS c2,
 FROM agg
 """,
 )
+
+
+# -- k-center selection / interval overlap / Pareto -------------------------
+
+def _kcenter_sql() -> str:
+    """Unrolls the greedy farthest-first steps: each s{k} picks the
+    candidate minimizing max integer-cosine to sel{k-1} (id tie-break)
+    — identical to the driver-side greedy in
+    relational.corpus_select_diverse_kcenter."""
+    steps = "".join(
+        f""", s{k} AS (
+  SELECT cand AS id, CAST({k} AS BIGINT) AS rk, msim FROM (
+    SELECT s.vb AS cand, MAX(s.sim) AS msim
+    FROM sims s
+    WHERE s.va IN (SELECT id FROM sel{k - 1})
+      AND s.vb NOT IN (SELECT id FROM sel{k - 1})
+    GROUP BY s.vb
+    ORDER BY msim ASC, cand ASC LIMIT 1)
+), sel{k} AS (SELECT id FROM sel{k - 1} UNION ALL SELECT id FROM s{k})"""
+        for k in range(2, relational.KCENTER_K + 1)
+    )
+    unions = "\nUNION ALL\n".join(
+        f"SELECT rk AS pick_rank, id AS vec_id, msim AS maxsim_prior_micro"
+        f" FROM s{k}"
+        for k in range(1, relational.KCENTER_K + 1)
+    )
+    return f"""
+WITH comp AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+              AS BIGINT) AS qv
+  FROM embeddings
+), nrm AS (
+  SELECT vec_id, sqrt(CAST(SUM(qv * qv) AS DOUBLE)) AS nrm
+  FROM comp GROUP BY 1
+), dots AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb, SUM(a.qv * b.qv) AS dot
+  FROM comp a JOIN comp b ON a.dim = b.dim AND a.vec_id <> b.vec_id
+  GROUP BY 1, 2
+), sims AS MATERIALIZED (
+  SELECT va, vb,
+         CAST(floor(1000000 * (CAST(dot AS DOUBLE) / (na.nrm * nb.nrm)) + 0.5)
+              AS BIGINT) AS sim
+  FROM dots
+  JOIN nrm na ON na.vec_id = dots.va
+  JOIN nrm nb ON nb.vec_id = dots.vb
+), s1 AS (
+  SELECT CAST(MIN(vec_id) AS BIGINT) AS id, CAST(1 AS BIGINT) AS rk,
+         CAST(0 AS BIGINT) AS msim
+  FROM embeddings
+), sel1 AS (SELECT id FROM s1){steps}
+{unions}
+"""
+
+
+REGISTRY["corpus_select_diverse_kcenter"] = (
+    relational.corpus_select_diverse_kcenter,
+    _kcenter_sql(),
+)
+
+
+REGISTRY["join_interval_overlap_topk"] = (
+    relational.join_interval_overlap_topk,
+    f"""
+WITH sess AS (
+  SELECT user_id, sess_id, MIN(s) AS a, MAX(s) AS b FROM (
+    SELECT user_id, s,
+           SUM(CASE WHEN prev_s IS NULL OR s - prev_s > {relational.KM_GAP_S}
+                    THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS sess_id
+    FROM (SELECT user_id, ts, event_id, epoch_us(ts) // 1000000 AS s,
+                 lag(epoch_us(ts) // 1000000)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+          FROM events))
+  GROUP BY 1, 2
+), hours AS (
+  SELECT user_id, sess_id, a, b,
+         unnest(generate_series(a // 3600, b // 3600)) AS h
+  FROM sess
+), pairs AS (
+  SELECT DISTINCT l.user_id AS u1, l.sess_id AS ls, r.user_id AS u2,
+                  r.sess_id AS rs
+  FROM hours l JOIN hours r ON l.h = r.h
+  WHERE l.user_id < r.user_id AND l.a <= r.b AND r.a <= l.b
+), counts AS (
+  SELECT u1, u2, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+  FROM pairs GROUP BY 1, 2
+)
+SELECT u1 AS user_a, u2 AS user_b, n_overlaps, rank FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_overlaps DESC, u1, u2) AS rank
+  FROM counts)
+WHERE rank <= {relational.OVERLAP_TOP_K}
+""",
+)
+
+
+REGISTRY["agg_pareto_concentration"] = (
+    relational.agg_pareto_concentration,
+    """
+WITH pu AS (
+  SELECT user_id, SUM(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS v_milli
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+), ranked AS (
+  SELECT v_milli,
+         row_number() OVER (ORDER BY v_milli DESC, user_id) AS rn,
+         SUM(v_milli) OVER (ORDER BY v_milli DESC, user_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         CAST(COUNT(*) OVER () AS BIGINT) AS n,
+         SUM(v_milli) OVER () AS total
+  FROM pu
+)
+SELECT MAX(n) AS n_buyers, MAX(total) AS total_value_milli,
+       MIN(CASE WHEN 5 * cum >= 4 * total THEN rn END) AS n_users_for_80pct,
+       (1000000 * MIN(CASE WHEN 5 * cum >= 4 * total THEN rn END)) // MAX(n)
+         AS share_users_for_80pct_ppm,
+       (1000000 * MAX(CASE WHEN rn = (n + 99) // 100 THEN cum END))
+         // MAX(total) AS top1pct_value_share_ppm
+FROM ranked
+""",
+)

@@ -4396,3 +4396,205 @@ def stats_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("z_shift"),
     )
+
+
+# -- k-center selection / interval overlap / Pareto (8th cont., pt 12) ------
+
+KCENTER_K = 8
+
+
+def corpus_select_diverse_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center (farthest-first) diverse subset selection over
+    the embedding corpus: seed at the smallest vec_id, then repeatedly
+    add the vector whose MAXIMUM similarity to the picked set is
+    smallest — the classic coverage heuristic behind diverse
+    instruction-data selection (2-approximation of the k-center
+    optimum).  The emitted per-pick coverage radius (maxsim to prior
+    picks) is the curve a curator reads to choose k.
+
+    Parity: similarities are the GRAM_SCALE-quantized integer cosines
+    (knn-outliers spec), and every argmin compares those INTEGERS with
+    id tie-breaks — the oracle unrolls the identical greedy steps, so
+    any drift in the comparison order breaks the match.
+
+    Distribution: pair sims at audit scale here; at corpus scale the
+    candidate pool arrives pre-thinned (IVF cells / LSH buckets) and
+    the greedy loop runs on the pool exactly as below — the collect is
+    the IVF-seed pattern.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(
+        emb.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"]
+    )
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    q = np.stack(
+        [
+            np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1_000_000 + 0.5)
+            for r in rows
+        ]
+    ).astype(np.int64)
+    norms = np.sqrt((q * q).sum(axis=1).astype(np.float64))
+    dots = q @ q.T
+    sim = np.floor(1_000_000 * (dots / (norms[:, None] * norms[None, :])) + 0.5).astype(
+        np.int64
+    )
+
+    n = len(ids)
+    picked = [0]  # min vec_id = first after the sort
+    out = [(1, int(ids[0]), 0)]
+    maxsim = sim[0].copy()
+    maxsim[0] = np.iinfo(np.int64).max
+    for rk in range(2, min(KCENTER_K, n) + 1):
+        mask = np.ones(n, dtype=bool)
+        mask[picked] = False
+        cand = np.where(mask)[0]
+        best = cand[np.lexsort((ids[cand], maxsim[cand]))][0]
+        out.append((rk, int(ids[best]), int(maxsim[best])))
+        picked.append(int(best))
+        maxsim = np.maximum(maxsim, sim[best])
+        maxsim[picked] = np.iinfo(np.int64).max
+
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("pick_rank", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("maxsim_prior_micro", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(out, schema)
+
+
+OVERLAP_TOP_K = 10
+
+
+def join_interval_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap self-join: which USER PAIRS are repeatedly
+    online together?  Sessions (30-min-gap, the KM subject) become
+    [first, last]-second intervals; overlapping cross-user session
+    pairs are counted per user pair and the top-10 'co-present' pairs
+    ranked — the true theta-join (a.start ≤ b.end AND b.start ≤ a.end)
+    that range_join_event_context's point-in-window form can't express.
+
+    Scale shape: the theta join is bucketized to an EQUI join on the
+    hour grid (each session explodes to its covered hours — bounded by
+    session length), pairs dedupe on session ids before counting, so
+    the shuffle carries (hour, session) rows instead of a cross
+    product; the same decomposition IS the interval-join strategy at
+    100 TB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.select("user_id", "ts", "event_id", F.unix_timestamp("ts").alias("s"))
+        .withColumn("prev_s", F.lag("s").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev_s").isNull() | (F.col("s") - F.col("prev_s") > KM_GAP_S))
+            .cast("long"),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sess_id")
+        .agg(F.min("s").alias("a"), F.max("s").alias("b"))
+    )
+    hours = sess.select(
+        "user_id",
+        "sess_id",
+        "a",
+        "b",
+        F.explode(F.expr("sequence(a div 3600, b div 3600)")).alias("h"),
+    )
+    l = hours.select(
+        F.col("user_id").alias("u1"),
+        F.col("sess_id").alias("s1"),
+        F.col("a").alias("a1"),
+        F.col("b").alias("b1"),
+        "h",
+    )
+    r = hours.select(
+        F.col("user_id").alias("u2"),
+        F.col("sess_id").alias("s2"),
+        F.col("a").alias("a2"),
+        F.col("b").alias("b2"),
+        "h",
+    )
+    pairs = (
+        l.join(r, "h")
+        .where(
+            (F.col("u1") < F.col("u2"))
+            & (F.col("a1") <= F.col("b2"))
+            & (F.col("a2") <= F.col("b1"))
+        )
+        .select("u1", "s1", "u2", "s2")
+        .distinct()
+    )
+    counts = pairs.groupBy("u1", "u2").agg(F.count("*").alias("n_overlaps"))
+    wr = Window.orderBy(F.desc("n_overlaps"), "u1", "u2")
+    return (
+        counts.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= OVERLAP_TOP_K)
+        .select(
+            F.col("u1").alias("user_a"),
+            F.col("u2").alias("user_b"),
+            "n_overlaps",
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto/80-20 revenue concentration: how few buyers carry 80% of
+    purchase value, and what share the top 1% of buyers carries — the
+    single-row inequality summary stats_gini_concentration's full
+    curve collapses to for a dashboard.
+
+    Exact integers: milli-value sums, rank by (value desc, user_id),
+    the 80% cut via the cross-multiplied inequality 5·cum ≥ 4·total,
+    shares in ppm.
+
+    Distribution: one user agg, one ranked window over |buyers|
+    summary rows, one scalar readout.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pu = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr("cast(floor(value * 1000 + 0.5) as bigint)")).alias(
+                "v_milli"
+            )
+        )
+    )
+    w = Window.orderBy(F.desc("v_milli"), "user_id")
+    ranked = (
+        pu.withColumn("rn", F.row_number().over(w))
+        .withColumn("cum", F.sum("v_milli").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("n", F.count("*").over(Window.partitionBy()))
+        .withColumn("total", F.sum("v_milli").over(Window.partitionBy()))
+    )
+    return ranked.agg(
+        F.max("n").alias("n_buyers"),
+        F.max("total").alias("total_value_milli"),
+        F.min(F.when(F.expr("5 * cum >= 4 * total"), F.col("rn"))).alias(
+            "n_users_for_80pct"
+        ),
+        F.max(F.when(F.expr("rn = (n + 99) div 100"), F.col("cum"))).alias(
+            "top1_cum_milli"
+        ),
+    ).select(
+        "n_buyers",
+        "total_value_milli",
+        "n_users_for_80pct",
+        F.expr("(1000000 * n_users_for_80pct) div n_buyers").alias(
+            "share_users_for_80pct_ppm"
+        ),
+        F.expr("(1000000 * top1_cum_milli) div total_value_milli").alias(
+            "top1pct_value_share_ppm"
+        ),
+    )
