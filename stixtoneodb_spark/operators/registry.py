@@ -5402,3 +5402,157 @@ SELECT MAX(n) AS n_buyers, MAX(total) AS total_value_milli,
 FROM ranked
 """,
 )
+
+
+# -- lag correlation / rolling slope / walk counts / bounce rate ------------
+
+REGISTRY["events_lag_correlation"] = (
+    relational.events_lag_correlation,
+    f"""
+WITH hourly AS (
+  SELECT event_type,
+         date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                   date_trunc('hour', ts)) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events
+  WHERE event_type IN ('{relational.LAGCORR_X}', '{relational.LAGCORR_Y}')
+  GROUP BY 1, 2
+), bounds AS (SELECT MIN(h) AS mn, MAX(h) AS mx FROM hourly),
+grid AS (SELECT unnest(generate_series(mn, mx)) AS h FROM bounds),
+x AS (
+  SELECT g.h, COALESCE(hh.c, 0) AS x FROM grid g
+  LEFT JOIN hourly hh ON hh.h = g.h AND hh.event_type = '{relational.LAGCORR_X}'
+), y AS (
+  SELECT g.h AS hy, COALESCE(hh.c, 0) AS y FROM grid g
+  LEFT JOIN hourly hh ON hh.h = g.h AND hh.event_type = '{relational.LAGCORR_Y}'
+), lags AS (
+  SELECT unnest(generate_series(-{relational.LAGCORR_MAX},
+                                {relational.LAGCORR_MAX})) AS lag
+), agg AS (
+  SELECT lag, CAST(COUNT(*) AS BIGINT) AS n_points,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM x CROSS JOIN lags JOIN y ON y.hy = x.h + lags.lag
+  GROUP BY 1
+)
+SELECT lag, n_points,
+       round(CASE WHEN n_points * sxx = sx * sx
+                       OR n_points * syy = sy * sy THEN NULL ELSE
+             CAST(n_points * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n_points * sxx - sx * sx AS DOUBLE)
+                    * CAST(n_points * syy - sy * sy AS DOUBLE)) END, 6)
+         AS pearson_r
+FROM agg
+""",
+)
+
+
+REGISTRY["window_rolling_regression"] = (
+    relational.window_rolling_regression,
+    f"""
+WITH hourly AS (
+  SELECT event_type,
+         date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                   date_trunc('hour', ts)) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tb AS (
+  SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1
+), grid AS (
+  SELECT event_type, unnest(generate_series(mn, mx)) AS h FROM tb
+), dense AS (
+  SELECT g.event_type, g.h, COALESCE(hh.c, 0) AS y
+  FROM grid g LEFT JOIN hourly hh
+    ON hh.event_type = g.event_type AND hh.h = g.h
+), rolled AS (
+  SELECT event_type, h, y,
+         CAST(COUNT(*) OVER w AS BIGINT) AS n,
+         SUM(h) OVER w AS st, SUM(y) OVER w AS sy,
+         SUM(h * y) OVER w AS sty, SUM(h * h) OVER w AS stt
+  FROM dense
+  WINDOW w AS (PARTITION BY event_type ORDER BY h
+               ROWS BETWEEN {relational.ROLLREG_W - 1} PRECEDING
+                        AND CURRENT ROW)
+)
+SELECT event_type, h, y,
+       (1000000 * (n * sty - st * sy)) // (n * stt - st * st)
+         AS slope_micro_per_hour
+FROM rolled WHERE n = {relational.ROLLREG_W}
+""",
+)
+
+
+def _path_counts_sql() -> str:
+    vocab = ",".join(f"'{t}'" for t in graph.PR_VOCAB)
+    steps = "".join(
+        f""", w{k} AS (
+  SELECT e.dst AS node, SUM(w{k - 1}.w) AS w
+  FROM edges e JOIN w{k - 1} ON w{k - 1}.node = e.src
+  GROUP BY 1
+)"""
+        for k in range(1, relational.WALK_STEPS + 1)
+    )
+    sel = ", ".join(
+        f"COALESCE(w{k}.w, 0) AS walks{k}"
+        for k in range(1, relational.WALK_STEPS + 1)
+    )
+    joins = "".join(
+        f" LEFT JOIN w{k} ON w{k}.node = nodes.node"
+        for k in range(1, relational.WALK_STEPS + 1)
+    )
+    return f"""
+WITH m AS (
+  SELECT DISTINCT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+    FROM documents)
+  WHERE token IN ({vocab})
+), half AS (
+  SELECT DISTINCT a.token AS src, b.token AS dst
+  FROM m a JOIN m b ON a.doc_id = b.doc_id AND a.token < b.token
+), edges AS (
+  SELECT src, dst FROM half UNION ALL SELECT dst AS src, src AS dst FROM half
+), nodes AS (SELECT DISTINCT src AS node FROM edges),
+w0 AS (
+  SELECT node, CASE WHEN node = '{graph.KHOP_SEED}'
+                    THEN CAST(1 AS BIGINT) ELSE 0 END AS w
+  FROM nodes
+){steps}
+SELECT nodes.node AS mention, {sel}
+FROM nodes{joins}
+"""
+
+
+REGISTRY["kg_path_counts"] = (relational.kg_path_counts, _path_counts_sql())
+
+
+REGISTRY["agg_session_bounce_rate"] = (
+    relational.agg_session_bounce_rate,
+    f"""
+WITH sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         SUM(CASE WHEN prev_s IS NULL OR s - prev_s > {relational.KM_GAP_S}
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM (SELECT user_id, ts, event_id, event_type,
+               epoch_us(ts) // 1000000 AS s,
+               lag(epoch_us(ts) // 1000000)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+        FROM events)
+), per_sess AS (
+  SELECT user_id, sess_id,
+         MAX(CASE WHEN rn = 1 THEN event_type END) AS entry,
+         CAST(COUNT(*) AS BIGINT) AS len
+  FROM (SELECT *, row_number() OVER (PARTITION BY user_id, sess_id
+                                     ORDER BY ts, event_id) AS rn
+        FROM sess)
+  GROUP BY 1, 2
+)
+SELECT entry AS entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       SUM(CASE WHEN len = 1 THEN 1 ELSE 0 END) AS n_bounces,
+       (1000000 * SUM(CASE WHEN len = 1 THEN 1 ELSE 0 END)) // COUNT(*)
+         AS bounce_ppm,
+       (1000 * SUM(len)) // COUNT(*) AS mean_len_milli
+FROM per_sess GROUP BY 1
+""",
+)

@@ -4598,3 +4598,230 @@ def agg_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top1pct_value_share_ppm"
         ),
     )
+
+
+# -- lag correlation / rolling slope / bounce rate (8th cont., pt 13) -------
+
+LAGCORR_MAX = 3
+LAGCORR_X = "click"
+LAGCORR_Y = "purchase"
+
+
+def events_lag_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation of the click and purchase hourly series at lags
+    −3..+3 — 'does click volume LEAD purchases by k hours?' — the
+    lead/lag diagnostic stats_autocorr_lag1 (one series) and
+    stats_correlation_matrix (no lag) can't answer.
+
+    Both series are zero-filled over the GLOBAL hour grid; per lag the
+    Pearson r uses exact integer moments over the n−|lag| aligned
+    pairs, round-6 on the one final division.
+
+    Distribution: two map-side hourly aggs, the dense grid is a
+    summary-scale broadcast, and all 7 lags evaluate in ONE join pass
+    (lag exploded as a column) — no per-lag rescans.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.where(F.col("event_type").isin(LAGCORR_X, LAGCORR_Y))
+        .select(
+            "event_type",
+            F.expr(
+                "(unix_timestamp(date_trunc('hour', ts))"
+                " - unix_timestamp(timestamp '2024-01-01 00:00:00')) div 3600"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    bounds = hourly.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    grid = bounds.select(
+        F.explode(F.expr("sequence(mn, mx)")).alias("h")
+    )
+    x = grid.join(
+        hourly.where(F.col("event_type") == LAGCORR_X).select("h", "c"), "h", "left"
+    ).select("h", F.coalesce("c", F.lit(0)).alias("x"))
+    y = grid.join(
+        hourly.where(F.col("event_type") == LAGCORR_Y).select("h", "c"), "h", "left"
+    ).select(F.col("h").alias("hy"), F.coalesce("c", F.lit(0)).alias("y"))
+    lags = spark.range(-LAGCORR_MAX, LAGCORR_MAX + 1).select(
+        F.col("id").alias("lag")
+    )
+    pairs = (
+        x.join(F.broadcast(lags))
+        .join(y, F.col("hy") == F.col("h") + F.col("lag"))
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count("*").alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    return agg.select(
+        "lag",
+        "n_points",
+        F.round(
+            F.expr(
+                "CASE WHEN n_points * sxx = sx * sx OR n_points * syy = sy * sy"
+                " THEN NULL ELSE"
+                " cast(n_points * sxy - sx * sy as double)"
+                " / sqrt(cast(n_points * sxx - sx * sx as double)"
+                "        * cast(n_points * syy - sy * sy as double)) END"
+            ),
+            6,
+        ).alias("pearson_r"),
+    )
+
+
+ROLLREG_W = 6
+
+
+def window_rolling_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS slope of the hourly count series per event type over
+    a trailing 6-hour window — the local trend estimate a monitor
+    plots next to events_ewma_hourly (level) and holt (global trend);
+    only FULL windows emit (partial fits mislead).
+
+    Exact integers: the slope is the cross-multiplied OLS numerator /
+    denominator over (hour, count) ints inside each frame, read out as
+    (1e6·num) div den.  Gap hours are zero observations (dense grid).
+
+    Distribution: dense grid at summary scale; ONE ordered window per
+    type computes all five rolling sums; no self-joins.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.expr(
+                "(unix_timestamp(date_trunc('hour', ts))"
+                " - unix_timestamp(timestamp '2024-01-01 00:00:00')) div 3600"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    tb = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = tb.select(
+        "event_type", F.explode(F.expr("sequence(mn, mx)")).alias("h")
+    )
+    dense = grid.join(hourly, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("c", F.lit(0)).alias("y")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-(ROLLREG_W - 1), 0)
+    )
+    rolled = (
+        dense.withColumn("n", F.count("*").over(w))
+        .withColumn("st", F.sum("h").over(w))
+        .withColumn("sy", F.sum("y").over(w))
+        .withColumn("sty", F.sum(F.expr("h * y")).over(w))
+        .withColumn("stt", F.sum(F.expr("h * h")).over(w))
+        .where(F.col("n") == ROLLREG_W)
+    )
+    return rolled.select(
+        "event_type",
+        "h",
+        "y",
+        F.expr(
+            "(1000000 * (n * sty - st * sy)) div (n * stt - st * st)"
+        ).alias("slope_micro_per_hour"),
+    )
+
+
+WALK_STEPS = 4
+
+
+def kg_path_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk counts from the seed entity: how many length-1..4 walks
+    reach each vocabulary node from 'join' over the co-occurrence
+    graph — the connection-strength profile behind kg_khop_reach's
+    binary reachability (two nodes both 2 hops away can differ by
+    1000× in walk count).
+
+    Pure INTEGER matrix-vector powers (w_{k+1}(v) = Σ_{u→v} w_k(u)),
+    unrolled identically in the oracle — no floats anywhere.
+
+    Distribution: vocabulary-scale graph; each step is one edges⋈w
+    join + groupBy — the pagerank loop shape with integer weights.
+    """
+    from stixtoneodb_spark.operators.graph import (
+        KHOP_SEED,
+        _cooccurrence_edges,
+    )
+
+    edges = _cooccurrence_edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    w = nodes.withColumn(
+        "w", F.when(F.col("node") == KHOP_SEED, F.lit(1)).otherwise(F.lit(0)).cast("long")
+    )
+    outs = []
+    for _k in range(1, WALK_STEPS + 1):
+        w = (
+            edges.join(w, w.node == edges.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("w").alias("w"))
+            .localCheckpoint(eager=True)
+        )
+        outs.append(w.withColumnRenamed("w", f"walks{_k}"))
+    res = nodes
+    for k, o in enumerate(outs, start=1):
+        res = res.join(o, "node", "left").withColumn(
+            f"walks{k}", F.coalesce(F.col(f"walks{k}"), F.lit(0))
+        )
+    return res.select(
+        F.col("node").alias("mention"),
+        *[F.col(f"walks{k}") for k in range(1, WALK_STEPS + 1)],
+    )
+
+
+def agg_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session ENTRY event type: the share of 30-min-gap
+    sessions that end after a single event, keyed by what the user did
+    first — the landing-page health metric sessionize_events feeds.
+
+    Exact integers (ppm rate, milli mean length); the entry event uses
+    the full (ts, event_id) order tie-break.
+
+    Distribution: the sessionize window (one user-key shuffle), a
+    per-session agg at session cardinality, then |types| summary rows.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sess = (
+        e.select("user_id", "ts", "event_id", "event_type",
+                 F.unix_timestamp("ts").alias("s"))
+        .withColumn("prev_s", F.lag("s").over(w))
+        .withColumn(
+            "new_sess",
+            (F.col("prev_s").isNull() | (F.col("s") - F.col("prev_s") > KM_GAP_S))
+            .cast("long"),
+        )
+        .withColumn(
+            "sess_id",
+            F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    ws = Window.partitionBy("user_id", "sess_id").orderBy("ts", "event_id")
+    per_sess = (
+        sess.withColumn("rn", F.row_number().over(ws))
+        .groupBy("user_id", "sess_id")
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("event_type"))).alias("entry"),
+            F.count("*").alias("len"),
+        )
+    )
+    return per_sess.groupBy(F.col("entry").alias("entry_type")).agg(
+        F.count("*").alias("n_sessions"),
+        F.sum((F.col("len") == 1).cast("long")).alias("n_bounces"),
+        F.expr("(1000000 * sum(cast(len = 1 as long))) div count(*)").alias(
+            "bounce_ppm"
+        ),
+        F.expr("(1000 * sum(len)) div count(*)").alias("mean_len_milli"),
+    )
