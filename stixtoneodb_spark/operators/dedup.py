@@ -268,24 +268,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # higher-order-function form (transform+aggregate lambdas) evaluates
     # interpreted and was ~20x slower.  Token-less documents are excluded
     # (no content signal), matching the dedup-tier population filter.
-    ex = d.where(F.size(tokens(F.col("text"))) > 0).select(
-        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
-    )
-    n_bits = 32
-    h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
-    aggs = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v{b}")
-        for b in range(n_bits)
-    ]
-    votes = ex.groupBy("doc_id").agg(*aggs)
-    packed = F.lit(0).cast("long")
-    for b in range(n_bits):
-        packed = packed + F.when(
-            F.col(f"v{b}") > 0, F.lit(2**b).cast("long")
-        ).otherwise(F.lit(0).cast("long"))
-    sigs = votes.select("doc_id", packed.alias("simhash"))
+    sigs = simhash_sigs(d)
     # bucket by signature: identical simhash -> near-dup group
     return (
         sigs.groupBy("simhash")
@@ -563,3 +546,73 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(inter * 1000000 AS BIGINT) div uni").alias("jaccard_ppm"),
         )
     )
+
+
+def simhash_sigs(d):
+    """(doc_id, simhash) 32-bit portable signatures — the shared core of
+    dedup_simhash (exact-bucket) and dedup_simhash_hamming1 (radius-1):
+    md5-derived token hashes vote ±1 per bit, signs pack into a long."""
+    ex = d.where(F.size(tokens(F.col("text"))) > 0).select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("t")
+    )
+    n_bits = 32
+    h = F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long")
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(n_bits)
+    ]
+    votes = ex.groupBy("doc_id").agg(*aggs)
+    packed = F.lit(0).cast("long")
+    for b in range(n_bits):
+        packed = packed + F.when(
+            F.col(f"v{b}") > 0, F.lit(2**b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return votes.select("doc_id", packed.alias("simhash"))
+
+
+def dedup_simhash_hamming1(spark, sf_dir):
+    """SimHash near-dup pairs at Hamming radius ≤ 1: each signature also
+    probes its 32 one-bit flips, so pairs that exact-signature
+    bucketing (dedup_simhash) misses by a single bit are recovered —
+    the standard radius widening (Manku et al.'s rotated-table scheme,
+    collapsed to r=1).
+
+    Output: (id_a, id_b, hamming) with hamming ∈ {0, 1}.
+
+    Scale shape: the probe fan-out is a CONSTANT 33 keys per doc, so
+    the candidate join shuffles 33·N (key, id) rows — the same
+    band-key cardinality discipline as MinHash-LSH; pair dedupe runs
+    at candidate scale.
+    """
+    from stixtoneodb_spark.sources.tables import load_table as _lt
+
+    d = _lt(spark, sf_dir, "documents")
+    sigs = simhash_sigs(d)
+    bits = F.array(F.lit(-1), *[F.lit(b) for b in range(32)])
+    var = sigs.select(
+        "doc_id",
+        F.col("simhash").alias("sig"),
+        F.explode(bits).alias("b"),
+    ).select(
+        "doc_id",
+        "sig",
+        F.expr(
+            "CASE WHEN b = -1 THEN sig ELSE sig ^ shiftleft(cast(1 as bigint), b) END"
+        ).alias("key"),
+    )
+    right = sigs.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sig_b")
+    )
+    pairs = (
+        var.join(right, var.key == right.sig_b)
+        .where(F.col("doc_id") < F.col("id_b"))
+        .select(
+            F.col("doc_id").alias("id_a"),
+            "id_b",
+            F.expr("cast(bit_count(sig ^ sig_b) as bigint)").alias("hamming"),
+        )
+        .distinct()
+    )
+    return pairs

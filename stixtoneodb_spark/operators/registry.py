@@ -5556,3 +5556,86 @@ SELECT entry AS entry_type, CAST(COUNT(*) AS BIGINT) AS n_sessions,
 FROM per_sess GROUP BY 1
 """,
 )
+
+
+# -- simhash radius-1 / daily autocorrelation -------------------------------
+
+def _simhash_hamming1_sql() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN ((hv >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(32)
+    )
+    pack = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {2**b}::BIGINT ELSE 0::BIGINT END"
+        for b in range(32)
+    )
+    bits = ", ".join(str(b) for b in range(32))
+    return f"""
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split(regexp_replace(lower(text), '[^a-z0-9]+',
+                                                 ' ', 'g'), ' '),
+                     x -> x <> '') AS toks
+  FROM documents
+), ex AS (
+  SELECT doc_id, unnest(toks) AS t FROM tok WHERE len(toks) > 0
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS hv FROM ex
+), votes AS (
+  SELECT doc_id, {votes}
+  FROM h GROUP BY doc_id
+), sigs AS (
+  SELECT doc_id, ({pack}) AS simhash FROM votes
+), var AS (
+  SELECT doc_id, simhash AS sig,
+         CASE WHEN t.b = -1 THEN simhash
+              ELSE xor(simhash, (1::BIGINT << t.b)) END AS key
+  FROM sigs CROSS JOIN (SELECT unnest([-1, {bits}]) AS b) t
+)
+SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b2.simhash)) AS BIGINT) AS hamming
+FROM var a JOIN sigs b2 ON b2.simhash = a.key AND a.doc_id < b2.doc_id
+"""
+
+
+REGISTRY["dedup_simhash_hamming1"] = (
+    dedup.dedup_simhash_hamming1,
+    _simhash_hamming1_sql(),
+)
+
+
+REGISTRY["stats_autocorr_daily"] = (
+    relational.stats_autocorr_daily,
+    f"""
+WITH hourly AS (
+  SELECT event_type,
+         date_diff('hour', TIMESTAMP '2024-01-01 00:00:00',
+                   date_trunc('hour', ts)) AS h,
+         CAST(COUNT(*) AS BIGINT) AS c
+  FROM events GROUP BY 1, 2
+), tb AS (
+  SELECT event_type, MIN(h) AS mn, MAX(h) AS mx FROM hourly GROUP BY 1
+), dense AS (
+  SELECT g.event_type, g.h, COALESCE(hh.c, 0) AS y
+  FROM (SELECT event_type, unnest(generate_series(mn, mx)) AS h FROM tb) g
+  LEFT JOIN hourly hh ON hh.event_type = g.event_type AND hh.h = g.h
+), lags AS (
+  SELECT unnest([{", ".join(str(l) for l in relational.AUTOCORR_LAGS)}]) AS lag
+), agg AS (
+  SELECT a.event_type, lags.lag, CAST(COUNT(*) AS BIGINT) AS n_points,
+         SUM(a.y) AS sx, SUM(b.y) AS sy, SUM(a.y * b.y) AS sxy,
+         SUM(a.y * a.y) AS sxx, SUM(b.y * b.y) AS syy
+  FROM dense a CROSS JOIN lags
+  JOIN dense b ON b.event_type = a.event_type AND b.h = a.h + lags.lag
+  GROUP BY 1, 2
+)
+SELECT event_type, CAST(lag AS BIGINT) AS lag, n_points,
+       round(CASE WHEN n_points * sxx = sx * sx
+                       OR n_points * syy = sy * sy THEN NULL ELSE
+             CAST(n_points * sxy - sx * sy AS DOUBLE)
+             / sqrt(CAST(n_points * sxx - sx * sx AS DOUBLE)
+                    * CAST(n_points * syy - sy * sy AS DOUBLE)) END, 6)
+         AS pearson_r
+FROM agg
+""",
+)

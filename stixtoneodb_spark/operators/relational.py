@@ -4825,3 +4825,74 @@ def agg_session_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("(1000 * sum(len)) div count(*)").alias("mean_len_milli"),
     )
+
+
+AUTOCORR_LAGS = (6, 12, 24)
+
+
+def stats_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodicity screen: autocorrelation of each type's hourly count
+    series at lags 6, 12 and 24 — a daily-rhythm series shows r(24) ≫
+    r(6), the cheap substitute for a spectral peak test and the
+    multi-lag extension of stats_autocorr_lag1.
+
+    Zero-filled dense grid per type; per (type, lag) the Pearson r uses
+    exact integer moments over the n−lag aligned pairs, round-6 on the
+    single final division (degenerate windows → NULL).
+
+    Distribution: one hourly map-side agg, a summary-scale grid, all
+    three lags in ONE self-join pass with the lag exploded as a column.
+    """
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            F.expr(
+                "(unix_timestamp(date_trunc('hour', ts))"
+                " - unix_timestamp(timestamp '2024-01-01 00:00:00')) div 3600"
+            ).alias("h"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.count("*").alias("c"))
+    )
+    tb = hourly.groupBy("event_type").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    dense = (
+        tb.select("event_type", F.explode(F.expr("sequence(mn, mx)")).alias("h"))
+        .join(hourly, ["event_type", "h"], "left")
+        .select("event_type", "h", F.coalesce("c", F.lit(0)).alias("y"))
+    )
+    lags = spark.createDataFrame(
+        [(int(l),) for l in AUTOCORR_LAGS], "lag long"
+    )
+    a = dense.select("event_type", F.col("h").alias("ha"), F.col("y").alias("x"))
+    b = dense.select("event_type", F.col("h").alias("hb"), F.col("y").alias("y2"))
+    pairs = (
+        a.join(F.broadcast(lags))
+        .join(b, ["event_type"])
+        .where(F.col("hb") == F.col("ha") + F.col("lag"))
+    )
+    agg = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n_points"),
+        F.sum("x").alias("sx"),
+        F.sum("y2").alias("sy"),
+        F.sum(F.expr("x * y2")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y2 * y2")).alias("syy"),
+    )
+    return agg.select(
+        "event_type",
+        "lag",
+        "n_points",
+        F.round(
+            F.expr(
+                "CASE WHEN n_points * sxx = sx * sx OR n_points * syy = sy * sy"
+                " THEN NULL ELSE"
+                " cast(n_points * sxy - sx * sy as double)"
+                " / sqrt(cast(n_points * sxx - sx * sx as double)"
+                "        * cast(n_points * syy - sy * sy as double)) END"
+            ),
+            6,
+        ).alias("pearson_r"),
+    )
