@@ -60,10 +60,15 @@ def eval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     join + a Q-row aggregation: at 1000 executors the full-corpus scan
     dominates and nothing else grows.
 
-    Parity: rank order is float64 cosine (desc, id tiebreak) in both
-    engines; all metric arithmetic is integer micro-units with
+    Parity: all metric arithmetic is integer micro-units with
     module-constant discount weights, idcg via the shared CUM_DISCOUNT
-    table at min(R, K) where R = corpus-wide relevant count.
+    table at min(R, K) where R = corpus-wide relevant count.  The rank
+    *order* itself is float64 cosine (desc, id tiebreak) in both
+    engines and — unlike the metric arithmetic — is float-summation-
+    order dependent: numpy's normalized matmul and DuckDB's
+    list_cosine_similarity may disagree on exact cosine ties under
+    different rounding orders (holds on the fixture data; not an
+    integer-exact guarantee).
     """
     emb = load_table(spark, sf_dir, "embeddings")
     qrows = (
@@ -73,7 +78,9 @@ def eval_ranking_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in qrows])
-    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norm = q_mat / np.maximum(
+        np.linalg.norm(q_mat, axis=1, keepdims=True), 1e-30
+    )
 
     def local_topk(batches):
         for pdf in batches:

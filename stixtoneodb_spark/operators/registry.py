@@ -4100,31 +4100,31 @@ WITH RECURSIVE span AS (
              OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
     FROM events)
 ), per_user AS (
-  SELECT (max(s) - min(s)) // 60 AS dur_h,
+  SELECT (max(s) - min(s)) // 60 AS dur_min,
          CASE WHEN max(s) < horizon THEN 1 ELSE 0 END AS event
   FROM sess, span GROUP BY user_id, sess_id, horizon
 ), counts AS (
-  SELECT dur_h, CAST(COUNT(*) AS BIGINT) AS n_at, SUM(event) AS d
+  SELECT dur_min, CAST(COUNT(*) AS BIGINT) AS n_at, SUM(event) AS d
   FROM per_user GROUP BY 1
 ), risk AS (
-  SELECT dur_h, d,
-         SUM(n_at) OVER (ORDER BY dur_h DESC
+  SELECT dur_min, d,
+         SUM(n_at) OVER (ORDER BY dur_min DESC
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
   FROM counts
 ), deaths AS (
-  SELECT dur_h, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
-         row_number() OVER (ORDER BY dur_h) AS rn
+  SELECT dur_min, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+         row_number() OVER (ORDER BY dur_min) AS rn
   FROM risk WHERE d > 0
 ), km AS (
-  SELECT rn, dur_h, n_risk, d,
+  SELECT rn, dur_min, n_risk, d,
          ({relational.KM_SCALE} * (n_risk - d)) // n_risk AS s
   FROM deaths WHERE rn = 1
   UNION ALL
-  SELECT d2.rn, d2.dur_h, d2.n_risk, d2.d,
+  SELECT d2.rn, d2.dur_min, d2.n_risk, d2.d,
          (km.s * (d2.n_risk - d2.d)) // d2.n_risk
   FROM km JOIN deaths d2 ON d2.rn = km.rn + 1
 )
-SELECT dur_h AS t_minutes, n_risk, d, s AS surv_micro FROM km
+SELECT dur_min AS t_minutes, n_risk, d, s AS surv_micro FROM km
 """,
 )
 
@@ -4166,6 +4166,16 @@ SELECT event_type AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
        SUM(CASE WHEN pos = m THEN 1 ELSE 0 END) AS n_last,
        SUM(credit_micro) AS credit_micro_total
 FROM cr GROUP BY 1
+UNION ALL
+SELECT '(direct)' AS channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(COUNT(*) AS BIGINT) AS n_first,
+       CAST(COUNT(*) AS BIGINT) AS n_last,
+       CAST(COUNT(*) AS BIGINT) * 1000000 AS credit_micro_total
+FROM convs c
+WHERE NOT EXISTS (
+  SELECT 1 FROM touches t
+  WHERE t.user_id = c.user_id AND t.path_id = c.path_id)
+HAVING COUNT(*) > 0
 """,
 )
 

@@ -2879,13 +2879,13 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_sess = sess.groupBy("user_id", "sess_id").agg(
         F.min("s").alias("first_s"), F.max("s").alias("last_s")
     ).select(
-        F.expr("(last_s - first_s) div 60").alias("dur_h"),
+        F.expr("(last_s - first_s) div 60").alias("dur_min"),
         (F.col("last_s") < F.lit(horizon)).cast("long").alias("event"),
     )
     counts = (
-        per_sess.groupBy("dur_h")
+        per_sess.groupBy("dur_min")
         .agg(F.count("*").alias("n_at"), F.sum("event").alias("d"))
-        .orderBy("dur_h")
+        .orderBy("dur_min")
     )
     rows = counts.collect()
     total = sum(r["n_at"] for r in rows)
@@ -2893,7 +2893,7 @@ def stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows:
         if r["d"] > 0:  # death times only; censor-only times just shrink risk
             s = s * (at_risk - r["d"]) // at_risk
-            out.append((int(r["dur_h"]), int(at_risk), int(r["d"]), int(s)))
+            out.append((int(r["dur_min"]), int(at_risk), int(r["d"]), int(s)))
         at_risk -= r["n_at"]
     schema = T.StructType(
         [
@@ -2912,7 +2912,10 @@ def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
     the previous purchase — 40% first touch, 40% last, 20% spread over
     the middles (integer micro-credits; div remainders land on the last
     touch so every path sums to exactly 1e6; 1-touch paths get all of
-    it, 2-touch paths split 50/50).
+    it, 2-touch paths split 50/50).  Conversions with zero touchpoints
+    (first-event purchases, back-to-back purchases) are emitted under a
+    synthetic ``(direct)`` channel carrying their full 1e6 credit, so
+    total attributed credit reconciles to n_conversions x 1e6 exactly.
 
     Distribution: everything is windows over the user-key partitioning
     (purchase counter, path position fore/aft) plus one broadcast-size
@@ -2957,7 +2960,7 @@ def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .otherwise(F.expr("200000 div (m - 2)"))
     )
-    return (
+    touched = (
         pos.withColumn("credit_micro", credit.cast("long"))
         .groupBy(F.col("event_type").alias("channel"))
         .agg(
@@ -2967,6 +2970,25 @@ def attribution_position_weighted(spark: SparkSession, sf_dir: str) -> DataFrame
             F.sum("credit_micro").alias("credit_micro_total"),
         )
     )
+    # Zero-touch conversions (no rows in `touches` for their path) —
+    # broadcast-anti against the distinct touched paths, then one row.
+    direct = (
+        convs.join(
+            touches.select("user_id", "path_id").distinct(),
+            ["user_id", "path_id"],
+            "left_anti",
+        )
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") > 0)
+        .select(
+            F.lit("(direct)").alias("channel"),
+            F.col("n").alias("n_touches"),
+            F.col("n").alias("n_first"),
+            F.col("n").alias("n_last"),
+            (F.col("n") * F.lit(1_000_000)).alias("credit_micro_total"),
+        )
+    )
+    return touched.unionByName(direct)
 
 
 RECSYS_TOP_K = 5
