@@ -564,6 +564,48 @@ def _bpe_strip(s: str) -> str:
     return s.replace(_BPE_S1, "").replace(_BPE_S2, "")
 
 
+def _bpe_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, cnt, seq) distinct-word histogram the merge loop trains on.
+
+    ``localCheckpoint(eager=True)`` materializes it ONCE and truncates
+    lineage, so the corpus scan happens exactly once per training run:
+    every per-step job (pair count, rewrite) roots at the cached
+    vocabulary-scale RDD — even under cache eviction the corpus is never
+    re-read.  This is the HF/sentencepiece trainer shape: merges are
+    learned over the word histogram, which is vocabulary-scale, while
+    the corpus enters only to build it."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(_ws_tokens(F.col("text"))).alias("word"))
+        .where(F.length("word") > 0)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    wrap = F.expr(
+        f"rtrim(regexp_replace(word, '([\\\\s\\\\S])', '{_BPE_S1}$1{_BPE_S2}  '))"
+    )
+    return words.select("word", "cnt", wrap.alias("seq")).localCheckpoint(eager=True)
+
+
+def _bpe_pair_counts(prev: DataFrame) -> DataFrame:
+    """Weighted adjacent-pair counts over the histogram's symbol
+    sequences — the per-step shuffle; its plan roots at the checkpointed
+    histogram, never at the corpus (pinned by tests/test_text_ops.py)."""
+    arr = F.split("seq", "  ")
+    pz = F.arrays_zip(arr, F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(1))))
+    return (
+        prev.select("cnt", F.explode(pz).alias("pz"))
+        .select(
+            "cnt",
+            F.col("pz")["0"].alias("l"),
+            F.col("pz")["1"].alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+        .groupBy("l", "r")
+        .agg(F.sum("cnt").alias("pc"))
+    )
+
+
 def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training: learn the first ``BPE_MERGES``
     byte-pair merges over the corpus vocabulary — the vocabulary-
@@ -588,6 +630,14 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     serialized-flat regexp path (BENCH.md round-3 lesson).  Each step
     re-persists the vocabulary-scale frame and unpersists its parent.
 
+    The corpus enters EXACTLY ONCE: training runs over the distinct-word
+    histogram (``_bpe_histogram``, localCheckpoint-truncated lineage),
+    so every per-step job — all 50k of them for a production vocabulary
+    — reads the vocabulary-scale cached frame, never ``documents``
+    (plan-pinned by tests/test_text_ops.py).  This is exactly how
+    HF/sentencepiece trainers scale BPE: merge decisions depend only on
+    (word, count), so the histogram is a sufficient statistic.
+
     The DuckDB oracle unrolls all ``BPE_MERGES`` steps as chained CTEs
     with scalar argmax subqueries — a full independent replay of the
     training loop.  Precondition (holds for any natural-language corpus,
@@ -595,31 +645,11 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     BPE_MERGES merges; both engines would otherwise diverge on the
     empty-argmax step.
     """
-    d = load_table(spark, sf_dir, "documents")
-    words = (
-        d.select(F.explode(_ws_tokens(F.col("text"))).alias("word"))
-        .where(F.length("word") > 0)
-        .groupBy("word")
-        .agg(F.count("*").alias("cnt"))
-    )
-    wrap = F.expr(
-        f"rtrim(regexp_replace(word, '([\\\\s\\\\S])', '{_BPE_S1}$1{_BPE_S2}  '))"
-    )
-    prev = words.select("word", "cnt", wrap.alias("seq")).persist()
+    prev = _bpe_histogram(spark, sf_dir)
     merges: list[tuple] = []
     for step in range(1, BPE_MERGES + 1):
-        arr = F.split("seq", "  ")
-        pz = F.arrays_zip(arr, F.slice(arr, 2, F.greatest(F.size(arr) - 1, F.lit(1))))
         best = (
-            prev.select("cnt", F.explode(pz).alias("pz"))
-            .select(
-                "cnt",
-                F.col("pz")["0"].alias("l"),
-                F.col("pz")["1"].alias("r"),
-            )
-            .where(F.col("r").isNotNull())
-            .groupBy("l", "r")
-            .agg(F.sum("cnt").alias("pc"))
+            _bpe_pair_counts(prev)
             .orderBy(F.desc("pc"), "l", "r")
             .limit(1)
             .collect()
@@ -631,6 +661,9 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         merges.append(
             (step, _bpe_strip(b["l"]), _bpe_strip(b["r"]), merged, b["pc"])
         )
+        # localCheckpoint per step: one materialization (same as the old
+        # persist+count) AND lineage truncation, so a 50k-merge run's
+        # plans stay one step deep instead of accreting 50k rewrites.
         nxt = prev.select(
             "word",
             "cnt",
@@ -639,8 +672,7 @@ def tokenizer_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(b["l"] + "  " + b["r"]),
                 F.lit(_BPE_S1 + merged + _BPE_S2),
             ).alias("seq"),
-        ).persist()
-        nxt.count()
+        ).localCheckpoint(eager=True)
         prev.unpersist()
         prev = nxt
     prev.unpersist()

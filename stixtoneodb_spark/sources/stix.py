@@ -204,6 +204,27 @@ def read_zip(spark: SparkSession, path: str, staging_dir: str) -> DataFrame:
     return out
 
 
+def read_zip_ndjson(spark: SparkSession, path: str, staging_dir: str) -> DataFrame:
+    """`-x` + zip: archive entries holding one STIX object per LINE — the
+    reference's ``loadLargeZipTextFile`` (StixToNeoDB.scala:55), which
+    iterates zip entries and feeds each through the same line-at-a-time
+    reader as plain `-x` mode.  We extract entries to a staging dir
+    (driver-side, same ingest-edge rationale as ``read_zip``) and hand
+    the whole directory to ``read_ndjson`` — one distributed text scan
+    over all entries, identical parse/validate/lossless-props semantics
+    to the plain NDJSON path (graph-signature parity is pinned by
+    tests/test_stix_parity.py)."""
+    os.makedirs(staging_dir, exist_ok=True)
+    extracted = []
+    with zipfile.ZipFile(path) as zf:
+        for entry in zf.namelist():
+            if not entry.endswith("/") and not entry.startswith("__MACOSX"):
+                extracted.append(zf.extract(entry, staging_dir))
+    if not extracted:
+        raise ValueError(f"no entries in archive {path}")
+    return read_ndjson(spark, [p for p in extracted])
+
+
 @dataclass
 class StixGraph:
     nodes: DataFrame

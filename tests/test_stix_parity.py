@@ -107,6 +107,25 @@ def test_ndjson_reader_parity(spark, graph, tmp_path):
     assert _graph_signature(g2) == _graph_signature(graph)
 
 
+def test_zip_ndjson_reader_parity(spark, graph, tmp_path):
+    """`-x` + zip (loadLargeZipTextFile, StixToNeoDB.scala:55): the same
+    corpus split one-object-per-line across TWO zip entries must build
+    the identical graph as the bundle path and as plain NDJSON."""
+    import zipfile
+
+    from stixtoneodb_spark.sources.stix import read_zip_ndjson
+
+    objs = json.load(open(BUNDLE))["objects"]
+    half = len(objs) // 2
+    z = tmp_path / "testfull_nd.zip"
+    with zipfile.ZipFile(z, "w") as zf:
+        zf.writestr("part1.ndjson", "\n".join(json.dumps(o) for o in objs[:half]))
+        zf.writestr("sub/part2.ndjson",
+                    "\n".join(json.dumps(o) for o in objs[half:]) + "\n")
+    g2 = build_graph(read_zip_ndjson(spark, str(z), str(tmp_path / "staging")))
+    assert _graph_signature(g2) == _graph_signature(graph)
+
+
 def test_ndjson_props_keeps_raw_line_and_malformed_lines_gated(spark, tmp_path):
     """The NDJSON path retains the ORIGINAL line (custom x_* fields
     survive) and malformed lines fail soft through the id-null gate."""

@@ -133,3 +133,29 @@ def test_curate_flags_internal_consistency(spark):
     losers = {r["doc_id"] for r in rows if r["neardup_loser"]}
     pair_losers = {r["id_b"] for r in dedup_minhash_lsh(spark, SF).collect()}
     assert losers == pair_losers
+
+
+def test_bpe_per_step_job_reads_histogram_not_corpus(spark):
+    """The BPE merge loop trains on the localCheckpoint-truncated word
+    histogram: the per-step pair-count plan must root at the cached RDD
+    — zero file scans, no `documents` reference.  This pins the
+    corpus-enters-exactly-once property a 50k-merge production run
+    depends on."""
+    from stixtoneodb_spark.operators.text import (
+        _bpe_histogram,
+        _bpe_pair_counts,
+    )
+
+    prev = _bpe_histogram(spark, SF)
+    try:
+        plan = (
+            _bpe_pair_counts(prev)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "documents" not in plan
+        assert "FileScan" not in plan and "parquet" not in plan.lower()
+        assert "ExistingRDD" in plan or "Scan rdd" in plan  # checkpointed root
+    finally:
+        prev.unpersist()
