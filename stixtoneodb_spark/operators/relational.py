@@ -4240,9 +4240,138 @@ def join_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 KNN_OUT_K = 5          # score = cosine to the 5th nearest neighbor
 KNN_OUT_DECI = 10      # bottom n div 10 by score are flagged outliers
+KNN_AUDIT_MAX_ROWS = 200_000  # above this the IVF candidate tier takes over
 
 
-def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _quantize_micro(emb_col):
+    """floor(x*1e6+0.5) component quantization shared by both knn tiers
+    and the k-center greedy — the integer basis of the portable score."""
+    import numpy as np  # noqa: PLC0415
+
+    def q(col):
+        return np.floor(
+            np.stack([np.asarray(v, dtype=np.float64) for v in col]) * 1_000_000
+            + 0.5
+        ).astype(np.int64)
+
+    return q(emb_col)
+
+
+def _knn_outliers_ivf(spark: SparkSession, emb: DataFrame, n_total: int) -> DataFrame:
+    """Corpus tier of ``embedding_knn_outliers``: IVF-probed candidates,
+    bounded driver footprint (centroids only — never the corpus).
+
+    Vectors whose probed cells yield fewer than KNN_OUT_K candidates
+    score against their last available neighbor (rank = min(K, cnt));
+    a vector with zero candidates (alone in every probed cell) drops
+    out of the scored set — both are one-sided like the candidate
+    thinning itself."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from stixtoneodb_spark.operators.similarity import (  # noqa: PLC0415
+        IVF_NPROBE,
+        _ivf_train,
+    )
+
+    base = emb.select("vec_id", "embedding")
+    live_ids, C1 = _ivf_train(base)
+    C1n = C1 / np.maximum(np.linalg.norm(C1, axis=1, keepdims=True), 1e-30)
+
+    def assign_and_probe(batches):
+        # member cell (argmax) + probed cells (top-nprobe) in one pass;
+        # kind=0 rows are memberships, kind=1 rows are probes.
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+            sims = vn @ C1n.T
+            order = np.lexsort(
+                (np.tile(np.arange(len(live_ids)), (len(pdf), 1)), -sims)
+            )
+            member = live_ids[order[:, 0]]
+            nprobe = min(IVF_NPROBE, len(live_ids))
+            out_v, out_c, out_k = [], [], []
+            for i, vid in enumerate(pdf["vec_id"]):
+                out_v.append(int(vid)); out_c.append(int(member[i])); out_k.append(0)
+                for j in range(nprobe):
+                    out_v.append(int(vid))
+                    out_c.append(int(live_ids[order[i, j]]))
+                    out_k.append(1)
+            yield pd.DataFrame({"vec_id": out_v, "cell": out_c, "kind": out_k})
+
+    ac = base.mapInPandas(
+        assign_and_probe, schema="vec_id long, cell int, kind int"
+    ).persist()
+    members = ac.where(F.col("kind") == 0).select(
+        F.col("vec_id").alias("nbr_id"), "cell"
+    )
+    probes = ac.where(F.col("kind") == 1).select("vec_id", "cell")
+    pairs = (
+        probes.join(members, "cell")
+        .where(F.col("vec_id") != F.col("nbr_id"))
+        .select("vec_id", "nbr_id")
+        .distinct()  # a neighbor reachable via several probed cells counts once
+    )
+    with_vecs = (
+        pairs.join(base, "vec_id")
+        .join(
+            base.select(
+                F.col("vec_id").alias("nbr_id"), F.col("embedding").alias("nbr_emb")
+            ),
+            "nbr_id",
+        )
+    )
+
+    def pair_score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            qa = _quantize_micro(pdf["embedding"])
+            qb = _quantize_micro(pdf["nbr_emb"])
+            dots = (qa * qb).sum(axis=1)
+            na = np.sqrt((qa * qa).sum(axis=1).astype(np.float64))
+            nb = np.sqrt((qb * qb).sum(axis=1).astype(np.float64))
+            cos = dots / (na * nb)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "nbr_id": pdf["nbr_id"],
+                    "cos_micro": np.floor(1_000_000 * cos + 0.5).astype(np.int64),
+                }
+            )
+
+    scored_pairs = with_vecs.mapInPandas(
+        pair_score, schema="vec_id long, nbr_id long, cos_micro long"
+    )
+    wk = Window.partitionBy("vec_id").orderBy(F.desc("cos_micro"), "nbr_id")
+    wc = Window.partitionBy("vec_id")
+    kth = (
+        scored_pairs.withColumn("rk", F.row_number().over(wk))
+        .withColumn("cnt", F.count("*").over(wc))
+        .where(F.col("rk") == F.least(F.lit(KNN_OUT_K), F.col("cnt")))
+        .select(
+            "vec_id",
+            F.col("nbr_id").alias("nn_id"),
+            F.col("cos_micro").alias("nn_cos_micro"),
+        )
+    )
+    cut = n_total // KNN_OUT_DECI
+    w = Window.orderBy("nn_cos_micro", "vec_id")
+    out = kth.withColumn("rn", F.row_number().over(w)).select(
+        "vec_id",
+        "nn_id",
+        "nn_cos_micro",
+        (F.col("rn") <= cut).cast("long").alias("is_outlier"),
+    )
+    ac.unpersist()
+    return out
+
+
+def embedding_knn_outliers(
+    spark: SparkSession, sf_dir: str, audit_max_rows: int = KNN_AUDIT_MAX_ROWS
+) -> DataFrame:
     """kNN-distance outlier detection over the embedding corpus: each
     vector's score is its cosine to its 5th nearest neighbor (low =
     isolated), and the bottom tenth by score is flagged — the
@@ -4255,17 +4384,33 @@ def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     (correctly-rounded sqrt/div on identical integers) — unlike the
     raw-float ann tiers that only expose ranks.
 
-    Distribution: the quantized matrix is the broadcast side (the
-    ann_cosine_topk pattern); each Arrow batch computes its rows' k-th
-    neighbor in one integer matmul; the outlier cut is one rank window
-    over vec-count rows.  At corpus scale the IVF tier supplies
-    candidates instead of the full matrix — the score definition is
-    unchanged.
+    Distribution — two tiers on one score definition, switched on the
+    corpus row count:
+
+    * audit tier (n ≤ ``audit_max_rows``): the quantized matrix is the
+      broadcast side (the ann_cosine_topk pattern); each Arrow batch
+      computes its rows' k-th neighbor in one integer matmul.  This is
+      the exact tier the DuckDB oracle replays (sf0.01 is far below the
+      threshold).
+    * corpus tier (n > ``audit_max_rows``): NO full-table collect — the
+      driver holds only the IVF coarse quantizer (≤4096 x dim).  Every
+      vector probes its ``IVF_NPROBE`` nearest cells; candidates are the
+      probed cells' members (a cell-key equi join), pair scores are the
+      same quantized integer cosine computed per Arrow batch, and the
+      k-th neighbor is a per-vector rank window.  Approximation is
+      one-sided: candidates ⊆ corpus, so the reported k-th-NN cosine is
+      ≤ the exact one (pinned by tests/test_select_ext.py).
+
+    The outlier cut is one rank window over vec-count rows in both
+    tiers.
     """
     import numpy as np
     import pandas as pd  # noqa: F401  (Arrow batch frames)
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n_total = emb.count()
+    if n_total > audit_max_rows:
+        return _knn_outliers_ivf(spark, emb, n_total)
     rows = emb.select("vec_id", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
     q = np.stack(
@@ -4302,7 +4447,6 @@ def embedding_knn_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         score_batch, schema="vec_id long, nn_id long, nn_cos_micro long"
     )
     w = Window.orderBy("nn_cos_micro", "vec_id")
-    n_total = len(rows)
     cut = n_total // KNN_OUT_DECI
     return scored.withColumn("rn", F.row_number().over(w)).select(
         "vec_id",
@@ -4423,45 +4567,21 @@ def stats_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- k-center selection / interval overlap / Pareto (8th cont., pt 12) ------
 
 KCENTER_K = 8
+KC_AUDIT_MAX_ROWS = 200_000  # above this the greedy runs on an IVF-thinned pool
 
 
-def corpus_select_diverse_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy k-center (farthest-first) diverse subset selection over
-    the embedding corpus: seed at the smallest vec_id, then repeatedly
-    add the vector whose MAXIMUM similarity to the picked set is
-    smallest — the classic coverage heuristic behind diverse
-    instruction-data selection (2-approximation of the k-center
-    optimum).  The emitted per-pick coverage radius (maxsim to prior
-    picks) is the curve a curator reads to choose k.
+def _kcenter_greedy(ids, q):
+    """The shared greedy loop: integer-micro cosine sims over the given
+    (id, quantized-vector) pool, farthest-first from the smallest id.
+    Pool size bounds driver memory — the exact tier passes the corpus,
+    the corpus tier passes per-cell representatives."""
+    import numpy as np  # noqa: PLC0415
 
-    Parity: similarities are the GRAM_SCALE-quantized integer cosines
-    (knn-outliers spec), and every argmin compares those INTEGERS with
-    id tie-breaks — the oracle unrolls the identical greedy steps, so
-    any drift in the comparison order breaks the match.
-
-    Distribution: pair sims at audit scale here; at corpus scale the
-    candidate pool arrives pre-thinned (IVF cells / LSH buckets) and
-    the greedy loop runs on the pool exactly as below — the collect is
-    the IVF-seed pattern.
-    """
-    import numpy as np
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    rows = sorted(
-        emb.select("vec_id", "embedding").collect(), key=lambda r: r["vec_id"]
-    )
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    q = np.stack(
-        [
-            np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1_000_000 + 0.5)
-            for r in rows
-        ]
-    ).astype(np.int64)
     norms = np.sqrt((q * q).sum(axis=1).astype(np.float64))
     dots = q @ q.T
-    sim = np.floor(1_000_000 * (dots / (norms[:, None] * norms[None, :])) + 0.5).astype(
-        np.int64
-    )
+    sim = np.floor(
+        1_000_000 * (dots / (norms[:, None] * norms[None, :])) + 0.5
+    ).astype(np.int64)
 
     n = len(ids)
     picked = [0]  # min vec_id = first after the sort
@@ -4477,6 +4597,91 @@ def corpus_select_diverse_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame
         picked.append(int(best))
         maxsim = np.maximum(maxsim, sim[best])
         maxsim[picked] = np.iinfo(np.int64).max
+    return out
+
+
+def _kcenter_pool_ivf(emb: DataFrame):
+    """Corpus tier pool: one representative per IVF cell (the member
+    most similar to its refined centroid, ties → lowest vec_id) —
+    ≤ IVF_CELLS_MAX rows ever reach the driver, everything else is one
+    distributed assign pass."""
+    import numpy as np  # noqa: PLC0415
+    import pandas as pd  # noqa: PLC0415
+
+    from stixtoneodb_spark.operators.similarity import _ivf_train  # noqa: PLC0415
+
+    base = emb.select("vec_id", "embedding")
+    live_ids, C1 = _ivf_train(base)
+    C1n = C1 / np.maximum(np.linalg.norm(C1, axis=1, keepdims=True), 1e-30)
+
+    def assign_sim(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["embedding"]])
+            vn = v / np.maximum(np.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+            sims = vn @ C1n.T
+            best = np.argmax(sims, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": live_ids[best],
+                    "cent_cos": sims[np.arange(len(pdf)), best],
+                    "embedding": pdf["embedding"],
+                }
+            )
+
+    assigned = base.mapInPandas(
+        assign_sim,
+        schema="vec_id long, cell int, cent_cos double, embedding array<float>",
+    )
+    wr = Window.partitionBy("cell").orderBy(F.desc("cent_cos"), "vec_id")
+    return (
+        assigned.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") == 1)
+        .select("vec_id", "embedding")
+    )
+
+
+def corpus_select_diverse_kcenter(
+    spark: SparkSession, sf_dir: str, audit_max_rows: int = KC_AUDIT_MAX_ROWS
+) -> DataFrame:
+    """Greedy k-center (farthest-first) diverse subset selection over
+    the embedding corpus: seed at the smallest vec_id, then repeatedly
+    add the vector whose MAXIMUM similarity to the picked set is
+    smallest — the classic coverage heuristic behind diverse
+    instruction-data selection (2-approximation of the k-center
+    optimum).  The emitted per-pick coverage radius (maxsim to prior
+    picks) is the curve a curator reads to choose k.
+
+    Parity: similarities are the GRAM_SCALE-quantized integer cosines
+    (knn-outliers spec), and every argmin compares those INTEGERS with
+    id tie-breaks — the oracle unrolls the identical greedy steps, so
+    any drift in the comparison order breaks the match.
+
+    Distribution — two tiers on one greedy definition, switched on the
+    corpus row count: at audit scale (n ≤ ``audit_max_rows``, the
+    oracle tier) the pool IS the corpus; at corpus scale the pool
+    arrives pre-thinned to one representative per IVF cell (member
+    closest to its refined centroid — ``_kcenter_pool_ivf``), so at
+    most IVF_CELLS_MAX rows ever reach the driver and the greedy loop
+    runs on the pool exactly as below.
+    """
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pool = emb.select("vec_id", "embedding")
+    if emb.count() > audit_max_rows:
+        pool = _kcenter_pool_ivf(emb)
+    rows = sorted(pool.collect(), key=lambda r: r["vec_id"])
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    q = np.stack(
+        [
+            np.floor(np.asarray(r["embedding"], dtype=np.float64) * 1_000_000 + 0.5)
+            for r in rows
+        ]
+    ).astype(np.int64)
+    out = _kcenter_greedy(ids, q)
 
     from pyspark.sql import types as T
 

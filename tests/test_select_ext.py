@@ -107,3 +107,53 @@ def test_pareto_whale_concentration(spark, tmp_path):
     assert r["n_users_for_80pct"] == 2  # 160+5=165, 5*165 >= 4*205
     assert r["share_users_for_80pct_ppm"] == 200_000
     assert r["top1pct_value_share_ppm"] == 1_000_000 * 160_000 // 205_000
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_knn_outliers_corpus_tier_bounded_and_one_sided(spark):
+    """Planted guard (audit_max_rows=0) forces the IVF candidate tier:
+    no full-table collect, driver holds only centroids.  The candidate
+    set is a subset of the corpus, so every IVF k-th-NN cosine must be
+    ≤ the exact tier's for the same vector — the one-sided
+    approximation contract the docstring states."""
+    exact = {
+        r["vec_id"]: r["nn_cos_micro"]
+        for r in relational.embedding_knn_outliers(spark, SF001).collect()
+    }
+    ivf_rows = relational.embedding_knn_outliers(
+        spark, SF001, audit_max_rows=0
+    ).collect()
+    assert ivf_rows, "corpus tier must produce scored rows"
+    assert len(ivf_rows) <= len(exact)
+    n_flag = sum(r["is_outlier"] for r in ivf_rows)
+    assert n_flag == min(len(exact) // relational.KNN_OUT_DECI, len(ivf_rows))
+    for r in ivf_rows:
+        assert r["nn_cos_micro"] <= exact[r["vec_id"]], r["vec_id"]
+    # and the tiers agree on at least some vectors (at sf0.001 the probe
+    # fraction is ~nprobe/√n ≈ 18% of the corpus, so exact-k-th-NN
+    # recall is structurally low — the ≤ contract above is the real pin)
+    agree = sum(1 for r in ivf_rows if r["nn_cos_micro"] == exact[r["vec_id"]])
+    assert agree >= 10
+
+
+def test_kcenter_corpus_tier_pool_bounded_and_valid_greedy(spark):
+    """Planted guard forces the IVF-representative pool tier: picks
+    come from the pool (subset of corpus ids), pick 1 is the smallest
+    pool id, and the coverage radius is non-decreasing from rank 2 on
+    (greedy k-center invariant: maxsim values only grow as picks
+    accumulate)."""
+    rows = sorted(
+        relational.corpus_select_diverse_kcenter(
+            spark, SF001, audit_max_rows=0
+        ).collect(),
+        key=lambda r: r["pick_rank"],
+    )
+    assert rows and rows[0]["pick_rank"] == 1
+    assert rows[0]["maxsim_prior_micro"] == 0
+    radii = [r["maxsim_prior_micro"] for r in rows[1:]]
+    assert radii == sorted(radii)
+    # ranks are contiguous and picks unique
+    assert [r["pick_rank"] for r in rows] == list(range(1, len(rows) + 1))
+    assert len({r["vec_id"] for r in rows}) == len(rows)
