@@ -1353,6 +1353,31 @@ JOIN c1 ON c1.doc_id = d.doc_id
 ORDER BY d.doc_id
 """,
     ),
+    "media_decode_stats_jpeg": (
+        multimodal.media_decode_stats_jpeg,
+        """
+WITH bi AS (SELECT i FROM generate_series(0, 3) AS t(i)),
+     bj AS (SELECT j FROM generate_series(0, 4) AS t(j)),
+sums AS (
+  -- constant even-valued 8x8 blocks: baseline-JPEG roundtrip is EXACT
+  -- (see media_decode_stats_jpeg docstring), so the decoded pixel sum
+  -- is 64 * sum of block values
+  SELECT d.doc_id,
+         CAST(SUM(64 * (2 * ((d.doc_id + 17 * bi.i + 29 * bj.j) % 128)))
+              AS BIGINT) AS pixel_sum
+  FROM documents d
+  JOIN bi ON bi.i < 2 + d.doc_id % 3
+  JOIN bj ON bj.j < 2 + d.doc_id % 4
+  GROUP BY d.doc_id
+)
+SELECT d.doc_id,
+  CAST((2 + d.doc_id % 3) * 8 AS BIGINT) AS height,
+  CAST((2 + d.doc_id % 4) * 8 AS BIGINT) AS width,
+  s.pixel_sum
+FROM documents d JOIN sums s ON s.doc_id = d.doc_id
+ORDER BY d.doc_id
+""",
+    ),
     "layout_zorder_keys": (
         relational.layout_zorder_keys,
         f"""

@@ -65,7 +65,7 @@ def test_sniff():
     assert codecs.sniff(codecs.encode_bmp(_img(2, 2))) == "bmp"
     assert codecs.sniff(codecs.encode_ppm(_img(2, 2))) == "ppm"
     assert codecs.sniff(codecs.encode_wav(np.zeros(4, dtype=np.int16), 8000)) == "wav"
-    assert codecs.sniff(b"\xff\xd8\xff jpeg-ish") is None
+    assert codecs.sniff(b"\xff\xd8\xff jpeg-ish") == "jpeg"  # real codec now
 
 
 def test_resize_nearest_semantics():
@@ -187,3 +187,100 @@ def test_png_truncated_deflate_raises_valueerror_not_zlib_error():
     )
     with pytest.raises(ValueError):
         codecs.decode_png(bad_ihdr)
+
+
+# ------------------------------------------------------------- JPEG ----
+
+
+def test_jpeg_fdct_matches_naive_definition():
+    """The matrix FDCT must equal the O(n^4) textbook formula (T.81
+    A.3.3) — an independent-algebra check, not a roundtrip."""
+    rng = np.random.default_rng(7)
+    blk = rng.integers(-128, 128, (8, 8)).astype(np.float64)
+
+    def naive(b):
+        out = np.zeros((8, 8))
+        for u in range(8):
+            for v in range(8):
+                cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                s = sum(
+                    b[x, y]
+                    * np.cos((2 * x + 1) * u * np.pi / 16)
+                    * np.cos((2 * y + 1) * v * np.pi / 16)
+                    for x in range(8)
+                    for y in range(8)
+                )
+                out[u, v] = 0.25 * cu * cv * s
+        return out
+
+    assert np.allclose(codecs.jpeg_fdct(blk), naive(blk), atol=1e-9)
+    assert np.allclose(codecs.jpeg_idct(codecs.jpeg_fdct(blk)), blk, atol=1e-9)
+    # constant block c → DC exactly 8c (the closed-form oracle's anchor)
+    assert abs(codecs.jpeg_fdct(np.full((8, 8), 10.0))[0, 0] - 80.0) < 1e-9
+
+
+def test_jpeg_entropy_layer_integer_exact_roundtrip():
+    """encode_jpeg_from_coeffs → decode_jpeg_coeffs is LOSSLESS for
+    arbitrary sparse coefficient blocks: zigzag, run lengths, ZRL, EOB,
+    magnitude categories (incl. negatives), DC prediction, byte
+    stuffing, canonical Huffman tables — all integer-exact."""
+    rng = np.random.default_rng(11)
+    qc = rng.integers(-40, 40, (12, 8, 8)).astype(np.int64)
+    qc[rng.random((12, 8, 8)) < 0.85] = 0  # sparse: runs + ZRL fire
+    qc[:, 0, 0] = rng.integers(-200, 200, 12)  # real DC walk
+    b = codecs.encode_jpeg_from_coeffs(qc, 24, 32, n_comp=1)
+    back, (h, w, n_comp), qsel = codecs.decode_jpeg_coeffs(b)
+    assert (back == qc).all()
+    assert (h, w, n_comp) == (24, 32, 1)
+    assert (qsel[0] == codecs.JPEG_QTABLE).all()
+
+
+def test_jpeg_dc_only_roundtrip_bit_exact():
+    """Constant even-valued 8x8 blocks survive the FULL lossy pipeline
+    bit-exactly (the registry oracle's closed form): DC 8·(v-128),
+    Q[0,0]=16, no rounding for even v."""
+    hb, wb = 3, 4
+    img = np.zeros((hb * 8, wb * 8), dtype=np.uint8)
+    for i in range(hb):
+        for j in range(wb):
+            img[i * 8 : (i + 1) * 8, j * 8 : (j + 1) * 8] = 2 * (
+                (7 + 17 * i + 29 * j) % 128
+            )
+    out = codecs.decode_jpeg(codecs.encode_jpeg(img))
+    assert out.dtype == np.uint8 and out.shape == img.shape
+    assert (out == img).all()
+
+
+def test_jpeg_color_and_gradient_bounded_error():
+    """Color (YCbCr 4:4:4) constant image reconstructs within the
+    chroma-rounding budget; a smooth gradient stays within the Annex-K
+    quantization error envelope; non-multiple-of-8 sizes crop right."""
+    rgb = np.full((16, 16, 3), (120, 64, 200), dtype=np.uint8)
+    out = codecs.decode_jpeg(codecs.encode_jpeg(rgb))
+    assert out.shape == (16, 16, 3)
+    assert np.abs(out.astype(int) - rgb.astype(int)).max() <= 3
+    g = (np.add.outer(np.arange(19) * 2, np.arange(21) * 3) % 160 + 40).astype(
+        np.uint8
+    )
+    dec = codecs.decode_jpeg(codecs.encode_jpeg(g))
+    assert dec.shape == (19, 21)  # odd sizes: block padding cropped
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 40
+
+
+def test_jpeg_sniff_and_decode_image_dispatch():
+    img = np.full((8, 8), 100, np.uint8)
+    b = codecs.encode_jpeg(img)
+    assert codecs.sniff(b) == "jpeg"
+    assert codecs.decode_image(b).shape == (8, 8, 3)
+
+
+def test_jpeg_rejects_progressive_and_truncation():
+    img = np.full((8, 8), 100, np.uint8)
+    b = bytearray(codecs.encode_jpeg(img))
+    i = b.find(b"\xff\xc0")
+    b[i + 1] = 0xC2  # rewrite SOF0 → SOF2 (progressive)
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(bytes(b))
+    with pytest.raises(ValueError):
+        codecs.decode_jpeg(codecs.encode_jpeg(img)[:20])
