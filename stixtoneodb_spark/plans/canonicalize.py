@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 
 from stixtoneodb_spark.functions.textfns import (
     canonical_name,
-    minhash_band_table,
     shingles,
 )
 
@@ -185,48 +184,72 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
         lambda t: (F.length(t) - F.length(F.translate(t, "0123456789", "")) >= 2)
         | t.rlike("^[0-9a-f]{6,}$"),
     )
-    lsh_keys = minhash_band_table(
-        base.where(~has_identifier), "name", "sh", NUM_HASHES, NUM_BANDS
-    ).select("band", "name")
+    # Band ids are 64-BIT HASHES, not "b:sha2(...)" strings: blocking keys
+    # never surface in results, xxhash64 is ~an order cheaper than sha2 in
+    # codegen (the sha2 banding profiled as the bulk of cand_keys at a 7M
+    # vocabulary), and every downstream band shuffle carries 8 bytes
+    # instead of a 66-char string.  A 64-bit collision can only MERGE two
+    # blocks — extra candidates for the exact verifier — or, via the
+    # MAX_BLOCK guard, drop a merged block: probability ~k²/2⁶⁵ (≈1e-5 at
+    # 10⁸ distinct keys), documented rather than handled.
+    rpb = NUM_HASHES // NUM_BANDS
+    sig_aggs = [
+        F.min(F.xxhash64(F.col("_s"), F.lit(42 + h))).alias(f"_h{h}")
+        for h in range(NUM_HASHES)
+    ]
+    sigs = (
+        base.where(~has_identifier)
+        .select("name", F.explode("sh").alias("_s"))
+        .groupBy("name")
+        .agg(*sig_aggs)
+    )
+    bands64 = F.array(
+        *[
+            F.xxhash64(
+                F.lit(b), *[F.col(f"_h{b * rpb + j}") for j in range(rpb)]
+            )
+            for b in range(NUM_BANDS)
+        ]
+    )
+    lsh_keys = sigs.select(F.explode(bands64).alias("band"), "name")
     token_keys = base.select(
         F.explode(
-            F.transform(F.split("name", " "), lambda t: F.concat(F.lit("tok:"), t))
+            F.transform(
+                F.split("name", " "), lambda t: F.xxhash64(F.lit("tok"), t)
+            )
         ).alias("band"),
         "name",
     )
-    # persisted: both the band-size agg and the guarded pair pass read
+    # persisted: both the band-size agg and the block-extraction pass read
     # this frame — without the persist the minhash/token key chain runs
     # twice
     keys = _prof(lsh_keys.unionByName(token_keys).persist(), "keys")
-    # LSH skew guard: a band key shared by too many names is a degenerate
-    # block (stopword-ish) — DROP it wholly.  Implemented as a partial-agg
-    # count + join, never a per-band window: a row_number over the band
-    # key funnels the hottest band into one task (the guard itself became
-    # the skew); the hash-agg count combines map-side, so hot bands cost
-    # one long per mapper.  Whole-block drop also beats an arbitrary
-    # keep-first-K: K survivors of a degenerate block are junk candidates.
-    #
-    # The guard probes the OVERSIZED side (bn > MAX_BLOCK): oversized
-    # bands are rare by construction (boilerplate shingles, stop-word
-    # tokens), so the build side is tiny and the anti-join is a map-side
-    # broadcast probe.  The previous shape semi-joined against the
-    # nearly-all-bands small side — a second vocabulary-scale shuffle of
-    # the keys frame — and then SELF-JOINED the blocked frame on band
-    # (two more shuffle+sort legs); together those profiled as S3's flat
-    # ~17s non-scaling tail at 16 cores.
+    # LSH skew guard + singleton drop in ONE narrow aggregation: the band
+    # SIZE histogram shuffles (band64, partial count) — map-side combined,
+    # 8-byte keys — and the USEFUL bands (2 ≤ bn ≤ MAX_BLOCK) broadcast
+    # back as a semi-join filter.  Only useful-band rows — bounded by the
+    # downstream pair budget, since every useful band yields ≥1 candidate
+    # pair — enter the wide collect_list shuffle; the previous shape
+    # shuffled the ENTIRE vocabulary-scale (band, name) frame through the
+    # groupBy to find a handful of multi-member blocks (profiled 27s@16 at
+    # a 14M-key table for 24 blocks).  Oversized bands (degenerate
+    # stopword-ish blocks) are still DROPPED WHOLLY — K survivors of a
+    # degenerate block are junk candidates — they are simply never in the
+    # useful set.  A corpus whose useful-band set outgrows the broadcast
+    # ceiling has a candidate-pair budget that overwhelms the verify stage
+    # anyway — the guard to revisit then is MAX_BLOCK, not the join shape.
     band_sizes = keys.groupBy("band").agg(F.count("*").alias("bn"))
-    oversized = band_sizes.where(F.col("bn") > MAX_BLOCK).select("band")
-    guarded = keys.join(F.broadcast(oversized), "band", "left_anti")
-    # Pair generation in ONE shuffle: groupBy(band) + collect_list — every
-    # surviving band is ≤ MAX_BLOCK members (the anti-join above already
-    # dropped the degenerate blocks, so no list can exceed MAX_BLOCK and
-    # the old self-join's skew hazard cannot re-enter), singleton bands
-    # (the overwhelming majority) die in the size filter, and the a<b
-    # pair triangle expands via a codegen double explode — the same pair
-    # multiset the band self-join produced, without shuffling the
-    # vocabulary-scale frame twice more.
+    useful = band_sizes.where(
+        (F.col("bn") >= 2) & (F.col("bn") <= MAX_BLOCK)
+    ).select("band")
+    # Pair generation: groupBy(band) + collect_list over useful-band rows
+    # only — every list is ≤ MAX_BLOCK members by the guard above, and the
+    # a<b pair triangle expands via a codegen double explode (the same
+    # pair multiset the old band self-join produced, without any
+    # vocabulary-scale shuffle).
     blocks = _prof(
-        guarded.groupBy("band")
+        keys.join(F.broadcast(useful), "band", "left_semi")
+        .groupBy("band")
         .agg(F.collect_list("name").alias("ns"))
         .where(F.size("ns") >= 2),
         "blocked",

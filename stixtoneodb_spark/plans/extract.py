@@ -23,6 +23,7 @@ from __future__ import annotations
 import re
 from functools import lru_cache
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -411,4 +412,101 @@ def split_sentences_udtf(turns: DataFrame) -> DataFrame:
     return spark.sql(
         "SELECT conv_id, turn_idx, s.sentence_idx, s.sentence "
         "FROM _udtf_turns, LATERAL split_sentences(text) AS s"
+    )
+
+
+# -- fused S2: one corpus pass for mentions AND triples ----------------------
+
+FUSED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("kind", T.StringType()),       # 'm' | 't'
+        T.StructField("a", T.StringType()),          # surface / subj_text
+        T.StructField("b", T.StringType()),          # entity_type / pred
+        T.StructField("c", T.StringType()),          # null / obj_text
+        T.StructField("confidence", T.DoubleType()), # null / confidence
+    ]
+)
+
+
+def _fused_batches(batches):
+    """mapInPandas body: BOTH extractors over each Arrow batch — the
+    text column crosses the Python boundary once and is scanned once
+    per extractor, instead of two whole-corpus jobs each paying the
+    scan + Arrow transfer.  Emits a tagged union; row content is
+    IDENTICAL to detect_mentions ∪ extract_triples (equality-pinned by
+    tests/test_pipeline.py)."""
+    pat_cs, group_types = _combined_gazetteer_pattern_cs()
+    pat_ci, _ = _combined_gazetteer_pattern()
+    tpat = _triple_pattern()
+    empty = pd.DataFrame(
+        {
+            "conv_id": pd.Series(dtype="object"),
+            "turn_idx": pd.Series(dtype="int32"),
+            "kind": pd.Series(dtype="object"),
+            "a": pd.Series(dtype="object"),
+            "b": pd.Series(dtype="object"),
+            "c": pd.Series(dtype="object"),
+            "confidence": pd.Series(dtype="float64"),
+        }
+    )
+    for pdf in batches:
+        if len(pdf) == 0:
+            yield empty
+            continue
+        pdf = pdf.reset_index(drop=True)
+        frames = []
+        # -- mentions: identical scan to detect_mentions_udf ------------
+        m_conv, m_turn, m_a, m_b = [], [], [], []
+        for conv, turn, text in zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]):
+            if not isinstance(text, str) or not text:
+                continue
+            low = text.lower()
+            pat, src = (pat_cs, low) if len(low) == len(text) else (pat_ci, text)
+            for m in pat.finditer(src):
+                m_conv.append(conv)
+                m_turn.append(turn)
+                m_a.append(text[m.start(m.lastgroup) : m.end(m.lastgroup)])
+                m_b.append(group_types[m.lastgroup])
+        if m_conv:
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": m_conv,
+                        "turn_idx": pd.Series(m_turn, dtype="int32"),
+                        "kind": "m",
+                        "a": m_a,
+                        "b": m_b,
+                        "c": None,
+                        "confidence": np.nan,
+                    }
+                )
+            )
+        # -- triples: identical extractall to _extract_batches ----------
+        hits = pdf["text"].fillna("").str.extractall(tpat)
+        if len(hits):
+            ridx = hits.index.get_level_values(0)
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "conv_id": pdf["conv_id"].take(ridx).to_numpy(),
+                        "turn_idx": pdf["turn_idx"].take(ridx).to_numpy(),
+                        "kind": "t",
+                        "a": hits[0].to_numpy(),
+                        "b": hits[1].str.lower().to_numpy(),
+                        "c": hits[2].to_numpy(),
+                        "confidence": 1.0,
+                    }
+                )
+            )
+        yield pd.concat(frames, ignore_index=True) if frames else empty
+
+
+def extract_fused(turns: DataFrame) -> DataFrame:
+    """Tagged mention ∪ triple stream from ONE corpus pass (see
+    ``_fused_batches``).  kind='m' rows: (a=surface, b=entity_type);
+    kind='t' rows: (a=subj_text, b=pred, c=obj_text, confidence)."""
+    return turns.select("conv_id", "turn_idx", "text").mapInPandas(
+        _fused_batches, FUSED_SCHEMA
     )

@@ -268,6 +268,7 @@ def _graph_frames(
     alias_edges: DataFrame | None,
     persist,
     stage_walls: dict[str, float] | None = None,
+    conversation_nodes: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Shared S3→S5 dataflow (run_volatile / run_volatile_frames).
 
@@ -384,8 +385,13 @@ def _graph_frames(
         .groupBy("canonical_id", "canonical_label", "entity_type")
         .agg(F.sum("cnt").alias("cnt"))
     )
+    conv_nodes = (
+        conversation_nodes
+        if conversation_nodes is not None
+        else materialize.conversation_nodes(turns)
+    )
     nodes = materialize.entity_nodes_from_type_counts(type_counts).unionByName(
-        materialize.conversation_nodes(turns)
+        conv_nodes
     )
 
     # S5 provenance edges: INLINE name→canonical resolution over the raw
@@ -483,13 +489,52 @@ def run_volatile(
         # cached bytes (the heap-residency lesson of the turns cache,
         # applied to the one cache that must stay: recomputing mentions
         # means re-running the extraction UDF).
-        mentions = _persist(
-            canonicalize.normalize_mentions(extract.detect_mentions(turns)).select(
-                "conv_id", "turn_idx", "name", "entity_type"
-            ),
-            "s2_mentions",
+        # FUSED S2 (round 5): mentions and triples come from ONE corpus
+        # pass (extract.extract_fused) and ONE cache — the previous shape
+        # ran two whole-corpus jobs (one per extractor), each paying the
+        # parquet scan + Arrow text transfer.  Mention surfaces are
+        # normalized pre-persist exactly as before (same codegen
+        # canonical_name, same empty-name drop — here expressed as a
+        # conditional on the tagged rows); triple endpoints stay RAW (S4
+        # canonicalizes them itself, and the dangling side-output carries
+        # original text).  The two consumer frames are cache-backed
+        # filters, so downstream plans are unchanged.
+        from stixtoneodb_spark.functions.textfns import canonical_name  # noqa: PLC0415
+
+        # n_raw (raw triple count) rides the fused cache build as an
+        # Observation — it fires on whatever action first materializes
+        # the cache (the CC chain's first eager job in timed mode), so
+        # the count costs ZERO extra barriers or scans.
+        fused_obs = Observation("s2_fused")
+        fused = (
+            extract.extract_fused(turns)
+            .withColumn(
+                "a",
+                F.when(F.col("kind") == "m", canonical_name(F.col("a"))).otherwise(
+                    F.col("a")
+                ),
+            )
+            .where((F.col("kind") != "m") | (F.length("a") > 0))
+            .observe(
+                fused_obs,
+                F.sum((F.col("kind") == "t").cast("long")).alias("n_t"),
+            )
         )
-        triples_raw = _persist(extract.extract_triples(turns), "s2_triples")
+        fused = _persist(fused, "s2_extract_fused")
+        mentions = fused.where(F.col("kind") == "m").select(
+            "conv_id",
+            "turn_idx",
+            F.col("a").alias("name"),
+            F.col("b").alias("entity_type"),
+        )
+        triples_raw = fused.where(F.col("kind") == "t").select(
+            "conv_id",
+            "turn_idx",
+            F.col("a").alias("subj_text"),
+            F.col("b").alias("pred"),
+            F.col("c").alias("obj_text"),
+            "confidence",
+        )
         # Overlap the triple-extraction cache build with the S3
         # vocabulary/CC chain: the two are INDEPENDENT subgraphs (triples
         # are consumed only by S4), and the CC chain's vocabulary-scale
@@ -501,18 +546,35 @@ def run_volatile(
         # head job leaves idle.  Profile mode stays sequential so stage
         # attribution remains meaningful.
         prefetch_err: list[BaseException] = []
-        prefetch_n: list[int] = []
         prefetch = None
-        if not profiling and os.environ.get("SPARK_GRAFT_OVERLAP", "1") == "1":
+        conv_nodes_arg = None
+        if profiling:
+            # sequential in profile mode, but persisted + attributed so the
+            # tail's conversation leg is visible as its own stage
+            conv_nodes_arg = _persist(
+                materialize.conversation_nodes(turns), "s5_conv_nodes"
+            )
+        elif os.environ.get("SPARK_GRAFT_OVERLAP", "1") == "1":
+            # ONE background lane: the conversation-node cache — the tail
+            # action's only S0-rooted leg; prefetching it removes a whole
+            # corpus scan from the serial tail.  (The triples cache needs
+            # no lane anymore: it IS the fused S2 cache, built by the CC
+            # chain's first eager job.)  One background scan at a time —
+            # two parallel lanes measured slower at local[16] (memory-
+            # bandwidth thrash against the fused extraction build).
+            if os.environ.get("SPARK_GRAFT_CONV_PREFETCH", "1") == "1":
+                conv_nodes_arg = _persist(materialize.conversation_nodes(turns))
 
-            def _build_triples_cache() -> None:
-                try:
-                    prefetch_n.append(triples_raw.count())
-                except BaseException as e:  # noqa: BLE001 — re-raised at join
-                    prefetch_err.append(e)
+                def _build_prefetch_lane() -> None:
+                    try:
+                        conv_nodes_arg.count()
+                    except BaseException as e:  # noqa: BLE001 — re-raised at join
+                        prefetch_err.append(e)
 
-            prefetch = threading.Thread(target=_build_triples_cache, daemon=True)
-            prefetch.start()
+                prefetch = threading.Thread(
+                    target=_build_prefetch_lane, daemon=True
+                )
+                prefetch.start()
         frames = _graph_frames(
             turns,
             mentions,
@@ -520,6 +582,7 @@ def run_volatile(
             alias_edges,
             persist=_persist,
             stage_walls=stage_walls,
+            conversation_nodes=conv_nodes_arg,
         )
         nodes, edges, linked = frames["nodes"], frames["edges"], frames["linked"]
         if prefetch is not None:
@@ -527,8 +590,8 @@ def run_volatile(
             # the prefetch has had the whole window — surface any failure
             # before the tail action consumes the cache it built
             prefetch.join()
-            if prefetch_err:
-                raise prefetch_err[0]
+        if prefetch_err:
+            raise prefetch_err[0]
         # one action for the graph counts: tag-and-union instead of two
         # counts — every Spark action is a driver barrier, and barriers
         # are the part of the wall that does not shrink with cores.  The
@@ -562,8 +625,8 @@ def run_volatile(
         if profiling:
             stage_walls["s5_materialize"] = round(time.time() - t_tail, 2)
         by_k = {r["k"]: (r["cnt"], r["w"]) for r in counted}
-        # the prefetch thread's count doubles as n_raw (same cached frame)
-        n_raw = prefetch_n[0] if prefetch_n else triples_raw.count()
+        # rode the fused-cache build (Observation) — zero extra barriers
+        n_raw = int(fused_obs.get["n_t"] or 0)
         n_linked = int(by_k.get("e", (0, 0))[1] or 0)
         return {
             "n_turns": int(by_k.get("n", (0, 0))[1] or 0),

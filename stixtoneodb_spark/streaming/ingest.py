@@ -464,3 +464,112 @@ def read_heavy_hitters_state(
     if not versions:
         return spark.createDataFrame([], schema="token string, w long")
     return spark.read.parquet(f"{state_dir}/v{versions[-1]}")
+
+
+def conversation_progress_stream_tws(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "10 seconds"
+) -> DataFrame:
+    """``transformWithStateInPandas`` successor of
+    ``conversation_progress_stream`` — Spark 4's replacement for
+    ``applyInPandasWithState`` (SPARK-46815 / the transformWithState
+    operator family), kept spec-identical so the equivalence test in
+    tests/test_streaming.py pins both implementations to one output.
+
+    Deployment requirements (both verified absent in this sandbox, so
+    the test skips with reason): the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass``), and
+    ``google.protobuf`` on the driver — the transformWithState driver
+    worker speaks a protobuf state-server protocol and fails schema
+    pre-init without it.  ``conversation_progress_stream`` remains the
+    executable tier here.
+
+    Mapping from the legacy API:
+
+    - GroupState tuple        → ``ValueState`` ("progress", n + max_ts_ms)
+    - setTimeoutTimestamp     → explicit ``registerTimer`` (EventTime mode)
+      with the same strictly-beyond-watermark clamp; the PREVIOUS timer is
+      deleted first — transformWithState timers accumulate per key, they
+      are not single-slot like GroupState's timeout
+    - state.hasTimedOut branch → ``handleExpiredTimer`` (emits the final
+      closed=true row, clears state); a timer can fire after the close
+      already happened only if we failed to delete it — the delete-first
+      discipline above keeps one live timer per conversation
+    - state.remove()          → ``state.clear()``
+    """
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql import types as T  # noqa: PLC0415
+    from pyspark.sql.streaming.stateful_processor import (  # noqa: PLC0415
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType()),
+            T.StructField("n_turns_total", T.LongType()),
+            T.StructField("n_turns_batch", T.LongType()),
+            T.StructField("closed", T.BooleanType()),
+        ]
+    )
+    gap_ms = _duration_ms(gap)
+
+    class ConvProgress(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.handle = handle
+            self.state = handle.getValueState(
+                "progress", "n bigint, max_ts_ms bigint"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (conv_id,) = key
+            batch_n = 0
+            max_ts_ms = 0
+            for pdf in rows:
+                batch_n += len(pdf)
+                if len(pdf):
+                    max_ts_ms = max(
+                        max_ts_ms, int(pdf["ts"].max().timestamp() * 1000)
+                    )
+            prev = self.state.get() if self.state.exists() else (0, 0)
+            total = prev[0] + batch_n
+            max_ts_ms = max(max_ts_ms, prev[1])
+            self.state.update((total, max_ts_ms))
+            # one live timer per conversation: drop the previous close
+            # timer, then arm the new one strictly beyond the watermark
+            # (same clamp + rationale as the legacy implementation)
+            for t in self.handle.listTimers():
+                self.handle.deleteTimer(t)
+            wm_ms = timerValues.getCurrentWatermarkInMs()
+            self.handle.registerTimer(max(max_ts_ms + gap_ms, wm_ms + 1))
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns_total": [total],
+                    "n_turns_batch": [batch_n],
+                    "closed": [False],
+                }
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (conv_id,) = key
+            n = self.state.get()[0] if self.state.exists() else 0
+            self.state.clear()
+            yield pd.DataFrame(
+                {
+                    "conv_id": [conv_id],
+                    "n_turns_total": [n],
+                    "n_turns_batch": [0],
+                    "closed": [True],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .transformWithStateInPandas(
+            ConvProgress(), out_schema, "Append", "EventTime"
+        )
+    )

@@ -165,13 +165,14 @@ def test_normalize_translate_equals_regex_form(spark):
     assert both.where(F.col("tr") != F.col("re")).count() == 0
 
 
-def test_candidate_pairs_plan_guard_is_broadcast_anti(spark):
-    """Plan proof for the one-shuffle pair generation (round-4 S3 fix):
-    the LSH skew guard must execute as a broadcast ANTI-join against the
-    tiny oversized-band set (map-side probe — the vocabulary-scale keys
-    frame is never re-shuffled for the guard), and pair expansion must be
-    an aggregate + explode, never a band self-join: no SortMergeJoin may
-    appear anywhere in the executed plan."""
+def test_candidate_pairs_plan_guard_is_broadcast_semi(spark):
+    """Plan proof for the narrow-first pair generation (round-5 S3 fix):
+    block extraction must execute as a broadcast SEMI-join against the
+    tiny useful-band set (2 ≤ bn ≤ MAX_BLOCK — map-side probe; the
+    vocabulary-scale keys frame is never re-shuffled wide just to find
+    multi-member blocks), and pair expansion must be an aggregate +
+    explode, never a band self-join: no SortMergeJoin may appear
+    anywhere in the executed plan."""
     names = spark.createDataFrame(
         [("zeus",), ("zeus trojan",), ("poison ivy",), ("poisonivy rat",),
          ("acme systems",), ("acme system",), ("mitre",), ("unrelated word",)],
@@ -180,8 +181,8 @@ def test_candidate_pairs_plan_guard_is_broadcast_anti(spark):
     pairs = candidate_pairs(names, threshold=0.55)
     pairs.collect()  # finalize AQE so the executed plan is the real one
     plan = pairs._jdf.queryExecution().executedPlan().toString()
-    assert "LeftAnti" in plan, "skew guard lost its anti-join form"
-    assert "BroadcastHashJoin" in plan, "guard anti-join not broadcast"
+    assert "LeftSemi" in plan, "useful-band guard lost its semi-join form"
+    assert "BroadcastHashJoin" in plan, "guard semi-join not broadcast"
     assert "SortMergeJoin" not in plan, "a vocabulary-scale sort-merge join re-entered S3"
 
 

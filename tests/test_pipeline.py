@@ -303,3 +303,38 @@ def test_salted_pipeline_equals_plain_pipeline(spark, corpus):
     finally:
         P.HOT_NAME_FLOOR, P.HOT_NAME_TARGET = orig
     assert stats_salted == stats_plain
+
+
+def test_fused_extraction_equals_separate_extractors(spark):
+    """The fused S2 pass (one mapInPandas, tagged union) must emit the
+    IDENTICAL mention and triple multisets as the two standalone
+    extractors — any drift in the shared regex application order,
+    surface slicing, or predicate lowercasing breaks this."""
+    from collections import Counter
+
+    from stixtoneodb_spark.plans import extract
+    from stixtoneodb_spark.sources.transcripts import transcripts_df
+
+    tr = transcripts_df(spark, 400)
+    fused = extract.extract_fused(tr).collect()
+    f_m = Counter(
+        (r["conv_id"], r["turn_idx"], r["a"], r["b"])
+        for r in fused
+        if r["kind"] == "m"
+    )
+    f_t = Counter(
+        (r["conv_id"], r["turn_idx"], r["a"], r["b"], r["c"], r["confidence"])
+        for r in fused
+        if r["kind"] == "t"
+    )
+    s_m = Counter(
+        (r["conv_id"], r["turn_idx"], r["surface"], r["entity_type"])
+        for r in extract.detect_mentions(tr).collect()
+    )
+    s_t = Counter(
+        (r["conv_id"], r["turn_idx"], r["subj_text"], r["pred"], r["obj_text"],
+         r["confidence"])
+        for r in extract.extract_triples(tr).collect()
+    )
+    assert f_m == s_m and len(f_m) > 0
+    assert f_t == s_t and len(f_t) > 0
