@@ -123,6 +123,9 @@ def _session(cores: int):
         f"-XX:+UseParallelGC -XX:ParallelGCThreads={parallel_gc_threads(cores)} "
         f"-Xms{mem} -XX:+AlwaysPreTouch",
     )
+    # shuffle_partitions = cores held (4x over-decomposition was A/B'd in
+    # round 5: min-of-2 read 136.8s vs 109.6s at local[16] on the same
+    # corpus — more task launches per exchange, no straggler win).
     s = get_spark(app_name=f"kg-bench-{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
     s.sparkContext.setLogLevel("ERROR")
     return s

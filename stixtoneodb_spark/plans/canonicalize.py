@@ -99,11 +99,15 @@ def candidate_pairs(names: DataFrame, threshold: float = 0.30) -> DataFrame:
             PROFILE[f"cand_{tag}_n"] = n
         return df
 
+    # NOT persisted (round-5 measurement, the turns-cache lesson applied
+    # again): caching 7M names x ~12 shingle arrays costs far more to
+    # BUILD (InMemoryRelation materializes the wide array column) than
+    # its consumers save — each consumer recomputes the shingle split
+    # from the slim cached ``names`` frame as pure map-side codegen.
     base = _prof(
         names.select("name")
         .withColumn("sh", shingles(F.col("name"), 3))
-        .where(F.size("sh") > 0)
-        .persist(),
+        .where(F.size("sh") > 0),
         "base",
     )
 
