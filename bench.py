@@ -56,6 +56,12 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # per Amdahl, a faster engine at FIXED input size measures its own fixed
 # costs, not its scaling.  (The corpus is content-addressed by size under
 # BENCH_DIR and survives across invocations, so generation is amortized.)
+# Round 5 probe: a 1.5x corpus (83.6M turns) was tried for Amdahl
+# margin and REGRESSED wall@16 superlinearly (123->339s while wall@4
+# improved to a best-ever 162.6k turns/s — a 16-concurrent-task
+# memory-pressure/cache-eviction signature at 56g, recorded in
+# tools/bench_history.jsonl) — the primary therefore HOLDS at 55.8M
+# turns, the round-4 scale, for cross-round comparability.
 N_CONV = int(os.environ.get("SPARK_GRAFT_BENCH_CONV", "2592000"))
 # cross-round comparability row (27.9M, the round-2/3 secondary): OFF by
 # default — the default invocation must fit the driver budget.  Builders
@@ -171,6 +177,12 @@ def worker_pipeline(cores: int, n_conv: int) -> None:
     # run, so run 1 still pays fresh C2 JIT — measured @16/27.9M turns as
     # a 113s-vs-82s first-vs-second timed-run gap that a full-corpus
     # warm-up closes.
+    # A HALF-SIZE warm-up corpus (same schema/plan, different parquet dir)
+    # was A/B'd in round 5 and REJECTED: identical codegen notwithstanding,
+    # the timed run read 152.8s@16 vs 123.5s with the full-corpus warm-up
+    # in a BETTER host window — ParallelGC adapts its generation sizing to
+    # the warm-up's live set, and a timed run 2x the warmed size pays the
+    # re-adaptation.  Warm-up stays full-corpus.
     warm_frac = float(os.environ.get("SPARK_GRAFT_BENCH_WARM_FRAC", "1.0"))
     warm = tr if warm_frac >= 1.0 else tr.sample(warm_frac, seed=1)
     run_volatile(spark, warm, alias_edges=aliases)
